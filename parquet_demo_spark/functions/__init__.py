@@ -1,0 +1,121 @@
+"""Deterministic expression helpers shared by the query surface.
+
+These encode the SURVEY §2B determinism conventions that make Spark
+results hash-identical to the DuckDB oracle:
+
+- float aggregates go through a per-row ``DECIMAL(18,2)`` cast so the
+  aggregation is exact and order-independent (FP addition is not
+  associative; decimal addition is — this is what makes a 32-partition
+  Spark sum equal a single-threaded DuckDB sum, and a 10,000-partition
+  sum at 100 TB equal both);
+- final scalars are rendered as DOUBLE (decimal→double is correctly
+  rounded in both engines) and ROUNDed where a division is involved;
+- computed integers are always BIGINT (DuckDB's SUM(BIGINT) is HUGEINT,
+  Spark's is BIGINT — explicit casts on both sides keep schemas aligned).
+
+Everything here returns Column expressions built from
+``pyspark.sql.functions`` — JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec2(col: Column | str) -> Column:
+    """Per-row exact-decimal view of a float column (order-independent sums)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact decimal SUM rendered as DOUBLE: SUM(CAST(x AS DEC(18,2)))::DOUBLE."""
+    return F.sum(dec2(col)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: decimal sum / count in double, rounded to 2."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(dec2(c)).cast("double") / F.count(c).cast("double"), 2
+    ).alias(alias)
+
+
+def bsum(col: Column | str, alias: str) -> Column:
+    """BIGINT-typed sum (DuckDB would return HUGEINT without the cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("bigint").alias(alias)
+
+
+# --- deterministic token / text helpers (text analysis + dedup surface) ---
+
+TOKEN_RE = "[^a-z]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased [a-z]+ tokens of a text column as an array<string>.
+
+    ``split`` on the complement class leaves '' at the edges; callers
+    filter those after explode (matches DuckDB string_split_regex).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), TOKEN_RE)
+
+
+# Polynomial rolling hash over a string, identical in Spark and DuckDB SQL:
+#   h = fold(chars, 0, (acc, ch) -> (acc * 31 + unicode(ch)) % 2^31-1)
+# Used for document fingerprinting / minhash where both engines must agree
+# (neither engine's built-in hash() matches the other's).
+HASH_MOD = 2_147_483_647  # 2^31 - 1, keeps acc*31+cp < 2^63 (no overflow)
+
+
+def poly_hash(col: Column | str) -> Column:
+    """Deterministic 31-polynomial string hash, JVM-side via aggregate()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, cp: (acc * F.lit(31) + cp) % F.lit(HASH_MOD),
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    """DuckDB-SQL twin of :func:`poly_hash` over a string expression."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), ch -> unicode(ch)::BIGINT)), "
+        f"(acc, cp) -> (acc * 31 + cp) % {HASH_MOD})"
+    )
+
+
+# --- vector helpers (similarity surface) ---
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns via zip_with + aggregate.
+
+    Double accumulation left-to-right; with ROUND at the final render both
+    engines agree (SURVEY §7 risk register: FP determinism).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,1 @@
+"""(stub — filled in a later milestone this round)"""

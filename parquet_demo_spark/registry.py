@@ -1,0 +1,62 @@
+"""Query registry: the declared engine surface (SURVEY §2B).
+
+Each :class:`Query` pairs a Spark DataFrame builder with the ANSI-SQL
+oracle string that DuckDB runs on the same parquet fixtures. The driver
+hash-compares the two at sf0.01 (CORRECTNESS_r{N}.json); queries whose
+semantics are not SQL-expressible (streaming state, probabilistic ops)
+carry ``oracle=None`` and get a rows-only check.
+
+Column-name discipline: the Spark result and the oracle result must have
+IDENTICAL column names (the driver sorts columns by name before hashing),
+and computed columns are explicitly typed BIGINT/DOUBLE on both sides so
+the schemas align (DuckDB's SUM(BIGINT) is HUGEINT, AVG(DECIMAL) is
+DOUBLE, year() is BIGINT, etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every query module and return the merged registry."""
+    # Imports are deferred so `import parquet_demo_spark` stays cheap.
+    from parquet_demo_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from parquet_demo_spark import generators  # noqa: F401
+    from parquet_demo_spark.streaming import windows  # noqa: F401
+
+    return dict(_REGISTRY)
