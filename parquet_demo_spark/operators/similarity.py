@@ -1,1 +1,198 @@
-"""(stub — filled in a later milestone this round)"""
+"""Similarity-search surface: exact cosine top-k, batch ANN, IVF-style
+cell-restricted ANN, embedding near-dup (SURVEY §2B S27 + charter).
+
+Embeddings are plain `array<float>` columns; all vector math is
+higher-order functions (zip_with/transform/aggregate) — JVM-side, no
+Python, no UDF. Reductions are sequential left-to-right in both Spark
+(`aggregate`) and the DuckDB oracle (`list_reduce` with a prepended
+zero), so dot products are bit-identical across engines.
+
+Scale design: brute force is the correctness baseline (O(n·q), fine for
+one query or a broadcast batch of queries). The scale path is
+IVF-style cell restriction (q52): a coarse quantizer assigns each vector
+to a cell — here the fixture's `label` column stands in for the
+centroid assignment — and the search joins only within the probed cell,
+turning all-pairs into per-cell joins. With a real centroid table the
+cell assignment is one broadcast-join argmin pass; the per-cell search
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.functions import cosine
+from parquet_demo_spark.registry import register
+
+# DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "q27_cosine_topk",
+    oracle=f"""
+    WITH target AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_cos_sql('embedding', 'e0')}, 4) AS cos_sim
+    FROM embeddings CROSS JOIN target
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+    doc="S27 exact cosine top-5 neighbors of vec_id=0: brute-force scan "
+    "with the 1-row target broadcast; TakeOrderedAndProject keeps it one "
+    "pass with a size-5 heap per partition.",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("e0")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("e0")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "q51_ann_bruteforce_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, vec_id,
+             ROUND({_cos_sql('embedding', 'qe')}, 4) AS cos_sim
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+    doc="Batch brute-force ANN baseline: 5 query vectors broadcast against "
+    "the corpus, per-query top-3 via window. O(n·q) — the correctness "
+    "baseline every ANN variant is measured against.",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+@register(
+    "q52_ann_ivf_cell",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, vec_id,
+             ROUND({_cos_sql('embedding', 'qe')}, 4) AS cos_sim
+      FROM embeddings e JOIN q ON e.label = q.qcell
+      WHERE vec_id <> qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+    doc="IVF-style ANN: search only the query's coarse cell (fixture "
+    "`label` = cell assignment; in production an argmin-over-centroids "
+    "broadcast pass computes it). Equi-join on cell replaces the cross "
+    "join — per-cell work, the 100 TB scale path.",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qcell"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.label == q.qcell)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+@register(
+    "q53_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 400 AND b.vec_id < 400
+    ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20
+    """,
+    doc="Embedding-cosine near-dup: top-20 most-similar pairs within "
+    "coarse cells (label-blocked — the blocking that makes pairwise "
+    "near-dup feasible at scale), among vec_id<400.",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(20)

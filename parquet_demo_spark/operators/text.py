@@ -1,1 +1,298 @@
-"""(stub — filled in a later milestone this round)"""
+"""Text-analysis surface: tokenization, near-dup prep, language-ID,
+quality scoring, token stats, fingerprinting (SURVEY §2B S25/S26 +
+charter extensions).
+
+All operators are pure `pyspark.sql.functions` column expressions —
+lower/regexp/split/explode/aggregate — whole-stage-codegen'd, no Python
+in the hot path. At 100 TB the token explode is the dominant cost;
+every per-doc reduction that can happen inside the row (array_distinct,
+size, aggregate) happens before any explode/shuffle.
+
+Fixture note: documents.text is synthetic word-soup drawn from one
+shared vocabulary regardless of the `lang` label, so the language-ID
+heuristic (marker-token voting) demonstrates the operator shape rather
+than real discrimination — on real corpora the marker sets / character
+n-gram profiles do the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
+from parquet_demo_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# S25 tokenize + top-k tokens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_text_top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+    """,
+    doc="S25 normalize → tokenize → explode → count: global top-10 tokens "
+    "(partial counts map-side; only the tiny per-token tally shuffles).",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S26 shared-token near-dup prep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_shared_token_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents WHERE doc_id < 500)
+      WHERE length(token) > 3
+    )
+    SELECT COUNT(*) AS n_pairs FROM (
+      SELECT a.doc_id, b.doc_id
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 15)
+    """,
+    doc="S26 near-dup prep: doc pairs sharing ≥15 distinct tokens "
+    "(len>3), via explode + self-join on token. Bounded candidate set; "
+    "the banding variants (q43) are the 100 TB path.",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(tokens("text"), lambda t: F.length(t) > 3))
+        ).alias("token"),
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 15)
+    )
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (charter)
+# ---------------------------------------------------------------------------
+
+_EN = ("the", "a", "value", "fast", "slow")
+_ES = ("el", "la", "de", "valor", "datos")
+_FR = ("le", "la", "de", "valeur", "vite")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))::BIGINT"
+
+
+@register(
+    "q46_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           n_en, n_es, n_fr,
+           CASE WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                WHEN n_es >= n_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             {_marker_sql(_EN)} AS n_en,
+             {_marker_sql(_ES)} AS n_es,
+             {_marker_sql(_FR)} AS n_fr
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(lower(text), '[^a-z]+') AS toks
+            FROM documents WHERE doc_id < 200))
+    ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-token voting per language, argmax "
+    "with deterministic tie-break. Linear scan, in-row array ops only.",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+
+    def marker_count(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+
+    scored = docs.select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        marker_count(_EN).alias("n_en"),
+        marker_count(_ES).alias("n_es"),
+        marker_count(_FR).alias("n_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_fr")),
+            "en",
+        )
+        .when(F.col("n_es") >= F.col("n_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (charter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_quality_score",
+    oracle="""
+    SELECT doc_id, n_chars, n_tokens, n_stop,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           ROUND(CAST(n_alpha_chars AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+           CAST(FLOOR(100 * CAST(n_stop AS DOUBLE) / n_tokens
+                      + CAST(LEAST(n_tokens, 100) AS DOUBLE)) AS BIGINT)
+             AS quality_score
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> list_contains(['the','a','of','and'], t)))
+                  AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha_chars
+      FROM documents WHERE doc_id < 200)
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: token count, stopword ratio, alpha-char ratio, "
+    "composite integer score — the filter-signal set of an LLM data "
+    "pipeline, all as codegen'd column expressions.",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(tokens("text"), lambda t: F.array_contains(stop, t))
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_alpha_chars"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_stop",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
+            "stop_ratio"
+        ),
+        F.round(
+            F.col("n_alpha_chars").cast("double") / F.col("n_chars"), 4
+        ).alias("alpha_ratio"),
+        F.floor(
+            100 * F.col("n_stop").cast("double") / F.col("n_tokens")
+            + F.least(F.col("n_tokens"), F.lit(100)).cast("double")
+        )
+        .cast("bigint")
+        .alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (charter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, ' +'), t -> t <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS BIGINT) AS n_re_tokens,
+           CAST(len(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))
+                AS BIGINT) AS n_unique_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens, BPE-ish regex tokens, unique "
+    "tokens, char length — per-doc, in-row array ops only (no explode).",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ws = F.filter(F.split(F.col("text"), " +"), lambda t: t != "")
+    re_toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(re_toks).cast("bigint").alias("n_re_tokens"),
+        F.size(F.array_distinct(re_toks)).cast("bigint").alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (charter)
+# ---------------------------------------------------------------------------
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "q49_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {poly_hash_sql(_NORM_SQL)} AS fingerprint
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: 31-polynomial rolling hash of the "
+    "whitespace-normalized text (the engine's deterministic hash — "
+    "reproduced bit-for-bit by the oracle, unlike builtin hash()).",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id", poly_hash(normalized).alias("fingerprint")
+    ).orderBy("doc_id")

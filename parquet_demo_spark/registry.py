@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         multimodal,
         relational,
+        semistructured,
         similarity,
         text,
     )
