@@ -1,1 +1,184 @@
-"""(stub)"""
+"""Event-time windowed streaming aggregations (S29/S30).
+
+Each query here REALLY runs Structured Streaming: readStream over the
+events parquet (micro-batches via maxFilesPerTrigger-style file source),
+event-time windows + watermark, memory sink, availableNow trigger — then
+returns the materialized result as a static DataFrame so the driver can
+hash-check it against the batch oracle (batch-stream equivalence,
+SURVEY §2B preamble).
+
+Scale posture: in production the file source becomes Kafka; watermarks
+bound state (late events beyond 1 hour are dropped in append mode), and
+session windows use the built-in session_window state merging. The
+events fixture arrives out of ts-order (FIXTURES.md) so watermark
+handling is genuinely exercised.
+
+complete-output memory sink is used for the equivalence check because
+append mode only emits windows the watermark has passed — with a finite
+fixture the final windows would be withheld; complete mode emits the
+full converged state, which is exactly what the batch twin computes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_demo_spark.functions import dsum
+from parquet_demo_spark.registry import register
+
+# Explicit source schema: ts is parquet timestamp[ns] → read as long
+# (nanosAsLong) and converted to µs timestamps, as in catalog.load.
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf: str) -> str:
+    """File stream sources need a directory; expose events.parquet via a
+    symlink under /tmp (the fixture dir is read-only and mixes tables)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", sf.strip("/").replace("/", "_")
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf))
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion; return its result."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "q60_stream_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY wstart, event_type
+    ORDER BY wstart, event_type
+    """,
+    doc="S29 streaming tumbling window (1h) + watermark, availableNow "
+    "trigger, memory sink; hash-checked against the batch twin "
+    "(batch-stream equivalence).",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        read_events_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+    out = _run_to_memory(agg, "q60_mem")
+    return out.select(
+        F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
+    ).orderBy("wstart", "event_type")
+
+
+@register(
+    "q61_stream_sliding",
+    oracle="""
+    SELECT wstart, event_type, n FROM (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+               - k * INTERVAL '1 hour' AS wstart,
+             event_type, COUNT(*) AS n
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      GROUP BY wstart, event_type)
+    ORDER BY wstart, event_type
+    """,
+    doc="S29 streaming sliding window (2h length, 1h slide): each event "
+    "lands in two windows; oracle materializes the same two buckets per "
+    "event.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        read_events_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "q61_mem")
+    return out.select(
+        F.col("w.start").alias("wstart"), "event_type", "n"
+    ).orderBy("wstart", "event_type")
+
+
+@register(
+    "q62_stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="S30 streaming session windows (30 min gap) via session_window "
+    "state merging; oracle is the classic batch sessionization "
+    "(lag + gap-flag + cumulative count). Per-user session/event counts.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        read_events_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_in_session"))
+    )
+    sessions = _run_to_memory(agg, "q62_mem")
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_in_session").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
