@@ -8,6 +8,11 @@ results hash-identical to the DuckDB oracle:
   associative; decimal addition is — this is what makes a 32-partition
   Spark sum equal a single-threaded DuckDB sum, and a 10,000-partition
   sum at 100 TB equal both);
+- never CAST a computed double straight to decimal: Spark rounds the
+  shortest decimal repr, DuckDB the true binary value - they diverge at
+  exact .xx5 expansions. Compute in decimal space from raw columns, or
+  ROUND(x, s) first (round agrees across engines; a rounded double sits
+  far from any cast boundary);
 - final scalars are rendered as DOUBLE (decimal→double is correctly
   rounded in both engines) and ROUNDed where a division is involved;
 - computed integers are always BIGINT (DuckDB's SUM(BIGINT) is HUGEINT,

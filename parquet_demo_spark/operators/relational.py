@@ -56,15 +56,17 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     "q02_projection",
     oracle="""
     SELECT l_orderkey, l_quantity FROM lineitem
-    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100
     """,
     doc="S2 projection + deterministic top-100; column pruning reaches the "
-    "scan (ReadSchema shows 3 columns).",
+    "scan (ReadSchema shows 3 columns). (orderkey,linenumber) is NOT "
+    "unique in this fixture — l_quantity joins the sort so tied rows are "
+    "interchangeable w.r.t. the projected columns.",
 )
 def q02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .select("l_orderkey", "l_quantity")
         .limit(100)
     )

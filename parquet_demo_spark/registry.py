@@ -50,12 +50,14 @@ def all_queries() -> dict[str, Query]:
     """Import every query module and return the merged registry."""
     # Imports are deferred so `import parquet_demo_spark` stays cheap.
     from parquet_demo_spark.operators import (  # noqa: F401
+        approx,
         dedup,
         multimodal,
         relational,
         semistructured,
         similarity,
         text,
+        udfs,
     )
     from parquet_demo_spark import generators  # noqa: F401
     from parquet_demo_spark.streaming import windows  # noqa: F401

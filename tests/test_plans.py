@@ -1,0 +1,55 @@
+"""Physical-plan guardrails (SURVEY §4): the properties that matter at
+100 TB, asserted on the actual Catalyst output so de-optimizations fail
+tests rather than production."""
+
+from __future__ import annotations
+
+from parquet_demo_spark.plans import (
+    has_pushed_filters,
+    physical_plan,
+    scan_read_schema,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from parquet_demo_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_q03_filters_pushed_to_scan(spark, sf_dir):
+    # IN / BETWEEN predicates must reach the parquet reader
+    df = QUERIES["q03_filter"].spark(spark, sf_dir)
+    assert has_pushed_filters(df, "o_orderstatus", "o_totalprice")
+
+
+def test_q02_column_pruning(spark, sf_dir):
+    # 3 of 11 lineitem columns read — not the full row
+    df = QUERIES["q02_projection"].spark(spark, sf_dir)
+    schema = scan_read_schema(df)
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema and "l_comment" not in schema
+
+
+def test_q05_broadcasts_dimension(spark, sf_dir):
+    # part is dim-sized: the fact side must not shuffle
+    df = QUERIES["q05_join_broadcast"].spark(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q15_topk_uses_heap_not_global_sort(spark, sf_dir):
+    df = QUERIES["q15_topk_global"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_q09_range_join_stays_equi_join(spark, sf_dir):
+    # the interval predicate must be a residual filter on an equi-join,
+    # never a nested-loop
+    df = QUERIES["q09_join_range"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_partial_aggregation(spark, sf_dir):
+    # map-side combine: two HashAggregate phases around the exchange
+    df = QUERIES["q10_agg_pricing_summary"].spark(spark, sf_dir)
+    assert physical_plan(df).count("HashAggregate") >= 2

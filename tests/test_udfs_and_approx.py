@@ -1,0 +1,72 @@
+"""S31/S32 non-hash checks: approx ops bounded vs exact; UDF variants
+equal to their native twins (pandas_udf and row-UDF compute the same
+expression; native is what every query module actually uses)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    row = QUERIES["q59_approx_distinct"].spark(spark, sf_dir).collect()[0]
+    assert abs(row.approx_custs - row.exact_custs) <= 0.05 * row.exact_custs
+
+
+def test_approx_quantiles_bracketed(spark, sf_dir):
+    row = QUERIES["q59b_approx_quantiles"].spark(spark, sf_dir).collect()[0]
+    p50, p90, p99 = row.approx_p50_p90_p99
+    exact = load(spark, sf_dir, "orders").approxQuantile(
+        "o_totalprice", [0.5, 0.9, 0.99], 0.0
+    )
+    assert p50 <= p90 <= p99
+    for approx, ex in zip((p50, p90, p99), exact):
+        assert abs(approx - ex) <= 0.05 * ex
+
+
+def test_pandas_udf_equals_native(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").limit(1000)
+
+    @pandas_udf("double")
+    def py_disc(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    native = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    n_diff = (
+        li.withColumn("a", py_disc("l_extendedprice", "l_discount"))
+        .withColumn("b", native)
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_row_udf_equals_native(spark, sf_dir):
+    # S32 completeness: row-at-a-time F.udf — correct but the slow path;
+    # no query module uses it (serde per row).
+    li = load(spark, sf_dir, "lineitem").limit(200)
+    row_udf = udf(lambda p, d: p * (1.0 - d), "double")
+    native = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    n_diff = (
+        li.withColumn("a", row_udf("l_extendedprice", "l_discount"))
+        .withColumn("b", native)
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_multimodal_stub_raises():
+    from parquet_demo_spark.operators.multimodal import decode_media_stub
+
+    try:
+        decode_media_stub(b"bytes", "image")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
