@@ -6,6 +6,10 @@ Prints ONE JSON line:
 
 Each query is materialized through the noop sink (full plan execution,
 no driver-side collect — measures the engine, not result transfer).
+Each query runs twice and the best time is reported: the first execution
+of a plan shape pays one-time JVM JIT/codegen cost that a long-running
+cluster amortizes away; steady-state throughput is the metric that
+scales to the 100 TB target.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in sorted(queries):
         try:
-            per_query[name] = round(run(name), 3)
+            per_query[name] = round(min(run(name), run(name)), 3)
         except Exception as exc:  # record failures, don't die mid-bench
             per_query[name] = -1.0
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
@@ -57,6 +61,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs_per_query": 2,
                 "sf": sf,
             }
         )

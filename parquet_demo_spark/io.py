@@ -97,3 +97,25 @@ def write_table(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """R2: lazy parquet scan (column-pruned, predicate-pushed)."""
     return spark.read.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    rows_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout — the reference's own "next
+    improvement" (its README lists partitioned writes as future work;
+    it writes single flat files only).
+
+    At 100 TB this is the difference between scanning everything and
+    partition pruning: a filter on a partition column skips whole
+    directories before any I/O happens. Typical key: a low-cardinality
+    derived date (`F.to_date(ts)`) or tenant/source column.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if rows_per_file:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.parquet(path)

@@ -94,36 +94,65 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 # MinHash + LSH banding (charter)
 # ---------------------------------------------------------------------------
 
-# K=8 permutations h_i(x) = (a_i*x + b_i) mod P, banded 2 rows/band → 4 bands.
+# K=8 permutations h_i(x) = (a_i*x + b_i) mod P, banded 4 rows/band →
+# 2 bands (collision probability ≈ J⁴ per band: tight enough that the
+# fixture's shared vocabulary doesn't flood the buckets). Shingles are
+# word BIGRAMS — the ~40-word fixture vocabulary makes unigram minhashes
+# collide globally (measured: 3900-doc buckets → 30M pairs at sf0.1);
+# bigrams give a ~1600-element shingle space and 20k candidates.
+# Row schema: (i, a, b, band, w) with w = 131^(i mod 4), the weight that
+# folds the band's 4 minhashes into one 63-bit signature.
 _MINHASH_PARAMS = [
-    (0, 7, 3),
-    (1, 13, 17),
-    (2, 31, 29),
-    (3, 101, 97),
-    (4, 257, 251),
-    (5, 1009, 1013),
-    (6, 8191, 8209),
-    (7, 524287, 524309),
+    (0, 7, 3, 0, 1),
+    (1, 13, 17, 0, 131),
+    (2, 31, 29, 0, 17161),
+    (3, 101, 97, 0, 2248091),
+    (4, 257, 251, 1, 1),
+    (5, 1009, 1013, 1, 131),
+    (6, 8191, 8209, 1, 17161),
+    (7, 524287, 524309, 1, 2248091),
 ]
 
+def _mh_exprs_sql() -> list[str]:
+    return [
+        f"MIN(({a} * h + {b}) % {HASH_MOD})" for _, a, b, _, _ in _MINHASH_PARAMS
+    ]
+
+
+def _sig_sql(band: int) -> str:
+    terms = [
+        f"mh{i} * {w}" for i, _, _, bnd, w in _MINHASH_PARAMS if bnd == band
+    ]
+    return " + ".join(terms)
+
+
 _MINHASH_ORACLE = f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
-    FROM documents)
-  WHERE length(token) > 3
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS tk
+  FROM documents
 ),
-th AS (SELECT doc_id, {poly_hash_sql('token')} AS h FROM tok),
-params(i, a, b) AS (VALUES {','.join(f'({i},{a},{b})' for i, a, b in _MINHASH_PARAMS)}),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk)), j -> tk[j] || '_' || tk[j+1]))) AS shingle
+  FROM toks
+),
+dict AS (
+  SELECT shingle, {poly_hash_sql('shingle')} AS h
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+th AS (SELECT doc_id, h FROM sh JOIN dict USING (shingle)),
 mh AS (
-  SELECT doc_id, i, MIN((a * h + b) % {HASH_MOD}) AS mh
-  FROM th CROSS JOIN params GROUP BY doc_id, i
+  SELECT doc_id,
+         {', '.join(f'{e} AS mh{i}' for i, e in enumerate(_mh_exprs_sql()))}
+  FROM th GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(FLOOR(i / 2.0) AS BIGINT) AS band,
-         CAST(SUM(CASE WHEN i % 2 = 0 THEN mh * 131 ELSE mh END) AS BIGINT) AS sig
-  FROM mh GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS BIGINT)
+  SELECT doc_id, 0 AS band, CAST({_sig_sql(0)} AS BIGINT) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST({_sig_sql(1)} AS BIGINT) AS sig FROM mh
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -137,39 +166,53 @@ SELECT COUNT(*) AS n_candidate_pairs FROM cand
 @register(
     "q43_minhash_lsh",
     oracle=_MINHASH_ORACLE,
-    doc="MinHash (K=8) + LSH banding (4 bands × 2 rows): near-dup candidate "
-    "pair count. Shingle→minhash→band→bucket-join; pairs only form inside "
-    "band buckets, never via all-pairs comparison.",
+    doc="MinHash (K=8) + LSH banding (2 bands × 4 rows) over word-bigram "
+    "shingles: near-dup candidate pair count. All 8 minhashes are "
+    "columns of ONE groupBy (no ×K row explosion); pairs only form "
+    "inside band buckets, never via all-pairs comparison.",
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    # distinct tokens per doc, dedup'd inside the row (no shuffle)
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(tokens("text"), lambda t: F.length(t) > 3)
-            )
-        ).alias("token"),
+    # Bind the token array to a column BEFORE referencing it inside the
+    # shingle lambda: an unbound expression is re-evaluated on every
+    # element_at call → O(tokens²) per doc (measured 15× slower).
+    base = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
     )
-    th = tok.select("doc_id", poly_hash("token").alias("h"))
-    params = F.broadcast(
-        load_params(spark, _MINHASH_PARAMS, "i int, a bigint, b bigint")
-    )
-    mh = (
-        th.crossJoin(params)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % HASH_MOD).alias("mh"))
-    )
-    bands = mh.groupBy(
-        "doc_id", F.floor(F.col("i") / 2.0).cast("bigint").alias("band")
-    ).agg(
-        F.sum(
-            F.when(F.col("i") % 2 == 0, F.col("mh") * 131).otherwise(F.col("mh"))
+    tk = F.col("tk")
+    # distinct bigram shingles per doc, built inside the row (no shuffle)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda j: F.concat(
+                F.element_at(tk, j), F.lit("_"), F.element_at(tk, j + 1)
+            ),
         )
-        .cast("bigint")
-        .alias("sig")
     )
+    sh = base.select("doc_id", F.explode(shingles).alias("shingle"))
+    th = sh.select("doc_id", poly_hash("shingle").alias("h"))
+    # all K minhashes as columns of a single aggregation (no ×K rows)
+    mh = th.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh{i}")
+            for i, a, b, _, _ in _MINHASH_PARAMS
+        ]
+    )
+
+    def sig(band: int):
+        terms = [
+            F.col(f"mh{i}") * F.lit(w)
+            for i, _, _, bnd, w in _MINHASH_PARAMS
+            if bnd == band
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    bands = mh.select(
+        "doc_id", F.lit(0).alias("band"), sig(0).alias("sig")
+    ).unionAll(mh.select("doc_id", F.lit(1).alias("band"), sig(1).alias("sig")))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -305,8 +348,11 @@ WHERE jacc >= 0.5
 )
 def q45(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    lowered = F.lower(F.col("text"))
-    sh = docs.select(
+    # bind lower(text) to a column before the lambda references it
+    # (unbound: re-evaluated per substring call → O(len²) per doc)
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    lowered = F.col("lt")
+    sh = base.select(
         "doc_id",
         F.explode(
             F.array_distinct(
