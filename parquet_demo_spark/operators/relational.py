@@ -672,6 +672,52 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pivot (cross-tab) — guide's pivot/unpivot pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)
+             AS p1_urgent,
+           CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT)
+             AS p2_high,
+           CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT)
+             AS p3_medium,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT)
+             AS other
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Pivot / cross-tab: order counts by status × priority with "
+    "explicit pivot values (one pass, no per-column scans).",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    known = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == known[0], 1))
+            .cast("bigint")
+            .alias("p1_urgent"),
+            F.count(F.when(F.col("o_orderpriority") == known[1], 1))
+            .cast("bigint")
+            .alias("p2_high"),
+            F.count(F.when(F.col("o_orderpriority") == known[2], 1))
+            .cast("bigint")
+            .alias("p3_medium"),
+            F.sum(F.when(~F.col("o_orderpriority").isin(known), 1).otherwise(0))
+            .cast("bigint")
+            .alias("other"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S28 subqueries (scalar + correlated) — Spark SQL surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,41 @@
+"""Salting utilities: result-equivalence with the unsalted plans
+(the layout changes, the answer must not)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.operators.skew import salted_agg_count, salted_join
+
+
+def test_salted_agg_count_equals_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: r.cnt
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    salted = {r.key: r.cnt for r in salted_agg_count(li, "l_returnflag").collect()}
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_join(orders, cust, "o_custkey", "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert sorted((r.c_mktsegment, r["count"]) for r in plain) == sorted(
+        (r.c_mktsegment, r["count"]) for r in salted
+    )
