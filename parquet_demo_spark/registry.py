@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
     """Import every query module and return the merged registry."""
     # Imports are deferred so `import parquet_demo_spark` stays cheap.
     from parquet_demo_spark.operators import (  # noqa: F401
+        analytics,
         approx,
         dedup,
         multimodal,
@@ -60,6 +61,6 @@ def all_queries() -> dict[str, Query]:
         udfs,
     )
     from parquet_demo_spark import generators  # noqa: F401
-    from parquet_demo_spark.streaming import windows  # noqa: F401
+    from parquet_demo_spark.streaming import stateful, windows  # noqa: F401
 
     return dict(_REGISTRY)

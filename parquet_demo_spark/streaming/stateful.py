@@ -1,0 +1,137 @@
+"""Custom stateful streaming operator via applyInPandasWithState (S30).
+
+Where `session_window`/`window` cover declarative state, this is the
+escape hatch for operator semantics Spark lacks: per-key mutable state
+carried across micro-batches by the state store, with the group's rows
+arriving as pandas batches.
+
+The operator here is a per-user running profile (event count, exact
+value cents, last event type by event-time) — the upsert-flavored
+"latest state per key" shape the reference's Mongo ReplaceOne pipeline
+maintains externally (`_bulk.py:108-116`), kept inside the engine
+instead.
+
+Determinism for the oracle check: the arithmetic is exact-integer
+(cents), reductions are order-independent (sum/count/max-by-ts with
+event_id tie-break), so the final state equals the batch SQL twin no
+matter how many micro-batches the file source splits the input into.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_demo_spark.registry import register
+from parquet_demo_spark.streaming.windows import read_events_stream
+
+_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, value_cents bigint, last_event_type string"
+)
+_STATE_SCHEMA = "n bigint, cents bigint, last_us bigint, last_id bigint, last_type string"
+
+
+def _update_user_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, cents, last_us, last_id, last_type = (
+        state.get if state.exists else (0, 0, -1, -1, "")
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact integer cents (value is a 2-decimal double)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        us = (pdf["ts"].astype("int64") // 1000).astype("int64")  # ns→µs
+        batch_last = max(zip(us, pdf["event_id"], pdf["event_type"]))
+        if (batch_last[0], batch_last[1]) > (last_us, last_id):
+            last_us, last_id, last_type = (
+                int(batch_last[0]),
+                int(batch_last[1]),
+                str(batch_last[2]),
+            )
+    state.update((n, cents, last_us, last_id, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_cents": [cents],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def user_profile_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-ts variant of the events stream → per-user stateful profile."""
+    from pyspark.sql import functions as F
+    from parquet_demo_spark.streaming.windows import _EVENTS_SCHEMA, _stream_dir
+
+    src = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf))
+        .withColumn("ts", F.col("ts"))  # keep raw int64 ns for exact math
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q63_stateful_user_profile",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           MIN(l.event_type) AS last_event_type
+    FROM events e
+    JOIN latest l ON l.user_id = e.user_id AND l.rn = 1
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    doc="S30 custom stateful operator (applyInPandasWithState): per-user "
+    "running profile — count, exact cents, latest event type by "
+    "(ts, event_id) — state carried across micro-batches; final state "
+    "hash-equals the batch SQL twin.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    agg = user_profile_stream(spark, sf)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q63_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    out = spark.table("q63_mem")
+    # update mode emits one row per (user, batch); the last emission per
+    # user is the final state — n_events is monotone across batches
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "value_cents", "last_event_type")
+        .orderBy("user_id")
+    )
