@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
     from parquet_demo_spark.operators import (  # noqa: F401
         analytics,
         approx,
+        asof,
         dedup,
         multimodal,
         relational,
