@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         text,
         udfs,
+        windows_ext,
     )
     from parquet_demo_spark import generators  # noqa: F401
     from parquet_demo_spark.streaming import stateful, windows  # noqa: F401
