@@ -274,6 +274,88 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Content-hash exact dedup (charter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q37_content_hash_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_contents,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+    FROM documents
+    """,
+    doc="Exact content dedup via digest: group by md5(text) — at 100 TB "
+    "the digest (16 bytes) shuffles instead of the document; the "
+    "canonical first pass before any near-dup stage.",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(F.md5(F.col("text")).alias("digest")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").alias("n_unique_contents"),
+        (F.count("*") - F.countDistinct("digest"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (charter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q38_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE doc_id < 20
+    ORDER BY doc_id, tfidf DESC, token
+    """,
+    doc="TF-IDF: term frequency × inverse document frequency, the "
+    "weighting behind keyword extraction / sparse retrieval. DF is one "
+    "tiny per-token aggregate broadcast back onto the TF table.",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar; at scale: a 1-row broadcast subquery
+    return (
+        tf.join(F.broadcast(df), "token")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
+    )
+
+
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
