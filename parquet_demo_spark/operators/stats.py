@@ -1,0 +1,98 @@
+"""Multiset set-ops, statistical aggregates, and structured JSON
+parsing — the long tail of the relational surface.
+
+Determinism note (q40): corr/stddev are float aggregates whose
+parallel-merge order perturbs the last ulps; ROUND(…, 4) absorbs it.
+The correctness gate compares both engines on identical sf0.01 data, so
+agreement there is exact agreement for the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.registry import register
+
+
+@register(
+    "q39_multiset_ops",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM
+        (SELECT l_partkey FROM lineitem INTERSECT ALL SELECT p_partkey FROM part))
+        AS n_intersect_all,
+      (SELECT COUNT(*) FROM
+        (SELECT l_partkey FROM lineitem EXCEPT ALL SELECT p_partkey FROM part))
+        AS n_except_all
+    """,
+    doc="Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep "
+    "duplicate multiplicities — the q16 trio's bag-algebra counterpart.",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    lk = load(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    pk = load(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    inter = lk.intersectAll(pk).agg(F.count("*").alias("n_intersect_all"))
+    exc = lk.exceptAll(pk).agg(F.count("*").alias("n_except_all"))
+    return inter.crossJoin(exc)
+
+
+@register(
+    "q40_stats_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           ROUND(var_samp(o_totalprice), 4) AS var_price,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+           ROUND(covar_samp(o_totalprice, o_custkey), 4) AS covar_price_cust
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance "
+    "per group — one-pass mergeable moments (Welford-style partials "
+    "merge across partitions; ROUND absorbs merge-order ulps).",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias(
+                "corr_price_cust"
+            ),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias(
+                "covar_price_cust"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q41_from_json_struct",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY k ORDER BY n DESC, k LIMIT 20
+    """,
+    doc="S22 structured parse: from_json(props) into a typed struct "
+    "column (schema'd parse once, then ordinary column pruning — the "
+    "scale answer to repeated get_json_object calls on the same blob).",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.select(F.col("p.k").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "k")
+        .limit(20)
+    )

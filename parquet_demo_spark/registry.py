@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         semistructured,
         similarity,
+        stats,
         text,
         udfs,
         windows_ext,
