@@ -173,6 +173,12 @@ SELECT COUNT(*) AS n_candidate_pairs FROM cand
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
+    cand = minhash_candidate_pairs(docs)
+    return cand.agg(F.count("*").alias("n_candidate_pairs"))
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → distinct candidate pairs (doc_a < doc_b)."""
     # Bind the token array to a column BEFORE referencing it inside the
     # shingle lambda: an unbound expression is re-evaluated on every
     # element_at call → O(tokens²) per doc (measured 15× slower).
@@ -215,7 +221,7 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     ).unionAll(mh.select("doc_id", F.lit(1).alias("band"), sig(1).alias("sig")))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -227,7 +233,6 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.agg(F.count("*").alias("n_candidate_pairs"))
 
 
 def load_params(spark: SparkSession, rows, schema: str) -> DataFrame:
@@ -307,6 +312,94 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
             .alias("simhash")
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over candidate pairs (charter)
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_id % 50 AS a, (doc_id * 7 + 3) % 50 AS b
+  FROM documents WHERE doc_id < 200
+),
+edges AS (  -- undirected, no self-loops
+  SELECT a, b FROM pairs WHERE a <> b
+  UNION SELECT b, a FROM pairs WHERE a <> b
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS v, MIN(dst) AS label FROM reach GROUP BY src)
+SELECT COUNT(DISTINCT label) AS n_clusters,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
+       COUNT(*) AS n_vertices
+FROM comp JOIN (SELECT label AS l2, COUNT(*) AS sz FROM comp GROUP BY label)
+  ON label = l2
+"""
+
+
+@register(
+    "q64_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Dedup clusters = connected components over a candidate-pair "
+    "graph, via iterative hash-min label propagation (driver loop of "
+    "join+min until fixpoint, localCheckpoint per iteration to cut "
+    "lineage). Oracle is a recursive-CTE transitive closure. The graph "
+    "here is a deterministic synthetic pair set (the minhash candidates "
+    "collapse to one giant component on this fixture, which would make "
+    "the check trivial).",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = docs.select(
+        (F.col("doc_id") % 50).alias("a"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        pairs.select("a", "b")
+        .unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    # hash-min propagation: label(v) ← min(label(v), min label of neighbors)
+    for _ in range(20):  # graph diameter bound; early-exits on fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: iteration N+1 must not replan N
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    return labels.join(sizes, "label").agg(
+        F.countDistinct("label").alias("n_clusters"),
+        F.max("sz").cast("bigint").alias("max_cluster_size"),
+        F.count("*").alias("n_vertices"),
     )
 
 

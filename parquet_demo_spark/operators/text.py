@@ -275,6 +275,66 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition score (charter quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_repetition_score",
+    oracle="""
+    SELECT doc_id, n_tri, n_tri_distinct,
+           ROUND(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 4) AS dup_tri_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(tri) AS BIGINT) AS n_tri,
+             CAST(len(list_distinct(tri)) AS BIGINT) AS n_tri_distinct
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(tk) - 1),
+                              j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2]) AS tri
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS tk
+          FROM documents WHERE doc_id < 200)
+        WHERE len(tk) >= 3))
+    ORDER BY doc_id
+    """,
+    doc="Repetition quality signal (Gopher-style): fraction of duplicate "
+    "word-trigrams per document — all in-row array ops, no explode, no "
+    "shuffle; the cheapest first-pass quality filter at corpus scale.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    base = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    ).filter(F.size("tk") >= 3)
+    tk = F.col("tk")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 2),
+        lambda j: F.concat_ws(
+            " ",
+            F.element_at(tk, j),
+            F.element_at(tk, j + 1),
+            F.element_at(tk, j + 2),
+        ),
+    )
+    withtri = base.select("doc_id", tri.alias("tri"))
+    return withtri.select(
+        "doc_id",
+        F.size("tri").cast("bigint").alias("n_tri"),
+        F.size(F.array_distinct("tri")).cast("bigint").alias("n_tri_distinct"),
+    ).select(
+        "doc_id",
+        "n_tri",
+        "n_tri_distinct",
+        F.round(
+            1.0 - F.col("n_tri_distinct").cast("double") / F.col("n_tri"), 4
+        ).alias("dup_tri_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Content-hash exact dedup (charter)
 # ---------------------------------------------------------------------------
 
