@@ -404,6 +404,65 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate passage detection (charter — substring-dedup approximation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_duplicate_passages",
+    oracle="""
+    WITH win AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               j -> array_to_string(tk[j:j+7], ' ')))) AS passage
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 500)
+      WHERE len(tk) >= 8
+    ),
+    rep AS (
+      SELECT passage, COUNT(DISTINCT doc_id) AS ndocs
+      FROM win GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT (SELECT COUNT(*) FROM rep) AS n_repeated_passages,
+           COUNT(DISTINCT w.doc_id) AS n_docs_affected
+    FROM win w JOIN rep r ON w.passage = r.passage
+    """,
+    doc="Duplicate-passage detection (substring-dedup approximation, Lee "
+    "et al. style): 8-token rolling windows per doc, windows shared by "
+    "≥2 docs flagged. Windows are built in-row (transform over slice) "
+    "and dedup'd before the explode; only distinct window strings "
+    "shuffle.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    base = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    ).filter(F.size("tk") >= 8)
+    tk = F.col("tk")
+    windows = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 7),
+            lambda j: F.array_join(F.slice(tk, j, 8), " "),
+        )
+    )
+    win = base.select("doc_id", F.explode(windows).alias("passage"))
+    rep = (
+        win.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    affected = win.join(rep, "passage").agg(
+        F.countDistinct("doc_id").alias("n_docs_affected")
+    )
+    n_rep = rep.agg(F.count("*").alias("n_repeated_passages"))
+    return n_rep.crossJoin(affected)
+
+
+# ---------------------------------------------------------------------------
 # n-gram (character shingle) Jaccard (charter)
 # ---------------------------------------------------------------------------
 
