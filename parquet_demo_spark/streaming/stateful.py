@@ -113,18 +113,21 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from parquet_demo_spark.streaming.windows import _stream_partitions
+
     agg = user_profile_stream(spark, sf)
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("q63_mem")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("q63_mem")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
     out = spark.table("q63_mem")
     # update mode emits one row per (user, batch); the last emission per
     # user is the final state — n_events is monotone across batches
