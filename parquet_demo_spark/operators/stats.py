@@ -96,3 +96,40 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "k")
         .limit(20)
     )
+
+
+@register(
+    "q42_map_funcs",
+    oracle="""
+    SELECT json_keys(props)[1] AS first_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_n_keys
+    FROM events
+    GROUP BY first_key ORDER BY first_key
+    """,
+    doc="S22 map surface: from_json into map<string,bigint>, then "
+    "map_keys/element_at — the schemaless twin of q41's struct parse "
+    "(map parsing keeps unknown keys; struct parsing prunes to declared "
+    "fields).",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    parsed = e.withColumn(
+        "m", F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    )
+    return (
+        parsed.select(
+            F.element_at(F.map_keys("m"), 1).alias("first_key"),
+            F.element_at(F.col("m"), "k").alias("k_val"),
+            F.size(F.map_keys("m")).alias("n_keys"),
+        )
+        .groupBy("first_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k_val").cast("bigint").alias("sum_k"),
+            F.max("n_keys").cast("bigint").alias("max_n_keys"),
+        )
+        .orderBy("first_key")
+    )

@@ -53,3 +53,11 @@ def test_q10_partial_aggregation(spark, sf_dir):
     # map-side combine: two HashAggregate phases around the exchange
     df = QUERIES["q10_agg_pricing_summary"].spark(spark, sf_dir)
     assert physical_plan(df).count("HashAggregate") >= 2
+
+
+def test_q31_sixway_join_broadcasts_all_dims(spark, sf_dir):
+    # region/nation/supplier/customer all broadcast: the only shuffle
+    # join allowed is lineitem⋈orders
+    plan = physical_plan(QUERIES["q31_local_supplier_volume"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
