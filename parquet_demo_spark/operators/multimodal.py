@@ -106,6 +106,65 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling: one output row per (video, frame) — the
+    UDTF-shaped mapInPandas stage (rows expand). The fake decoder emits
+    n_frames rows with deterministic per-frame byte counts; a real
+    decoder would yield actual frame tensors in their place."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, kind, n_bytes in zip(
+                pdf["doc_id"], pdf["kind"], pdf["n_bytes"]
+            ):
+                if kind != "video":
+                    continue
+                _, _, n_frames = _fake_decode(int(n_bytes), kind)
+                for i in range(n_frames):
+                    rows.append((int(doc_id), i, int(n_bytes) // n_frames))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes"]
+            )
+
+    return media.select("doc_id", "kind", "n_bytes").mapInPandas(
+        batches, FRAME_SCHEMA
+    )
+
+
+@register(
+    "q54b_multimodal_frames",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INTEGER) = 2  -- 'video' kind
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(n_bytes // n_frames AS BIGINT) AS frame_bytes
+    FROM vids CROSS JOIN unnest(range(0, 8)) AS t(f)
+    WHERE f < n_frames
+    ORDER BY doc_id, frame_idx LIMIT 500
+    """,
+    doc="Multimodal frame sampling: per-video frame rows out of "
+    "mapInPandas (row-expanding UDTF shape) — the plumbing a real "
+    "frame extractor drops into.",
+)
+def q54b(spark: SparkSession, sf: str) -> DataFrame:
+    media = build_media_table(spark, sf)
+    return (
+        sample_frames(media)
+        .orderBy("doc_id", "frame_idx")
+        .limit(500)
+    )
+
+
 @register(
     "q54_multimodal_metadata",
     oracle="""

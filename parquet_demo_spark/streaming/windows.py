@@ -64,9 +64,8 @@ def read_events_stream(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_stream_dir(sf))
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integral div: epoch-ns exceeds double's exact-integer range
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 from contextlib import contextmanager
