@@ -166,6 +166,102 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic pseudo-random hyperplanes: h_j[i] = ((i*31 + j*17) % 7) - 3,
+# j = 0..7 → an 8-bit sign bucket. Integer dot products are exact, so the
+# bucket assignment is engine-independent (no FP sign flips at 0 — the
+# strict >0 test is on an integer).
+_N_PLANES = 8
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = []
+    for j in range(_N_PLANES):
+        dot = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), "
+            f"i -> CAST(FLOOR(CAST({emb}[i] AS DOUBLE) * 1000) AS BIGINT) "
+            f"* (((i - 1) * 31 + {j} * 17) % 7 - 3))), (a, b) -> a + b)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "q69_ann_lsh_hyperplane",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, vec_id, ROUND({_cos_sql('embedding', 'qe')}, 4) AS cos_sim
+      FROM b JOIN q ON b.bucket = q.qb
+      WHERE vec_id <> qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+    doc="LSH-bucketed ANN (random-hyperplane signs → 8-bit bucket, "
+    "integer-exact assignment): candidates come from an equi-join on "
+    "the bucket — the second scale path beside IVF cells (q52). "
+    "Same-bucket probability rises with cosine similarity.",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    base = emb.select("vec_id", "embedding", scaled.alias("sv"))
+
+    def bit(j: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.array(
+                    *[F.lit((i * 31 + j * 17) % 7 - 3) for i in range(64)]
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0))
+
+    bucket = bit(0)
+    for j in range(1, _N_PLANES):
+        bucket = bucket + bit(j)
+    b = base.select(
+        "vec_id", "embedding", bucket.cast("bigint").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = (
+        b.join(F.broadcast(q), b.bucket == q.qb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
 @register(
     "q53_embedding_neardup",
     oracle=f"""
