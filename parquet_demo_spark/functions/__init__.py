@@ -88,10 +88,15 @@ def poly_hash(col: Column | str) -> Column:
 
 
 def poly_hash_sql(expr: str) -> str:
-    """DuckDB-SQL twin of :func:`poly_hash` over a string expression."""
+    """DuckDB-SQL twin of :func:`poly_hash` over a string expression.
+
+    The CASE guard totalizes the empty string: DuckDB's unicode('') is
+    -1 where Spark's ascii('') is 0 (only reachable for '' input —
+    char-split never yields '' elements otherwise)."""
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(string_split({expr}, ''), ch -> unicode(ch)::BIGINT)), "
+        f"list_transform(string_split({expr}, ''), "
+        f"ch -> CASE WHEN ch = '' THEN 0::BIGINT ELSE unicode(ch)::BIGINT END)), "
         f"(acc, cp) -> (acc * 31 + cp) % {HASH_MOD})"
     )
 
