@@ -173,6 +173,115 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q72_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS lo,
+           CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Fixed-width histogram binning (floor-division buckets): the "
+    "one-pass distribution profile; bucket arithmetic is exact so the "
+    "bins are engine-independent.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.floor("o_totalprice")).cast("bigint").alias("lo"),
+            F.max(F.floor("o_totalprice")).cast("bigint").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q73_null_safe_join",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS s FROM orders
+      WHERE o_orderkey < 1000
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN a_s IS NULL THEN 1 END) AS n_null_key_pairs
+    FROM (
+      SELECT a.s AS a_s FROM t a JOIN t b
+        ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey < b.o_orderkey)
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — Catalyst still plans a hash join on the "
+    "null-safe key (nulls form one hash group) instead of falling back "
+    "to nested-loop.",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    t = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("s")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(
+        b,
+        F.col("a.s").eqNullSafe(F.col("b.s"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(F.col("a.s").alias("a_s"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("a_s").isNull(), 1)).alias("n_null_key_pairs"),
+    )
+
+
+@register(
+    "q74_vocab_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab,
+           COUNT(*) AS n_token_rows
+    FROM (
+      SELECT source, doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''))) AS token
+      FROM documents)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Per-source vocabulary profile (distinct tokens per corpus "
+    "slice): the corpus-diversity signal; in-row distinct before the "
+    "explode keeps the shuffle at vocab size.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.functions import tokens
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count("*").alias("n_token_rows_tmp"),
+            F.countDistinct("token").cast("bigint").alias("vocab"),
+            F.countDistinct("doc_id").alias("n_docs_tmp"),
+        )
+        .select(
+            "source",
+            F.col("n_docs_tmp").alias("n_docs"),
+            "vocab",
+            F.col("n_token_rows_tmp").alias("n_token_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "q42_map_funcs",
     oracle="""
     SELECT json_keys(props)[1] AS first_key,
