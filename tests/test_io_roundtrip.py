@@ -117,6 +117,34 @@ def test_infer_schema_empty():
     assert infer_schema_from_rows([]) == T.StructType([])
 
 
+def test_nested_types_roundtrip(spark, tmp_parquet):
+    # Beyond the reference's flat-primitive ceiling (`run_example.py:83`:
+    # "Nested structures are not supported here"): arrays, structs, maps
+    # and binary round-trip as first-class columns.
+    rows = [
+        {
+            "arr": [1.5, -2.25, None],
+            "st": {"a": 7, "b": "x"},
+            "mp": {"k1": 1, "k2": 2},
+            "bin": b"\x00\x01\xffpayload",
+        },
+        {"arr": [], "st": {"a": None, "b": None}, "mp": {}, "bin": b""},
+    ]
+    schema = (
+        "arr array<double>, st struct<a bigint, b string>, "
+        "mp map<string, bigint>, bin binary"
+    )
+    write_table(spark, tmp_parquet, schema, rows)
+    out = sorted(
+        read_table(spark, tmp_parquet).collect(), key=lambda r: len(r.bin)
+    )
+    assert out[1].arr == [1.5, -2.25, None]
+    assert out[1].st.a == 7 and out[1].st.b == "x"
+    assert dict(out[1].mp) == {"k1": 1, "k2": 2}
+    assert bytes(out[1].bin) == b"\x00\x01\xffpayload"
+    assert out[0].arr == [] and dict(out[0].mp) == {}
+
+
 def test_write_chunked_rows_per_file(spark, tmp_path):
     # R4/R5: maxRecordsPerFile bounds file size like the reference's
     # 100k-row ParquetWriter chunks

@@ -55,6 +55,13 @@ def test_q10_partial_aggregation(spark, sf_dir):
     assert physical_plan(df).count("HashAggregate") >= 2
 
 
+def test_q13_windowed_topk_prunes_before_shuffle(spark, sf_dir):
+    # rn<=3 must plan a WindowGroupLimit: per-partition top-k heaps run
+    # BEFORE the window shuffle, so only ~3 rows per group move
+    plan = physical_plan(QUERIES["q13_window_topk_per_group"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_q31_sixway_join_broadcasts_all_dims(spark, sf_dir):
     # region/nation/supplier/customer all broadcast: the only shuffle
     # join allowed is lineitem⋈orders
