@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from parquet_demo_spark.registry import register
-from parquet_demo_spark.streaming.windows import read_events_stream
 
 _OUT_SCHEMA = (
     "user_id bigint, n_events bigint, value_cents bigint, last_event_type string"
