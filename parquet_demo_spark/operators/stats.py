@@ -173,6 +173,44 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q75_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+             COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, prio, CAST(n AS BIGINT) AS n FROM (
+      SELECT o_orderstatus, 'p1_urgent' AS prio, p1_urgent AS n FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'p2_high' AS prio, p2_high AS n FROM wide)
+    ORDER BY o_orderstatus, prio
+    """,
+    doc="Unpivot (melt): wide per-priority counts back to long form via "
+    "stack() — one Generate pass, the inverse of q29's pivot.",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "p1_urgent"
+        ),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias(
+            "p2_high"
+        ),
+    )
+    return (
+        wide.selectExpr(
+            "o_orderstatus",
+            "stack(2, 'p1_urgent', p1_urgent, 'p2_high', p2_high) AS (prio, n)",
+        )
+        .select("o_orderstatus", "prio", F.col("n").cast("bigint").alias("n"))
+        .orderBy("o_orderstatus", "prio")
+    )
+
+
+@register(
     "q72_histogram",
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
