@@ -37,13 +37,16 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     "q59b_approx_quantiles",
     oracle=None,
     doc="S31 percentile_approx (KLL-ish sketch) over order totals: "
-    "p50/p90/p99 in one mergeable pass.",
+    "p50/p90/p99 in one mergeable pass. Emitted as three scalar doubles "
+    "(not an array column) so the driver's pandas canonicalizer can sort "
+    "the result (round-1 q59b ERR was an array-typed output column).",
 )
 def q59b(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return o.agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        ),
+        q.getItem(0).cast("double").alias("p50"),
+        q.getItem(1).cast("double").alias("p90"),
+        q.getItem(2).cast("double").alias("p99"),
         F.count("*").alias("n"),
     )

@@ -36,13 +36,21 @@ from parquet_demo_spark.registry import register
                  list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))),
                (acc, v) -> acc + v) AS sum_scaled,
-             embedding[1:3] AS first3,
+             array_to_string(
+               list_transform(embedding[1:3],
+                 x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                           AS VARCHAR)),
+               ',') AS first3,
              CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
       FROM embeddings)
     ORDER BY vec_id LIMIT 100
     """,
     doc="S21 higher-order array functions over array<float> embeddings: "
-    "transform/aggregate (integer-scaled exact sum), slice, filter, size.",
+    "transform/aggregate (integer-scaled exact sum), slice, filter, size. "
+    "first3 is emitted as a comma-joined string of integer-scaled values: "
+    "registry invariant — no array/map/struct column may appear in a final "
+    "projection, because the driver's pandas canonicalizer cannot sort "
+    "list-typed columns (round-1 q21 ERR).",
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
@@ -59,7 +67,15 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id",
             F.size("embedding").cast("bigint").alias("dim"),
             scaled_sum.alias("sum_scaled"),
-            F.slice("embedding", 1, 3).alias("first3"),
+            F.array_join(
+                F.transform(
+                    F.slice("embedding", 1, 3),
+                    lambda x: F.floor(x.cast("double") * 10000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("first3"),
             F.size(F.filter(F.col("embedding"), lambda x: x > 0))
             .cast("bigint")
             .alias("n_pos"),

@@ -21,7 +21,7 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
 
 def test_approx_quantiles_bracketed(spark, sf_dir):
     row = QUERIES["q59b_approx_quantiles"].spark(spark, sf_dir).collect()[0]
-    p50, p90, p99 = row.approx_p50_p90_p99
+    p50, p90, p99 = row.p50, row.p90, row.p99
     exact = load(spark, sf_dir, "orders").approxQuantile(
         "o_totalprice", [0.5, 0.9, 0.99], 0.0
     )
