@@ -7,13 +7,53 @@ declared surface from SURVEY.md §2B via the engine's query registry.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+
+def _settled_names() -> set[str]:
+    """Queries with a conclusive driver row in any prior round.
+
+    A row is conclusive when all three matches are green or when the
+    driver explicitly recorded ``no_oracle`` (rows-only check, by
+    design). Queries with no row yet — or an ERR row — are unsettled
+    and must be presented to the driver first: the driver samples a
+    prefix of ``queries()`` per round, so ordering is how the full
+    registry accumulates coverage across rounds.
+    """
+    settled: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle" or (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                settled.add(name)
+    return settled
+
+
+def _driver_ordered(names) -> list[str]:
+    """Unsettled queries first (stable order), settled ones after."""
+    settled = _settled_names()
+    names = list(names)
+    return [n for n in names if n not in settled] + [
+        n for n in names if n in settled
+    ]
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -38,9 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from parquet_demo_spark.registry import all_queries
 
+    registry = all_queries()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, q in all_queries().items():
-        def run(spark: SparkSession, sf_dir: str, _q=q) -> DataFrame:
+    for name in _driver_ordered(registry):
+        def run(spark: SparkSession, sf_dir: str, _q=registry[name]) -> DataFrame:
             _configure(spark)
             return _q.spark(spark, sf_dir)
 

@@ -30,3 +30,28 @@ def test_output_schema_is_flat(spark, sf_smoke, name):
         f"{name} exposes complex-typed output columns {bad}; project them "
         "to scalars/strings at the query edge (driver canon requirement)"
     )
+
+
+def test_driver_ordering_puts_unsettled_first(tmp_path, monkeypatch):
+    """Queries lacking a conclusive driver row lead the queries() dict."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None}
+    err = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "err": "TypeError: unhashable"}
+    no_oracle = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": err, "c": no_oracle})
+    )
+    monkeypatch.setattr(mod, "_HERE", str(tmp_path))
+    assert mod._settled_names() == {"a", "c"}
+    assert mod._driver_ordered(["a", "b", "c", "d"]) == ["b", "d", "a", "c"]
