@@ -466,14 +466,20 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 # n-gram (character shingle) Jaccard (charter)
 # ---------------------------------------------------------------------------
 
-_JACCARD_ORACLE = """
-WITH sh AS (
+_Q45_MAX_DF = 150  # drop shingles present in > this many docs pre-join
+
+_JACCARD_ORACLE = f"""
+WITH sh0 AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
              range(1, length(lower(text)) - 1),
              i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS shingle
     FROM documents WHERE doc_id < 300)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_Q45_MAX_DF}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -494,9 +500,15 @@ WHERE jacc >= 0.5
 @register(
     "q45_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="Character 3-gram Jaccard near-dup: distinct shingles per doc "
-    "(array_distinct in-row), shared-shingle join, |A∩B|/(|A|+|B|-|A∩B|) "
-    "≥ 0.5. Bounded to doc_id<300 (the LSH variants are the scale path).",
+    doc="Character 3-gram Jaccard near-dup over the rare-shingle space: "
+    "distinct shingles per doc (array_distinct in-row), a document-"
+    f"frequency cut dropping shingles present in > {_Q45_MAX_DF} docs, "
+    "then shared-shingle join, |A∩B|/(|A|+|B|-|A∩B|) ≥ 0.5. The DF cut is "
+    "the scale mechanism — it removes the hot join keys that make the "
+    "self-join quadratic, at any corpus size; sizes and intersections are "
+    "both computed on the filtered space so Jaccard stays consistent. "
+    "doc_id<300 only bounds the oracle fixture; the LSH variants (q43) "
+    "are the sub-quadratic path.",
 )
 def q45(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
@@ -514,6 +526,15 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
+    )
+    # Document-frequency cut: rows are distinct (doc_id, shingle), so the
+    # per-shingle count is document frequency. Shuffles by shingle — the
+    # same key the self-join hashes on.
+    w = W.partitionBy("shingle")
+    sh = (
+        sh.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= _Q45_MAX_DF)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

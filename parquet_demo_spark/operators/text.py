@@ -17,7 +17,7 @@ n-gram profiles do the work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
@@ -58,15 +58,27 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Drop tokens present in > this many docs before the self-join. The cut
+# bounds the join at max_df² pairs per token regardless of corpus size; the
+# threshold is corpus-relative (here 80% of the 500-doc oracle slice —
+# the synthetic fixture's docs share a template vocabulary, so a tighter
+# cut leaves no shared-rare-token pairs at all).
+_Q26_MAX_DF = 400
+
+
 @register(
     "q26_shared_token_pairs",
-    oracle="""
-    WITH tok AS (
+    oracle=f"""
+    WITH tok0 AS (
       SELECT DISTINCT doc_id, token FROM (
         SELECT doc_id,
                unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
         FROM documents WHERE doc_id < 500)
       WHERE length(token) > 3
+    ),
+    tok AS (
+      SELECT doc_id, token FROM tok0
+      QUALIFY COUNT(*) OVER (PARTITION BY token) <= {_Q26_MAX_DF}
     )
     SELECT COUNT(*) AS n_pairs FROM (
       SELECT a.doc_id, b.doc_id
@@ -74,9 +86,13 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= 15)
     """,
-    doc="S26 near-dup prep: doc pairs sharing ≥15 distinct tokens "
-    "(len>3), via explode + self-join on token. Bounded candidate set; "
-    "the banding variants (q43) are the 100 TB path.",
+    doc="S26 near-dup prep: doc pairs sharing ≥15 distinct rare tokens "
+    "(len>3), via explode + self-join on token. The scale mechanism is the "
+    "document-frequency cut: tokens appearing in more than "
+    f"{_Q26_MAX_DF} docs are dropped BEFORE the self-join, so no hot-token "
+    "key can explode the join at any corpus size (standard near-dup "
+    "practice; the doc_id<500 filter only bounds the oracle fixture). "
+    "The banding variants (q43) remain the sub-quadratic 100 TB path.",
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
@@ -85,6 +101,15 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.filter(tokens("text"), lambda t: F.length(t) > 3))
         ).alias("token"),
+    )
+    # Document-frequency cut. (doc_id, token) rows are distinct per doc, so
+    # count over the token partition IS document frequency. The window
+    # shuffles by token — the same key the self-join hashes on.
+    w = Window.partitionBy("token")
+    tok = (
+        tok.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= _Q26_MAX_DF)
+        .drop("df")
     )
     a = tok.alias("a")
     b = tok.alias("b")
