@@ -126,12 +126,15 @@ def _sig_sql(band: int) -> str:
     return " + ".join(terms)
 
 
-_MINHASH_ORACLE = f"""
-WITH toks AS (
+def _minhash_cand_ctes(doc_where: str = "") -> str:
+    """CTE chain ``toks → sh → dict → th → mh → bands → cand`` shared by
+    the q43 count oracle and the q76 clustering oracle."""
+    return f"""
+toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z]+'),
                      t -> t <> '') AS tk
-  FROM documents
+  FROM documents {doc_where}
 ),
 sh AS (
   SELECT doc_id,
@@ -158,9 +161,15 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
+)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_minhash_cand_ctes()}
 SELECT COUNT(*) AS n_candidate_pairs FROM cand
 """
+
+
 
 
 @register(
@@ -351,9 +360,9 @@ FROM comp JOIN (SELECT label AS l2, COUNT(*) AS sz FROM comp GROUP BY label)
     "graph, via iterative hash-min label propagation (driver loop of "
     "join+min until fixpoint, localCheckpoint per iteration to cut "
     "lineage). Oracle is a recursive-CTE transitive closure. The graph "
-    "here is a deterministic synthetic pair set (the minhash candidates "
-    "collapse to one giant component on this fixture, which would make "
-    "the check trivial).",
+    "here is a deterministic synthetic pair set exercising the CC "
+    "operator in isolation; q76 runs the same operator on REAL "
+    "MinHash+LSH candidate pairs.",
 )
 def q64(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -361,6 +370,19 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 50).alias("a"),
         ((F.col("doc_id") * 7 + 3) % 50).alias("b"),
     ).filter(F.col("a") != F.col("b"))
+    labels = connected_components(pairs)
+    return _cluster_summary(labels)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """pairs(a, b) → labels(v, label): hash-min label propagation.
+
+    Undirects the edge set, then iterates label(v) ← min(label(v),
+    min label of neighbors) until fixpoint, with ``localCheckpoint``
+    per iteration so iteration N+1 never replans N's lineage. This is
+    the standard scalable distributed CC: each iteration is one shuffle
+    join + one shuffle agg; iterations ≈ component diameter.
+    """
     edges = (
         pairs.select("a", "b")
         .unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -369,8 +391,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    # hash-min propagation: label(v) ← min(label(v), min label of neighbors)
-    for _ in range(20):  # graph diameter bound; early-exits on fixpoint
+    for _ in range(max_iters):  # diameter bound; early-exits on fixpoint
         neighbor_min = (
             edges.join(labels, edges.b == labels.v)
             .groupBy("a")
@@ -395,12 +416,59 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def _cluster_summary(labels: DataFrame) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
     return labels.join(sizes, "label").agg(
         F.countDistinct("label").alias("n_clusters"),
         F.max("sz").cast("bigint").alias("max_cluster_size"),
         F.count("*").alias("n_vertices"),
     )
+
+
+_Q76_DOC_BOUND = 500  # bounds the oracle's recursive closure, not the op
+
+_REAL_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_cand_ctes(f"WHERE doc_id < {_Q76_DOC_BOUND}")},
+edges AS (  -- undirected, no self-loops
+  SELECT doc_a AS a, doc_b AS b FROM cand WHERE doc_a <> doc_b
+  UNION SELECT doc_b, doc_a FROM cand WHERE doc_a <> doc_b
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS v, MIN(dst) AS label FROM reach GROUP BY src)
+SELECT COUNT(DISTINCT label) AS n_clusters,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
+       COUNT(*) AS n_vertices
+FROM comp JOIN (SELECT label AS l2, COUNT(*) AS sz FROM comp GROUP BY label)
+  ON label = l2
+"""
+
+
+@register(
+    "q76_dedup_clusters_minhash",
+    oracle=_REAL_CLUSTERS_ORACLE,
+    doc="End-to-end near-dup clustering: MinHash+LSH candidate pairs "
+    "(q43's operator, unchanged) fed into hash-min connected components "
+    "(q64's operator, unchanged) — the composition a dedup pipeline "
+    "actually runs. The fixture slice yields a plural component "
+    "structure (~30 clusters, max ≈ 22), so the check is non-trivial. "
+    "Oracle: the same minhash CTEs + a recursive-CTE transitive closure.",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(
+        F.col("doc_id") < _Q76_DOC_BOUND
+    )
+    cand = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return _cluster_summary(connected_components(cand))
 
 
 # ---------------------------------------------------------------------------
