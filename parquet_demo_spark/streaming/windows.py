@@ -53,8 +53,14 @@ def _stream_dir(sf: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf, "events.parquet"), link)
+    target = os.path.join(sf, "events.parquet")
+    # lexists: a dangling link (fixture recreated elsewhere) must be
+    # replaced, and a stale link to different data must be re-pointed.
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(target):
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 
@@ -99,9 +105,13 @@ def _run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFram
             .start()
         )
         try:
-            q.awaitTermination(120)
+            finished = q.awaitTermination(120)
         finally:
             q.stop()
+        if not finished:
+            # a timed-out stream would leave a PARTIAL memory table —
+            # surfacing it as the query result would be silent corruption
+            raise TimeoutError(f"streaming query {name} did not finish")
     return df.sparkSession.table(name)
 
 
@@ -202,3 +212,56 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q77_stream_append_filesink",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+    SELECT wstart, event_type, n, sum_value FROM (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY wstart, event_type)
+    WHERE wstart + INTERVAL '1 hour' <= (SELECT w FROM wm)
+    ORDER BY wstart, event_type
+    """,
+    doc="S29 PRODUCTION shape: append-mode streaming aggregation to a "
+    "checkpointed parquet FILE sink (not complete+memory). Append mode "
+    "emits only windows the watermark (max event time - 1h) has closed; "
+    "the batch oracle reproduces that as windows with "
+    "end <= max(ts) - 1h. The whole fixture arrives as one micro-batch "
+    "(single parquet file), so no event is late-dropped and the emitted "
+    "set is deterministic; late-drop semantics are separately asserted "
+    "in tests/test_watermark_late_data.py.",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="q77_append_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ck")
+    emit = (
+        read_events_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
+        )
+    )
+    with _stream_partitions(spark):
+        q = (
+            emit.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(120)
+        finally:
+            q.stop()
+        if not finished:
+            raise TimeoutError("q77 append stream did not finish")
+    return spark.read.parquet(out).orderBy("wstart", "event_type")
