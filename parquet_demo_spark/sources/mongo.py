@@ -17,12 +17,23 @@ option-dict builders are pure and unit-tested without a live Mongo.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MONGO_FORMAT = "mongodb"
 ENV_URI = "SPARK_GRAFT_MONGO_URI"
+
+# Last-hop writer seam: (batch_df, connector_options) -> None. The default
+# is the real connector write; tests inject a ReplaceOne-faithful fake so
+# the whole ingest pipeline (read → collapse → options → sink) executes
+# without a live mongod or the connector jar.
+MongoWriter = Callable[[DataFrame, dict], None]
+
+
+def connector_write(df: DataFrame, opts: dict) -> None:
+    df.write.format(MONGO_FORMAT).mode("append").options(**opts).save()
 
 
 def mongo_enabled() -> bool:
@@ -100,40 +111,68 @@ def read_collection(
     return df
 
 
+def collapse_for_upsert(
+    df: DataFrame,
+    upsert_keys: tuple[str, ...],
+    version_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per PK before a replace-by-key write.
+
+    With ``version_cols`` the survivor is deterministic last-write-wins
+    (highest version tuple, S24/q24 semantics — mirrors the reference's
+    ReplaceOne stream where the last occurrence wins, `_bulk.py:108-116`);
+    without them, dropDuplicates keeps an arbitrary row per key, which is
+    exactly as (non)deterministic as the reference's unordered bulk
+    writes racing on the same PK.
+    """
+    if not version_cols:
+        return df.dropDuplicates(list(upsert_keys))
+    w = Window.partitionBy(*upsert_keys).orderBy(
+        *[F.col(c).desc() for c in version_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def write_parquet_to_mongo(
     spark: SparkSession,
     parquet_path: str,
     database: str,
     collection: str,
     upsert_keys: tuple[str, ...] = (),
+    version_cols: tuple[str, ...] = (),
     dry_run: bool = False,
     batch_size: int = 10_000,
+    writer: MongoWriter | None = None,
 ) -> int:
     """R11/R12/R14/R15: parquet → Mongo, partition-parallel.
 
     ``dry_run`` mirrors the reference's `--dry-run` (print ≤5 docs +
-    count, no writes: `ingest_parquet_to_mongo.py:83-89`).
-    Upserting first collapses to last-write-wins per key (S24) so a
-    replace-by-key write is deterministic regardless of partition order.
+    count, no writes: `ingest_parquet_to_mongo.py:83-89`). ``writer``
+    swaps the last-hop connector write for a test double.
     """
     df = spark.read.parquet(parquet_path)
     if dry_run:
         df.show(5, truncate=False)
         return df.count()
-    _require_enabled()
+    if writer is None:
+        _require_enabled()
+        writer = connector_write
     if upsert_keys:
-        df = df.dropDuplicates(list(upsert_keys))
-    (
-        df.write.format(MONGO_FORMAT)
-        .mode("append")
-        .options(
-            **write_options(
-                database, collection, upsert_keys=upsert_keys, batch_size=batch_size
-            )
-        )
-        .save()
+        df = collapse_for_upsert(df, upsert_keys, version_cols)
+    # count once, before the write: counting afterwards would rescan the
+    # source (second job) and could disagree with what was written
+    n = df.count()
+    writer(
+        df,
+        write_options(
+            database, collection, upsert_keys=upsert_keys, batch_size=batch_size
+        ),
     )
-    return df.count()
+    return n
 
 
 def stream_parquet_to_mongo(
@@ -143,22 +182,22 @@ def stream_parquet_to_mongo(
     database: str,
     collection: str,
     checkpoint: str,
+    upsert_keys: tuple[str, ...] = (),
+    writer: MongoWriter | None = None,
 ):
     """R13: streaming ingest — readStream → foreachBatch connector write.
 
     The reference's ThreadPool + as_completed aggregation
     (`_stream.py:130-181`) becomes micro-batch + partition-parallel
     writes; backpressure (R20) is maxFilesPerTrigger instead of a
-    bounded queue."""
-    _require_enabled()
+    bounded queue. ``writer`` swaps the connector for a test double."""
+    if writer is None:
+        _require_enabled()
+        writer = connector_write
+    opts = write_options(database, collection, upsert_keys=upsert_keys)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.write.format(MONGO_FORMAT)
-            .mode("append")
-            .options(**write_options(database, collection))
-            .save()
-        )
+        writer(batch_df, opts)
 
     return (
         spark.readStream.schema(schema)
