@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from parquet_demo_spark.catalog import TABLE_NAMES
 
 
-def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Run oracle SQL in DuckDB with fixture tables registered as views."""
     con = duckdb.connect()
     try:

@@ -89,8 +89,11 @@ def user_profile_stream(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH latest AS (
       SELECT user_id, event_type,
+             -- µs-truncate like the operator (ns//1000): a fixture with
+             -- sub-µs ts components must not silently diverge
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY epoch_ns(ts) // 1000 DESC,
+                                         event_id DESC) AS rn
       FROM events
     )
     SELECT e.user_id,
@@ -124,9 +127,12 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            finished = q.awaitTermination(120)
         finally:
             q.stop()
+        if not finished:
+            # a partial memory table must not pose as the final state
+            raise TimeoutError("q63 stateful stream did not finish")
     out = spark.table("q63_mem")
     # update mode emits one row per (user, batch); the last emission per
     # user is the final state — n_events is monotone across batches
