@@ -99,6 +99,26 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_table_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read (SURVEY §1.3's documented free improvement).
+
+    ``mergeSchema`` unions the footer schemas of every generation:
+    columns added in later generations come back null for older files,
+    dropped columns come back null for newer ones. Same-named columns
+    must have IDENTICAL types — Spark does not widen (int32 vs int64
+    errors); a re-typed column needs an explicit unified schema
+    (``spark.read.schema(...)``, which does apply safe upcasts). The
+    reference reads a single static footer
+    (`src/parquet_demo/io.py:78-80`) and has no evolution story.
+
+    Scale note: schema merging reads every file's FOOTER, not its data —
+    cheap relative to a scan, but on a 100 TB table prefer declaring the
+    unified schema explicitly (``spark.read.schema(s).parquet(...)``)
+    and keep mergeSchema for exploratory reads.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
