@@ -1,0 +1,124 @@
+"""CLI entry points mirroring the reference's example scripts (R15–R18).
+
+``python -m parquet_demo_spark generate`` ≙ `examples/generate_big_parquet.py`
+(flags --rows/--out/--seed/--row-group-size, `:80-98`) plus the 53-col
+supplymethod table (`generate_parquet_from_ddl.py`) via --table.
+
+``python -m parquet_demo_spark ingest`` ≙
+`examples/ingest_parquet_to_mongo_bulk.py` (flags --parquet/--mongo-uri/
+--db/--collection/--batch-size/--dry-run/--upsert/--pk-fields,
+`:213-227`). --max-workers/--max-queue-size have no Spark meaning (the
+scheduler IS the thread pool, maxFilesPerTrigger the bounded queue) and
+are accepted-but-ignored for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="parquet_demo_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate a wide parquet table")
+    g.add_argument("--rows", type=int, default=1_000_000)
+    g.add_argument("--out", type=str, default="big.parquet")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--row-group-size", type=int, default=100_000)
+    g.add_argument(
+        "--table", choices=["wide50", "supplymethod"], default="wide50"
+    )
+    g.add_argument("--partitions", type=int, default=None)
+    g.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print 5 rows + count, write nothing (R15)",
+    )
+
+    i = sub.add_parser("ingest", help="ingest parquet into MongoDB")
+    i.add_argument("--parquet", type=str, required=True)
+    i.add_argument("--mongo-uri", type=str, default=None)
+    i.add_argument("--db", type=str, default="test")
+    i.add_argument("--collection", type=str, default="supplymethod")
+    i.add_argument("--batch-size", type=int, default=10_000)
+    i.add_argument("--dry-run", action="store_true")
+    i.add_argument("--upsert", action="store_true")
+    i.add_argument(
+        "--pk-fields", type=str, default=None, help="comma-separated PK"
+    )
+    i.add_argument(
+        "--version-fields",
+        type=str,
+        default=None,
+        help="comma-separated columns defining last-write-wins order "
+        "(deterministic upsert; omit for reference-equivalent arbitrary "
+        "survivor)",
+    )
+    i.add_argument("--max-workers", type=int, default=4)  # compat, unused
+    i.add_argument("--max-queue-size", type=int, default=20)  # compat, unused
+    return p
+
+
+def _cmd_generate(args) -> int:
+    from parquet_demo_spark.generators import (
+        gen_supplymethod,
+        gen_wide50,
+        write_chunked,
+    )
+    from parquet_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="parquet_demo_spark_generate")
+    t0 = time.time()
+    gen = gen_wide50 if args.table == "wide50" else gen_supplymethod
+    df = gen(spark, args.rows, seed=args.seed, num_partitions=args.partitions)
+    if args.dry_run:
+        df.show(5, truncate=False)
+        print(f"dry-run: would write {df.count():,} rows to {args.out}")
+        return 0
+    print(f"Generating {args.rows:,} rows ({args.table}) -> {args.out}")
+    write_chunked(df, args.out, rows_per_file=args.row_group_size)
+    print(f"Wrote parquet in {time.time() - t0:.2f}s")
+    return 0
+
+
+def _cmd_ingest(args) -> int:
+    from parquet_demo_spark.session import get_spark
+    from parquet_demo_spark.sources.mongo import ENV_URI, write_parquet_to_mongo
+
+    if args.mongo_uri:
+        os.environ[ENV_URI] = args.mongo_uri
+    pk = tuple(args.pk_fields.split(",")) if args.pk_fields else ()
+    if args.upsert and not pk:
+        print("--upsert requires --pk-fields", file=sys.stderr)
+        return 2
+    version = (
+        tuple(args.version_fields.split(",")) if args.version_fields else ()
+    )
+    spark = get_spark(app_name="parquet_demo_spark_ingest")
+    t0 = time.time()
+    n = write_parquet_to_mongo(
+        spark,
+        args.parquet,
+        args.db,
+        args.collection,
+        upsert_keys=pk if args.upsert else (),
+        version_cols=version,
+        dry_run=args.dry_run,
+        batch_size=args.batch_size,
+    )
+    verb = "would ingest" if args.dry_run else "ingested"
+    print(f"{verb} {n:,} docs in {time.time() - t0:.2f}s")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return _cmd_generate(args) if args.cmd == "generate" else _cmd_ingest(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
