@@ -10,7 +10,7 @@ mid-plan — the invariant applies only to the output schema.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DateType, MapType, StructType
 
 from parquet_demo_spark.registry import all_queries
 
@@ -19,16 +19,22 @@ QUERIES = all_queries()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_output_schema_is_flat(spark, sf_smoke, name):
-    """No array/map/struct column in any query's final projection."""
+    """No array/map/struct/date column in any query's final projection.
+
+    Complex types are unhashable in pandas sort_values; raw DATE columns
+    canonicalize differently per engine (object datetime.date from Spark
+    vs datetime64 from DuckDB) — cast to TIMESTAMP at the query edge.
+    """
     df = QUERIES[name].spark(spark, sf_smoke)
     bad = [
         f.name
         for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, DateType))
     ]
     assert not bad, (
-        f"{name} exposes complex-typed output columns {bad}; project them "
-        "to scalars/strings at the query edge (driver canon requirement)"
+        f"{name} exposes complex- or date-typed output columns {bad}; "
+        "project them to scalars/strings/timestamps at the query edge "
+        "(driver canon requirement)"
     )
 
 
