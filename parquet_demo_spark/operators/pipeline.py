@@ -1,0 +1,439 @@
+"""Training-data pipeline operators: decontamination, splits, sampling,
+redaction, domain mixing, resampling, outlier filtering.
+
+These are the curation steps a large-scale LLM training-data pipeline
+runs after dedup (operators/dedup.py) and quality scoring
+(operators/text.py):
+
+- benchmark decontamination (q78): drop corpus documents that share
+  n-gram passages with an evaluation/benchmark set (Brown et al. /
+  GPT-3 appendix-style 8-gram overlap);
+- deterministic train/val/test split (q79): hash-bucket routing, so the
+  split is stable under reshuffles, re-runs, and engine changes;
+- stratified sampling (q80): per-stratum hash sampling with an exact,
+  reproducible keep set (no RNG — the sample is a pure function of the
+  data);
+- PII-style redaction (q81): regexp masking of digit runs in
+  identifier-bearing columns, reported as masked-shape histograms;
+- time-series resample + gap-fill (q82): hourly grid per bucket with
+  empty buckets materialized (sequence/explode ⇄ generate_series);
+- domain mixing (q83): per-source target keep-rates applied via hash
+  thresholds — the deterministic form of sampling-weights mixing;
+- IQR outlier filter (q84): per-group Tukey fences over exact
+  interpolated quartiles.
+
+Scale notes (100 TB posture): every operator here is a single
+declarative plan — hash thresholds and regexp masks are pure row-local
+column expressions (map-side only, no shuffle); the splits/sampling
+aggregates shuffle only the tiny per-group tallies; decontamination
+joins the corpus against the (small) benchmark shingle set and applies a
+document-frequency cut before the join so no hot shingle can explode it.
+No RNG anywhere: sampling decisions hash document CONTENT, so adding
+executors, reordering files, or re-running yields byte-identical splits
+— the property that matters when a 100 TB corpus is re-materialized.
+
+Reference parity: the reference repo (alxmancilla/parquet-demo) has no
+curation surface; these extend the engine per the charter's
+training-data-pipeline requirement (SURVEY §2B S23–S28 neighborhood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
+from parquet_demo_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q78 — benchmark decontamination (8-gram overlap)
+# ---------------------------------------------------------------------------
+
+# Drop shingles present in more than this many corpus docs before the
+# overlap join: a boilerplate 8-gram shared by thousands of documents is
+# not contamination evidence, and cutting it bounds the join fan-out at
+# any corpus size (same mechanism as q26/q45).
+_Q78_MAX_DF = 100
+
+
+@register(
+    "q78_decontaminate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 20 = 0 AS is_bench,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               j -> array_to_string(tk[j:j+7], ' ')))) AS shingle
+      FROM base WHERE len(tk) >= 8
+    ),
+    corpus AS (
+      SELECT doc_id, shingle FROM win WHERE NOT is_bench
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_Q78_MAX_DF}
+    ),
+    bench AS (SELECT DISTINCT shingle FROM win WHERE is_bench),
+    hits AS (
+      SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (shingle)
+    )
+    SELECT (SELECT COUNT(*) FROM hits) AS n_contaminated,
+           (SELECT COUNT(*) FROM base WHERE NOT is_bench)
+             - (SELECT COUNT(*) FROM hits) AS n_clean,
+           (SELECT COUNT(*) FROM base WHERE is_bench) AS n_bench
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any 8-token "
+    "shingle with the benchmark set (doc_id%20=0 here) are flagged. "
+    "Shingles are built and dedup'd in-row before the explode; a "
+    f"document-frequency cut (> {_Q78_MAX_DF} docs) drops boilerplate "
+    "shingles before the join, so the overlap join is benchmark-sized, "
+    "not corpus-sized.",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_bench"),
+        F.filter(tokens("text"), lambda t: t != "").alias("tk"),
+    )
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 7),
+            lambda j: F.array_join(F.slice(tk, j, 8), " "),
+        )
+    )
+    win = base.filter(F.size(tk) >= 8).select(
+        "doc_id", "is_bench", F.explode(shingles).alias("shingle")
+    )
+    from pyspark.sql import Window as W
+
+    corpus = win.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    corpus = (
+        corpus.withColumn(
+            "df", F.count("*").over(W.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= _Q78_MAX_DF)
+        .drop("df")
+    )
+    bench = win.filter(F.col("is_bench")).select("shingle").distinct()
+    hits = corpus.join(bench, "shingle").select("doc_id").distinct()
+    n_hits = hits.agg(F.count("*").alias("n_contaminated"))
+    totals = base.agg(
+        F.sum(F.when(~F.col("is_bench"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n_corpus"),
+        F.sum(F.when(F.col("is_bench"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bench"),
+    )
+    return n_hits.crossJoin(totals).select(
+        "n_contaminated",
+        (F.col("_n_corpus") - F.col("n_contaminated")).alias("n_clean"),
+        "n_bench",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q79_train_split",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM (SELECT {poly_hash_sql('text')} % 100 AS b, n_chars
+          FROM documents)
+    GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic 80/10/10 split routed by a content hash — stable "
+    "under re-runs, file reordering, and engine swaps (no RNG). The hash "
+    "is a pure row-local expression; only the 3-row tally shuffles.",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    b = poly_hash("text") % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — stratified (per-source) hash sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_stratified_sample",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN ph % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_sampled
+    FROM (SELECT source, {poly_hash_sql('text')} AS ph FROM documents)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Stratified ~10% sample per source stratum via content-hash "
+    "threshold: the keep set is an exact, reproducible function of the "
+    "data (contrast TABLESAMPLE, whose result is engine- and "
+    "partitioning-dependent). Row-local decision, tally-only shuffle.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("source", (poly_hash("text") % 10).alias("m"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — PII-style redaction (digit masking) as masked-shape histograms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_pii_redaction",
+    oracle="""
+    SELECT entity, masked, n FROM (
+      SELECT 'customer_name' AS entity,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             COUNT(*) AS n
+      FROM customer GROUP BY masked
+      UNION ALL
+      SELECT 'event_props' AS entity,
+             regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+             COUNT(*) AS n
+      FROM events GROUP BY masked)
+    ORDER BY entity, masked
+    """,
+    doc="Redaction pass: digit runs masked to '#' in identifier-bearing "
+    "columns, reported as masked-shape histograms (the audit artifact a "
+    "redaction job emits). regexp_replace is a row-local JVM expression; "
+    "masked-shape cardinality is tiny so the tally shuffle is trivial.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    ev = load(spark, sf, "events")
+    a = (
+        cust.select(
+            F.regexp_replace("c_name", "[0-9]", "#").alias("masked")
+        )
+        .groupBy("masked")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("customer_name").alias("entity"), "masked", "n")
+    )
+    b = (
+        ev.select(F.regexp_replace("props", "[0-9]", "#").alias("masked"))
+        .groupBy("masked")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("event_props").alias("entity"), "masked", "n")
+    )
+    return a.unionByName(b).orderBy("entity", "masked")
+
+
+# ---------------------------------------------------------------------------
+# q82 — hourly resample with gap-fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q82_resample_gapfill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 10 AS bucket, date_trunc('hour', ts) AS hr
+      FROM events
+    ),
+    b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM ev),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    cells AS (
+      SELECT g.hr, r.range AS bucket FROM grid g CROSS JOIN range(10) r
+    ),
+    cnt AS (
+      SELECT bucket, hr, COUNT(*) AS c FROM ev GROUP BY bucket, hr
+    )
+    SELECT cells.bucket,
+           COUNT(*) AS n_hours,
+           SUM(CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_empty,
+           COALESCE(SUM(cnt.c), 0)::BIGINT AS n_events
+    FROM cells LEFT JOIN cnt
+      ON cells.bucket = cnt.bucket AND cells.hr = cnt.hr
+    GROUP BY cells.bucket ORDER BY cells.bucket
+    """,
+    doc="Time-series resample: hourly grid per user bucket with empty "
+    "hours materialized (sequence/explode ⇄ generate_series) — the "
+    "gap-fill shape behind rate/coverage dashboards. The grid derives "
+    "from a 1-row bounds aggregate and broadcasts to the left join; "
+    "per-cell counts partially aggregate map-side.",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    buckets = ev.sparkSession.range(10).select(F.col("id").alias("bucket"))
+    cells = grid.crossJoin(F.broadcast(buckets))
+    cnt = ev.groupBy("bucket", "hr").agg(F.count("*").alias("c"))
+    joined = cells.join(cnt, ["bucket", "hr"], "left")
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — domain mixing via per-source hash keep-rates
+# ---------------------------------------------------------------------------
+
+# Target keep-rate (percent) per source group: the mixing weights a
+# training run assigns to domains (e.g. curated > web crawl > logs).
+_Q83_WEIGHTS = (
+    ("src0", 100), ("src1", 100),  # curated: keep everything
+    ("src2", 50), ("src3", 50), ("src4", 50),  # mid-trust: half
+)
+_Q83_DEFAULT_PCT = 20  # long-tail sources: keep 20%
+
+
+@register(
+    "q83_domain_mix",
+    oracle=f"""
+    WITH w(source, pct) AS (
+      VALUES {", ".join(f"('{s}', {p})" for s, p in _Q83_WEIGHTS)}
+    ),
+    d AS (
+      SELECT doc.source,
+             COALESCE(w.pct, {_Q83_DEFAULT_PCT}) AS pct,
+             {poly_hash_sql('doc.text')} % 100 AS b
+      FROM documents doc LEFT JOIN w ON doc.source = w.source
+    )
+    SELECT source, pct::BIGINT AS pct, COUNT(*) AS n_total,
+           SUM(CASE WHEN b < pct THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM d GROUP BY source, pct ORDER BY source
+    """,
+    doc="Domain mixing: per-source target keep-rates applied via a "
+    "content-hash threshold — the deterministic form of mixture-weight "
+    "sampling. The weights dimension is a literal broadcast join; the "
+    "keep decision is row-local.",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    weights = docs.sparkSession.createDataFrame(
+        list(_Q83_WEIGHTS), "source string, pct int"
+    )
+    d = docs.join(F.broadcast(weights), "source", "left").select(
+        "source",
+        F.coalesce("pct", F.lit(_Q83_DEFAULT_PCT))
+        .cast("bigint")
+        .alias("pct"),
+        (poly_hash("text") % 100).alias("b"),
+    )
+    return (
+        d.groupBy("source", "pct")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("pct"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — IQR (Tukey-fence) outlier filter per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 2) AS lo_fence,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 2) AS hi_fence
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q.q1, q.q3 ORDER BY l.l_returnflag
+    """,
+    doc="Per-group Tukey fences: exact interpolated quartiles (tiny "
+    "per-group result, broadcast back over the fact scan), fences "
+    "computed from 2-dp-rounded quartiles so the double arithmetic is "
+    "bit-identical cross-engine (determinism rule: ROUND before "
+    "deriving comparison bounds from computed doubles).",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("q1"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    joined = li.join(F.broadcast(q), "l_returnflag")
+    p = F.col("l_extendedprice")
+    return (
+        joined.groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when((p < lo) | (p > hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            F.round(lo, 2).alias("lo_fence"),
+            F.round(hi, 2).alias("hi_fence"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         asof,
         dedup,
         multimodal,
+        pipeline,
         relational,
         semistructured,
         similarity,
