@@ -1,0 +1,131 @@
+"""Physical data layout for scale: partitioning, bucketing, sort order.
+
+At 100 TB the dominant costs are (a) scanning bytes you didn't need and
+(b) shuffling rows you could have pre-placed. This module owns the three
+write-side layouts that attack both, with tests asserting the read-side
+effect on the physical plan (tests/test_layout.py):
+
+- **Hive-style partitioned writes** (``write_partitioned``): a filter on
+  the partition column prunes whole directories at planning time —
+  ``PartitionFilters`` in the scan, zero bytes read for pruned
+  partitions. The right layout for low-cardinality, always-filtered
+  columns (date, source, event_type).
+- **Bucketed tables** (``write_bucketed``): pre-hash rows into N buckets
+  on the join/agg key. Two tables bucketed the same way join with NO
+  exchange — the 100 TB fact⋈fact join strategy when neither side
+  broadcasts. (The reference writes flat files only —
+  ``generate_big_parquet.py`` — so this is engine-added capability.)
+- **Range-sorted writes** (``write_range_sorted``): range-partition then
+  sort within partitions, so every file covers a disjoint key range and
+  parquet row-group min/max stats make selective key scans skip
+  everything else. This is what makes "needle" queries cheap without an
+  index.
+
+All three are thin, explicit wrappers over the DataFrameWriter — the
+value is the *contract* each layout guarantees, which the plan tests pin
+down so a regression (lost PartitionFilters, bucketing silently off,
+overlapping file ranges) fails CI instead of shipping a full-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet: one directory per partition value.
+
+    Filters on ``partition_by`` columns become planning-time directory
+    pruning (``PartitionFilters``) — no file IO for pruned values. Keep
+    partition cardinality modest (≲ 10k directories): tiny partitions
+    turn into tiny files and listing overhead.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) table for shuffle-free joins.
+
+    Both sides of a join bucketed on the join key with the same
+    ``n_buckets`` sort-merge join with no Exchange on either side; a
+    ``sort_by`` matching the key also drops the per-task Sort. Bucket
+    metadata lives in the session catalog (``saveAsTable`` is required —
+    plain ``.parquet(path)`` cannot record bucket spec).
+
+    Pick ``n_buckets`` so one bucket of the *larger* table fits an
+    executor's memory at the target scale (e.g. 100 TB / 4096 buckets ≈
+    25 GB per bucket pre-compression).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort: disjoint per-file key ranges.
+
+    Every output file covers a non-overlapping ``sort_by`` range, so
+    parquet footer min/max statistics let a selective key predicate skip
+    all but one file's row groups (verified against footers in
+    tests/test_layout.py). The global sort costs one range shuffle at
+    write time and pays for itself on every selective read after.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_by)
+        .sortWithinPartitions(*sort_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) footer statistics for ``column``.
+
+    Reads parquet metadata only (no data pages) — the same information
+    the scan's row-group skipping consults.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """Drop a saved (e.g. bucketed) table from the session catalog."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1,0 +1,141 @@
+"""Physical-layout contracts: partition pruning, bucketed joins, sorted
+file ranges — the read-side effects each write layout exists to buy
+(layout.py docstrings state the 100 TB rationale for each)."""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.layout import (
+    drop_table,
+    file_column_ranges,
+    write_bucketed,
+    write_partitioned,
+    write_range_sorted,
+)
+from parquet_demo_spark.plans import physical_plan
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    """Temporarily set runtime SQL confs (dots spelled as __)."""
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_partition_pruning(spark, sf_smoke, tmp_path):
+    """A filter on the partition column shows up as PartitionFilters —
+    directory-level pruning, zero IO for other partition values."""
+    ev = load(spark, sf_smoke, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = physical_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in " ".join(pf), plan
+    # the pruned read touches only the matching directory
+    files = df.select(F.input_file_name()).distinct().collect()
+    assert files and all("event_type=click" in r[0] for r in files)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke, tmp_path):
+    """Two tables bucketed on the join key join with NO shuffle: the
+    bucket layout IS the exchange, paid once at write time."""
+    li = load(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        li,
+        "t_lineitem_b",
+        bucket_by=["l_orderkey"],
+        n_buckets=8,
+        sort_by=["l_orderkey"],
+        path=str(tmp_path / "li_b"),
+    )
+    write_bucketed(
+        orders,
+        "t_orders_b",
+        bucket_by=["o_orderkey"],
+        n_buckets=8,
+        sort_by=["o_orderkey"],
+        path=str(tmp_path / "ord_b"),
+    )
+    try:
+        with _conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+            j = spark.table("t_lineitem_b").join(
+                spark.table("t_orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = physical_plan(j)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # same join without bucketing shuffles both sides
+            li_flat = spark.read.parquet(str(tmp_path / "li_b"))
+            ord_flat = spark.read.parquet(str(tmp_path / "ord_b"))
+            flat_plan = physical_plan(
+                li_flat.join(
+                    ord_flat,
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+            )
+            assert "Exchange" in flat_plan, flat_plan
+            # and the bucketed join returns the same row count
+            assert j.count() == li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+    finally:
+        drop_table(spark, "t_lineitem_b")
+        drop_table(spark, "t_orders_b")
+
+
+def test_range_sorted_files_are_disjoint(spark, sf_smoke, tmp_path):
+    """Range-sorted output: per-file key ranges don't overlap, so
+    footer min/max stats satisfy selective scans from one file."""
+    li = load(spark, sf_smoke, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_range_sorted(li, out, sort_by=["l_orderkey"], n_files=4)
+
+    ranges = file_column_ranges(out, "l_orderkey")
+    assert len(ranges) >= 2, ranges
+    ordered = sorted(ranges)
+    for (_, prev_max), (next_min, _) in zip(ordered, ordered[1:]):
+        assert prev_max <= next_min, ordered
+    # layout change preserved the data
+    assert (
+        spark.read.parquet(out).count() == li.count()
+    )
+
+
+def test_needle_filter_is_pushed_over_sorted_layout(spark, sf_smoke, tmp_path):
+    """A selective key predicate over the sorted layout reaches the scan
+    as a pushed filter — combined with the disjoint per-file ranges
+    above, the reader's row-group min/max check skips every other file's
+    row groups."""
+    li = load(spark, sf_smoke, "lineitem")
+    out = str(tmp_path / "li_sorted2")
+    write_range_sorted(li, out, sort_by=["l_orderkey"], n_files=4)
+    target = li.agg(F.min("l_orderkey")).collect()[0][0]
+
+    df = spark.read.parquet(out).filter(F.col("l_orderkey") == target)
+    plan = physical_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_orderkey" in " ".join(pushed), plan
+    assert df.count() == li.filter(F.col("l_orderkey") == target).count()
