@@ -5,11 +5,12 @@ At 100 TB the dominant costs are (a) scanning bytes you didn't need and
 write-side layouts that attack both, with tests asserting the read-side
 effect on the physical plan (tests/test_layout.py):
 
-- **Hive-style partitioned writes** (``write_partitioned``): a filter on
-  the partition column prunes whole directories at planning time —
+- **Hive-style partitioned writes** (``io.write_partitioned`` — lives in
+  io.py with the other reference-parity writers): a filter on the
+  partition column prunes whole directories at planning time —
   ``PartitionFilters`` in the scan, zero bytes read for pruned
-  partitions. The right layout for low-cardinality, always-filtered
-  columns (date, source, event_type).
+  partitions; the pruning contract is asserted here alongside the other
+  two layouts.
 - **Bucketed tables** (``write_bucketed``): pre-hash rows into N buckets
   on the join/agg key. Two tables bucketed the same way join with NO
   exchange — the 100 TB fact⋈fact join strategy when neither side
@@ -30,22 +31,6 @@ overlapping file ranges) fails CI instead of shipping a full-scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-
-
-def write_partitioned(
-    df: DataFrame,
-    path: str,
-    partition_by: list[str],
-    mode: str = "overwrite",
-) -> None:
-    """Hive-style partitioned parquet: one directory per partition value.
-
-    Filters on ``partition_by`` columns become planning-time directory
-    pruning (``PartitionFilters``) — no file IO for pruned values. Keep
-    partition cardinality modest (≲ 10k directories): tiny partitions
-    turn into tiny files and listing overhead.
-    """
-    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
 def write_bucketed(

@@ -9,11 +9,11 @@ import contextlib
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
+from parquet_demo_spark.io import write_partitioned
 from parquet_demo_spark.layout import (
     drop_table,
     file_column_ranges,
     write_bucketed,
-    write_partitioned,
     write_range_sorted,
 )
 from parquet_demo_spark.plans import physical_plan
@@ -42,7 +42,7 @@ def test_partition_pruning(spark, sf_smoke, tmp_path):
     directory-level pruning, zero IO for other partition values."""
     ev = load(spark, sf_smoke, "events")
     out = str(tmp_path / "events_by_type")
-    write_partitioned(ev, out, partition_by=["event_type"])
+    write_partitioned(ev, out, partition_cols=["event_type"])
 
     df = spark.read.parquet(out).filter(F.col("event_type") == "click")
     plan = physical_plan(df)
