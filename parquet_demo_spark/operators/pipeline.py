@@ -437,3 +437,46 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — per-label embedding centroids (first 8 dimensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q85_label_centroids",
+    oracle="""
+    SELECT label, j AS pos,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE), 6)
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)
+    GROUP BY label, j ORDER BY label, j
+    """,
+    doc="Per-label centroid of the first 8 embedding dimensions — the "
+    "class-prototype aggregate behind IVF coarse quantizers (q52) and "
+    "embedding-space dataset cartography. Cross-engine determinism: each "
+    "float is rounded to 6dp FIRST (round agrees across engines), then "
+    "decimal-summed (exact, order-independent — a 10,000-partition sum "
+    "equals DuckDB's sequential one), then averaged in double and "
+    "re-rounded. posexplode keeps the expansion in-row; only the "
+    "(label, pos) partial sums shuffle.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).filter(F.col("pos") < 8)
+    val6 = F.round(F.col("val").cast("double"), 6).cast("decimal(18,9)")
+    return (
+        ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(val6).cast("double") / F.count("*"), 6
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )

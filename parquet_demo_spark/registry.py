@@ -65,6 +65,6 @@ def all_queries() -> dict[str, Query]:
         windows_ext,
     )
     from parquet_demo_spark import generators  # noqa: F401
-    from parquet_demo_spark.streaming import stateful, windows  # noqa: F401
+    from parquet_demo_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return dict(_REGISTRY)

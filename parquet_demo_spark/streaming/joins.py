@@ -1,0 +1,93 @@
+"""Stream-stream joins (S29 extension): watermarked interval joins.
+
+Structured Streaming's stream-stream inner join buffers both sides in
+state and emits matches as they arrive; the watermark plus the
+time-range join condition bound how long each side's rows are retained
+(state for a click is dropped once the watermark passes
+click.ts + 30 minutes — without the range condition, state would grow
+forever). This is the conversion-attribution shape: purchases joined to
+the clicks that preceded them within an attribution window.
+
+Batch-stream equivalence: an INNER join emits every match regardless of
+watermark progress (the watermark only gates state *cleanup* and — for
+outer joins — null emission), so with a finite fixture the streamed
+result equals the batch interval join exactly, which is the DuckDB
+oracle here.
+
+Scale posture: both sides shuffle on user_id (the equi-key); state per
+key is bounded by the 30-minute window; the memory sink holds only the
+matched-pair aggregate's input, and the returned result is the compact
+per-user tally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.registry import register
+from parquet_demo_spark.streaming.windows import (
+    _run_to_memory,
+    read_events_stream,
+)
+
+
+@register(
+    "q86_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks_converted
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    doc="S29 stream-stream inner interval join: purchases attributed to "
+    "clicks by the same user within 30 minutes, both sides watermarked "
+    "(1h) so join state is evicted once a click's attribution window "
+    "closes. Append-mode memory sink captures the matched pairs; the "
+    "returned result is the per-user conversion tally, hash-checked "
+    "against the batch interval-join oracle.",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_events_stream(spark, sf)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user
+            AND p_ts >= c_ts
+            AND p_ts <= c_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    out = _run_to_memory(pairs, "q86_mem", mode="append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_id").alias("n_clicks_converted"),
+        )
+        .orderBy("user_id")
+    )
