@@ -91,3 +91,40 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q87_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="S30 streaming deduplication: the event stream unioned with a "
+    "duplicate of itself (at-least-once delivery simulated), then "
+    "dropDuplicatesWithinWatermark(event_id) — state for an id is "
+    "evicted once the watermark passes its event time, so dedup state is "
+    "bounded by the 1h delay instead of growing with the stream. The "
+    "deduped append output equals the original events exactly, so the "
+    "batch oracle is a plain per-type profile of the source.",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    doubled = read_events_stream(spark, sf).unionByName(
+        read_events_stream(spark, sf)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    out = _run_to_memory(deduped, "q87_mem", mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -68,3 +68,40 @@ def test_q31_sixway_join_broadcasts_all_dims(spark, sf_dir):
     plan = physical_plan(QUERIES["q31_local_supplier_volume"].spark(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_runtime_bloom_filter_prefilters_selective_join(spark, sf_dir):
+    """A selective filter on one join side injects a runtime bloom
+    filter on the other side's scan: probe rows that can't match are
+    dropped BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice —
+    the engine-provided form of semi-join pushdown (only meaningful for
+    shuffle joins; broadcast joins already skip non-matching rows)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from parquet_demo_spark.catalog import load
+
+        li = load(spark, sf_dir, "lineitem")
+        hot = load(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(hot, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
