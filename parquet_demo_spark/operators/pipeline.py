@@ -480,3 +480,156 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — curation funnel (single-pass conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_curation_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars, text,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t <> '')) AS ntok
+      FROM documents
+    )
+    SELECT COUNT(*) AS s0_all,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS s1_lang,
+           SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 2000
+                    THEN 1 ELSE 0 END)::BIGINT AS s2_len,
+           SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 2000
+                         AND ntok >= 20
+                    THEN 1 ELSE 0 END)::BIGINT AS s3_tok,
+           COUNT(DISTINCT CASE WHEN lang = 'en'
+                                    AND n_chars BETWEEN 100 AND 2000
+                                    AND ntok >= 20
+                               THEN text END) AS s4_dedup
+    FROM d
+    """,
+    doc="Curation funnel: language filter → length band → minimum token "
+    "count → exact text dedup, reported as per-stage survivor counts. "
+    "ONE scan: every stage is a conditional aggregate over the same "
+    "pass (not one scan per stage), so the funnel costs the same as a "
+    "single profile query at any corpus size; the distinct-text stage "
+    "is the only shuffle and only over stage-3 survivors.",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    ntok = F.size(F.filter(tokens("text"), lambda t: t != ""))
+    c1 = F.col("lang") == "en"
+    c2 = c1 & F.col("n_chars").between(100, 2000)
+    c3 = c2 & (ntok >= 20)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return docs.agg(
+        F.count("*").alias("s0_all"),
+        one(c1).alias("s1_lang"),
+        one(c2).alias("s2_len"),
+        one(c3).alias("s3_tok"),
+        F.countDistinct(F.when(c3, F.col("text"))).alias("s4_dedup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — label affinity: aggregate-then-pairwise centroid cosine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_label_affinity",
+    oracle="""
+    WITH ex AS (
+      SELECT label, j AS pos,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE), 6)
+                                 AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j)
+      GROUP BY label, j
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY pos) AS v FROM ex GROUP BY label
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) AS dot,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> a.v[i] * a.v[i])),
+               (acc, x) -> acc + x)) AS na,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> b.v[i] * b.v[i])),
+               (acc, x) -> acc + x)) AS nb
+      FROM cent a JOIN cent b ON a.label <> b.label
+    )
+    SELECT label_a, label_b, cos FROM (
+      SELECT label_a, label_b,
+             ROUND(dot / (na * nb), 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY label_a
+                                ORDER BY dot / (na * nb) DESC, label_b)
+               AS rk
+      FROM pairs)
+    WHERE rk = 1 ORDER BY label_a
+    """,
+    doc="Nearest-neighbor label per label by centroid cosine — the "
+    "aggregate-then-pairwise pattern: reduce N rows to K centroids "
+    "FIRST (K=10 here), then do the quadratic comparison on K rows, "
+    "never on N. Centroids use the q85 determinism recipe (round → "
+    "decimal sum → average); dot/norm are sequential in-row folds, "
+    "bit-identical across engines.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    ex = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast(
+                        "decimal(18,9)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    cent = ex.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("v")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    seq_dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("label_a") != F.col("label_b"))
+        .withColumn("dot", seq_dot(F.col("va"), F.col("vb")))
+        .withColumn("na", F.sqrt(seq_dot(F.col("va"), F.col("va"))))
+        .withColumn("nb", F.sqrt(seq_dot(F.col("vb"), F.col("vb"))))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label_a").orderBy(
+        (F.col("dot") / (F.col("na") * F.col("nb"))).desc(), "label_b"
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy("label_a")
+    )
