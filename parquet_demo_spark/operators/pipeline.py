@@ -407,7 +407,10 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     "per-group result, broadcast back over the fact scan), fences "
     "computed from 2-dp-rounded quartiles so the double arithmetic is "
     "bit-identical cross-engine (determinism rule: ROUND before "
-    "deriving comparison bounds from computed doubles).",
+    "deriving comparison bounds from computed doubles). Exact "
+    "percentile buffers each group's values; at 100 TB swap in "
+    "approx_percentile for the fence pass (q59b's sketch) — the "
+    "two-pass broadcast shape stays identical.",
 )
 def q84(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")

@@ -35,6 +35,8 @@ _OFFSET_KEYS = {
     "lineitem": ["l_orderkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -69,6 +71,12 @@ _NEEDS = {
     "q15_topk_global": ["lineitem"],
     "q01_scan_count": ["lineitem"],
     "q10_agg_pricing_summary": ["lineitem"],
+    "q78_decontaminate": ["documents"],
+    "q79_train_split": ["documents"],
+    "q84_iqr_outliers": ["lineitem"],
+    "q85_label_centroids": ["embeddings"],
+    "q88_curation_funnel": ["documents"],
+    "q89_label_affinity": ["embeddings"],
 }
 
 
