@@ -636,3 +636,182 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — length-bucketed batching (deciles over token count)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q90_length_batching",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile::BIGINT AS decile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(n_chars)::BIGINT AS max_chars
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="Length-bucketed batching: docs ntile'd into 10 length deciles "
+    "(padding-efficient batch construction groups similar-length "
+    "sequences). Deterministic because the ntile order (n_chars, "
+    "doc_id) is total. ntile is a single global sort at this output "
+    "shape; at 100 TB the same assignment comes from percentile "
+    "boundaries broadcast over a map-side bucket lookup instead of a "
+    "global window — the decile EDGES, not the sort, are the needed "
+    "artifact.",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — greedy sequence packing by running token budget
+# ---------------------------------------------------------------------------
+
+_Q91_BIN_TOKENS = 512
+
+
+@register(
+    "q91_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t <> '')) AS ntok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, ntok,
+             CAST(FLOOR((SUM(ntok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - ntok)
+                        / {_Q91_BIN_TOKENS}) AS BIGINT) AS bin
+      FROM d
+    )
+    SELECT COUNT(DISTINCT bin) AS n_bins,
+           COUNT(*) AS n_docs,
+           SUM(ntok)::BIGINT AS total_tokens,
+           MAX(bin_tokens)::BIGINT AS max_bin_tokens
+    FROM packed
+    JOIN (SELECT bin AS b2, SUM(ntok) AS bin_tokens
+          FROM packed GROUP BY bin) ON bin = b2
+    """,
+    doc="Sequence packing: docs assigned to ~"
+    f"{_Q91_BIN_TOKENS}-token training bins by a running token count in "
+    "doc order (the streaming-friendly approximation of greedy "
+    "first-fit packing). The prefix sum is one window over the doc "
+    "order; at 100 TB the same running sum distributes as "
+    "per-partition partials + a tiny offset broadcast (two passes, no "
+    "global sort of payloads).",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != "")).alias("ntok"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = d.select(
+        "doc_id",
+        "ntok",
+        F.floor(
+            (F.sum("ntok").over(w) - F.col("ntok")) / _Q91_BIN_TOKENS
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    bins = packed.groupBy("bin").agg(F.sum("ntok").alias("bin_tokens"))
+    return packed.join(bins, "bin").agg(
+        F.countDistinct("bin").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — column profile (nulls / distincts / extremes per column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_column_profile",
+    oracle="""
+    SELECT 'event_type' AS col,
+           COUNT(*) - COUNT(event_type) AS n_nulls,
+           COUNT(DISTINCT event_type) AS n_distinct,
+           MIN(event_type) AS min_s, MAX(event_type) AS max_s
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*) - COUNT(props), COUNT(DISTINCT props),
+           MIN(props), MAX(props)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    ORDER BY col
+    """,
+    doc="Data-profiling pass: per-column null count, distinct count, "
+    "extremes — the ingest-time quality report (reference R19's metrics "
+    "are throughput-side; this is the content-side twin). All three "
+    "column profiles aggregate in ONE scan Spark-side (a single agg "
+    "with per-column expressions, unpivoted to rows at the end); the "
+    "oracle spells it as UNION ALL for clarity.",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+
+    def prof(c: str):
+        # min/max aggregate in the column's OWN type (numeric extremes
+        # for numeric columns), rendered as string only at the edge
+        return [
+            (F.count("*") - F.count(c)).alias(f"{c}__n_nulls"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_s"),
+            F.max(c).cast("string").alias(f"{c}__max_s"),
+        ]
+
+    wide = ev.agg(
+        *prof("event_type"), *prof("props"), *prof("user_id")
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_nulls").alias("n_nulls"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_s").alias("min_s"),
+            F.col(f"{c}__max_s").alias("max_s"),
+        )
+        for c in ("event_type", "props", "user_id")
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )
