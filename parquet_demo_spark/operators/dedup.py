@@ -387,6 +387,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         pairs.select("a", "b")
         .unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        # materialize ONCE: every iteration joins edges, and without this
+        # each join would replan edges' full upstream lineage (for q76
+        # that is the whole MinHash+LSH candidate pipeline — measured
+        # ~3.5s/run at sf0.1, ~1.3s with edges pinned)
+        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
