@@ -113,3 +113,119 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — TPC-H Q18 shape: large-volume customers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q93_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): a HAVING-filtered "
+    "aggregate over the fact table semi-joins back into a 3-way join "
+    "and re-aggregates. The `big` set is produced by ONE pre-aggregation "
+    "of lineitem (map-side partials) and is tiny, so it broadcasts into "
+    "the probe; top-20 by (price, key) is a TakeOrdered heap, never a "
+    "global sort. Exact decimal quantity sums (order-independent).",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.big_orderkey
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — time-range rolling window (peak 1-hour burst per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_rolling_burst",
+    oracle="""
+    WITH rolled AS (
+      SELECT user_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             ) AS burst
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(burst) AS BIGINT) AS peak_burst,
+           COUNT(*) AS n_events
+    FROM rolled GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-range rolling window: per-user event count over the "
+    "trailing hour (RANGE frame over event time — rows with equal ts "
+    "share a frame, so the result is order-independent under ties), "
+    "reduced to each user's peak burst. Spark expresses the interval "
+    "frame as rangeBetween over epoch seconds; one shuffle on user_id "
+    "shared by the window and the final aggregate.",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    rolled = ev.select(
+        "user_id", F.count("*").over(w).alias("burst")
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.max("burst").cast("bigint").alias("peak_burst"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
