@@ -105,3 +105,11 @@ def test_runtime_bloom_filter_prefilters_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q93_preagg_broadcasts_and_heaps(spark, sf_dir):
+    # the HAVING pre-aggregate must broadcast (it's tiny) and the
+    # top-20 must be a TakeOrdered heap, not a global sort
+    df = QUERIES["q93_large_orders"].spark(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert uses_take_ordered(df)
