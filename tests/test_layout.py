@@ -139,3 +139,29 @@ def test_needle_filter_is_pushed_over_sorted_layout(spark, sf_smoke, tmp_path):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "l_orderkey" in " ".join(pushed), plan
     assert df.count() == li.filter(F.col("l_orderkey") == target).count()
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, sf_smoke, tmp_path):
+    """Grouping by the bucket key aggregates in place — the bucket
+    layout satisfies the aggregation's distribution requirement, so a
+    100 TB groupBy on a bucketed key costs zero shuffle."""
+    li = load(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        li,
+        "t_lineitem_agg",
+        bucket_by=["l_orderkey"],
+        n_buckets=8,
+        sort_by=["l_orderkey"],
+        path=str(tmp_path / "li_agg"),
+    )
+    try:
+        agg = (
+            spark.table("t_lineitem_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = physical_plan(agg)
+        assert "Exchange" not in plan, plan
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        drop_table(spark, "t_lineitem_agg")
