@@ -129,3 +129,57 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- document-frequency cut (near-dup / decontamination scale mechanism) ---
+
+
+def df_cut(df, key: str, max_df: int):
+    """Drop rows whose ``key`` value occurs in more than ``max_df`` rows.
+
+    Callers pass distinct (doc, key) rows, so the per-key count IS
+    document frequency. This is the mechanism that keeps shared-key
+    self-joins bounded at any corpus size (max_df² pairs per key); the
+    window shuffles by ``key`` — the same hash the downstream join uses,
+    so the cut adds no extra exchange. Shared by q26/q45/q78 with
+    :func:`df_cut_sql` as the oracle-side twin.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key)
+    return (
+        df.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def df_cut_sql(key: str, max_df: int) -> str:
+    """DuckDB QUALIFY clause mirroring :func:`df_cut`."""
+    return f"QUALIFY COUNT(*) OVER (PARTITION BY {key}) <= {max_df}"
+
+
+# --- 6-dp deterministic mean (embedding centroid recipe) ---
+
+
+def mean6(col: Column | str) -> Column:
+    """Order-independent, engine-identical mean of a float column.
+
+    Recipe: ROUND each value to 6 dp first (round agrees across engines
+    and parks the double far from any cast boundary), THEN cast to
+    DECIMAL(18,9) and sum (exact, associative — a 10,000-partition sum
+    equals a sequential one), average in double, re-round to 6 dp.
+    Never cast a raw float/double straight to decimal (shortest-repr
+    divergence). Twin: :func:`mean6_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v6 = F.round(c.cast("double"), 6).cast("decimal(18,9)")
+    return F.round(F.sum(v6).cast("double") / F.count("*"), 6)
+
+
+def mean6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`mean6` over a SQL expression."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND(CAST({expr} AS DOUBLE), 6) "
+        f"AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)"
+    )

@@ -206,8 +206,12 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     "trailing hour (RANGE frame over event time — rows with equal ts "
     "share a frame, so the result is order-independent under ties), "
     "reduced to each user's peak burst. Spark expresses the interval "
-    "frame as rangeBetween over epoch seconds; one shuffle on user_id "
-    "shared by the window and the final aggregate.",
+    "frame as rangeBetween over epoch MICROSECONDS — unix_timestamp "
+    "truncates to seconds and genuinely shifts frame membership for "
+    "events 3600.x real seconds apart (same µs-truncation class as the "
+    "q63 oracle fix) — so the frame matches the oracle's full-precision "
+    "INTERVAL bound exactly. One shuffle on user_id shared by the "
+    "window and the final aggregate.",
 )
 def q94(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -215,8 +219,8 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     rolled = ev.select(
         "user_id", F.count("*").over(w).alias("burst")

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import (
     HASH_MOD,
+    df_cut,
+    df_cut_sql,
     dsum,
     poly_hash,
     poly_hash_sql,
@@ -420,8 +422,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting the iteration budget means some component's diameter
+    # exceeds max_iters: the labels are NOT a fixpoint and returning them
+    # would silently report too many clusters
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+        " — raise max_iters (diameter bound) for this graph"
+    )
 
 
 def _cluster_summary(labels: DataFrame) -> DataFrame:
@@ -552,7 +560,7 @@ WITH sh0 AS (
 ),
 sh AS (
   SELECT doc_id, shingle FROM sh0
-  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_Q45_MAX_DF}
+  {df_cut_sql('shingle', _Q45_MAX_DF)}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -600,15 +608,9 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    # Document-frequency cut: rows are distinct (doc_id, shingle), so the
-    # per-shingle count is document frequency. Shuffles by shingle — the
-    # same key the self-join hashes on.
-    w = W.partitionBy("shingle")
-    sh = (
-        sh.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= _Q45_MAX_DF)
-        .drop("df")
-    )
+    # rows are distinct (doc_id, shingle), so the per-shingle count is
+    # document frequency (see functions.df_cut)
+    sh = df_cut(sh, "shingle", _Q45_MAX_DF)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -43,7 +43,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
+from parquet_demo_spark.functions import (
+    df_cut,
+    df_cut_sql,
+    mean6,
+    mean6_sql,
+    poly_hash,
+    poly_hash_sql,
+    tokens,
+)
 from parquet_demo_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -75,7 +83,7 @@ _Q78_MAX_DF = 100
     ),
     corpus AS (
       SELECT doc_id, shingle FROM win WHERE NOT is_bench
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_Q78_MAX_DF}
+      {df_cut_sql('shingle', _Q78_MAX_DF)}
     ),
     bench AS (SELECT DISTINCT shingle FROM win WHERE is_bench),
     hits AS (
@@ -110,15 +118,10 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
     win = base.filter(F.size(tk) >= 8).select(
         "doc_id", "is_bench", F.explode(shingles).alias("shingle")
     )
-    from pyspark.sql import Window as W
-
-    corpus = win.filter(~F.col("is_bench")).select("doc_id", "shingle")
-    corpus = (
-        corpus.withColumn(
-            "df", F.count("*").over(W.partitionBy("shingle"))
-        )
-        .filter(F.col("df") <= _Q78_MAX_DF)
-        .drop("df")
+    corpus = df_cut(
+        win.filter(~F.col("is_bench")).select("doc_id", "shingle"),
+        "shingle",
+        _Q78_MAX_DF,
     )
     bench = win.filter(F.col("is_bench")).select("shingle").distinct()
     hits = corpus.join(bench, "shingle").select("doc_id").distinct()
@@ -449,12 +452,10 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q85_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, j AS pos,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE), 6)
-                               AS DECIMAL(18,9))) AS DOUBLE)
-                 / COUNT(*), 6) AS centroid
+           {mean6_sql('embedding[j + 1]')} AS centroid
     FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)
     GROUP BY label, j ORDER BY label, j
     """,
@@ -472,14 +473,11 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).filter(F.col("pos") < 8)
-    val6 = F.round(F.col("val").cast("double"), 6).cast("decimal(18,9)")
     return (
         ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(val6).cast("double") / F.count("*"), 6
-            ).alias("centroid"),
+            mean6("val").alias("centroid"),
         )
         .orderBy("label", "pos")
     )
@@ -542,12 +540,10 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q89_label_affinity",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT label, j AS pos,
-             ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE), 6)
-                                 AS DECIMAL(18,9))) AS DOUBLE)
-                   / COUNT(*), 6) AS c
+             {mean6_sql('embedding[j + 1]')} AS c
       FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j)
       GROUP BY label, j
     ),
@@ -588,17 +584,7 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     ex = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("val").cast("double"), 6).cast(
-                        "decimal(18,9)"
-                    )
-                ).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("c")
-        )
+        .agg(mean6("val").alias("c"))
     )
     cent = ex.groupBy("label").agg(
         F.transform(

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
+from parquet_demo_spark.functions import (
+    df_cut,
+    df_cut_sql,
+    poly_hash,
+    poly_hash_sql,
+    tokens,
+)
 from parquet_demo_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -78,7 +84,7 @@ _Q26_MAX_DF = 400
     ),
     tok AS (
       SELECT doc_id, token FROM tok0
-      QUALIFY COUNT(*) OVER (PARTITION BY token) <= {_Q26_MAX_DF}
+      {df_cut_sql('token', _Q26_MAX_DF)}
     )
     SELECT COUNT(*) AS n_pairs FROM (
       SELECT a.doc_id, b.doc_id
@@ -102,15 +108,9 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct(F.filter(tokens("text"), lambda t: F.length(t) > 3))
         ).alias("token"),
     )
-    # Document-frequency cut. (doc_id, token) rows are distinct per doc, so
-    # count over the token partition IS document frequency. The window
-    # shuffles by token — the same key the self-join hashes on.
-    w = Window.partitionBy("token")
-    tok = (
-        tok.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= _Q26_MAX_DF)
-        .drop("df")
-    )
+    # (doc_id, token) rows are distinct per doc, so the per-token count
+    # IS document frequency (see functions.df_cut).
+    tok = df_cut(tok, "token", _Q26_MAX_DF)
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (

@@ -40,8 +40,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = [a for a in args if not os.path.isdir(a)]
+    sf_dir = "/root/testdata/sf0.01"
+    names = []
+    for a in args:
+        if os.path.isdir(a):
+            sf_dir = a
+        elif os.sep in a:
+            # a path-looking arg that is NOT a directory is a typo, not a
+            # query filter — matching zero queries would print "0/0 green"
+            raise SystemExit(f"not a directory: {a}")
+        else:
+            names.append(a)
 
     from pyspark.sql import SparkSession
 

@@ -46,9 +46,15 @@ def build(table: str) -> str:
         return out
     spark = get_spark()
     df = load(spark, SRC, table)
+    if table not in _OFFSET_KEYS:
+        # dimension tables stay single-copy: replicating region/nation/
+        # part/supplier would duplicate keys and change join fan-out,
+        # which measures a different (wrong) workload
+        df.write.mode("overwrite").parquet(out)
+        return out
     span = {
         c: df.agg(F.max(c)).collect()[0][0] + 1
-        for c in _OFFSET_KEYS.get(table, [])
+        for c in _OFFSET_KEYS[table]
     }
     copies = [
         df.select(
@@ -65,6 +71,13 @@ def build(table: str) -> str:
     big.repartition(FILES).write.mode("overwrite").parquet(out)
     return out
 
+
+# All fixture tables; a query not listed in _NEEDS gets every table so
+# any registry query can be scale-checked (dims copy 1×, facts ×10).
+_ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 _NEEDS = {
     "q13_window_topk_per_group": ["orders"],
@@ -88,7 +101,7 @@ def main() -> None:
     for name, q in sorted(qs.items()):
         if not any(name.startswith(w) for w in wanted):
             continue
-        for t in _NEEDS.get(name, ["orders", "lineitem"]):
+        for t in _NEEDS.get(name, _ALL_TABLES):
             build(t)
         df = q.spark(spark, DST)
         plan = physical_plan(df)
