@@ -20,8 +20,11 @@ so a skewed large side spreads its hot key across ``n_salts`` tasks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.registry import register
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
@@ -76,3 +79,24 @@ def salted_join(
         how="inner",
     )
     return joined.drop("_salt")
+
+
+@register(
+    "q95_salted_agg",
+    oracle="""
+    SELECT user_id % 20 AS k, COUNT(*) AS cnt
+    FROM events GROUP BY k ORDER BY k
+    """,
+    doc="Two-phase salted aggregation carrying a correctness row: COUNT "
+    "per (synthetic hot) key via per-(key, salt) partials merged per "
+    "key. The salt is random but the RESULT is exactly the unsalted "
+    "aggregate — only the shuffle layout changes, which is the whole "
+    "point: a key holding 5% of 100 TB becomes n_salts balanced "
+    "reducers instead of one hot one.",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    out = salted_agg_count(
+        ev.select((F.col("user_id") % 20).alias("k")), "k", n_salts=8
+    )
+    return out.select(F.col("key").alias("k"), "cnt").orderBy("k")

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         semistructured,
         similarity,
+        skew,
         stats,
         text,
         udfs,
