@@ -19,37 +19,46 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
 
-def _settled_names() -> set[str]:
-    """Queries with a conclusive driver row in any prior round.
+def _settled_names(has_oracle: dict[str, bool] | None = None) -> set[str]:
+    """Queries whose LATEST driver row is conclusive.
 
-    A row is conclusive when all three matches are green or when the
-    driver explicitly recorded ``no_oracle`` (rows-only check, by
-    design). Queries with no row yet — or an ERR row — are unsettled
-    and must be presented to the driver first: the driver samples a
-    prefix of ``queries()`` per round, so ordering is how the full
-    registry accumulates coverage across rounds.
+    Rounds are scanned in order and the newest row per query wins, so a
+    query that was green in r01 but regressed to ERR later is unsettled
+    again and returns to the front of the queue. A row is conclusive
+    when all three matches are green, or when the driver recorded
+    ``no_oracle`` AND the registry still declares no oracle for that
+    query (once an oracle is added, the stale rows-only row no longer
+    settles it). Queries with no row yet — or an ERR row — are
+    unsettled and must be presented to the driver first: the driver
+    samples a prefix of ``queries()`` per round, so ordering is how the
+    full registry accumulates coverage across rounds.
     """
-    settled: set[str] = set()
+    latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("err") == "no_oracle" or (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
+            if isinstance(row, dict):
+                latest[name] = row
+    settled: set[str] = set()
+    for name, row in latest.items():
+        if row.get("err") == "no_oracle":
+            if not (has_oracle or {}).get(name, False):
                 settled.add(name)
+        elif (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        ):
+            settled.add(name)
     return settled
 
 
-def _driver_ordered(names) -> list[str]:
+def _driver_ordered(names, has_oracle: dict[str, bool] | None = None) -> list[str]:
     """Unsettled queries first (stable order), settled ones after."""
-    settled = _settled_names()
+    settled = _settled_names(has_oracle)
     names = list(names)
     return [n for n in names if n not in settled] + [
         n for n in names if n in settled
@@ -79,8 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_demo_spark.registry import all_queries
 
     registry = all_queries()
+    has_oracle = {name: q.oracle is not None for name, q in registry.items()}
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _driver_ordered(registry):
+    for name in _driver_ordered(registry, has_oracle):
         def run(spark: SparkSession, sf_dir: str, _q=registry[name]) -> DataFrame:
             _configure(spark)
             return _q.spark(spark, sf_dir)

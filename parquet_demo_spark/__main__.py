@@ -1,8 +1,15 @@
 """CLI entry points mirroring the reference's example scripts (R15–R18).
 
 ``python -m parquet_demo_spark generate`` ≙ `examples/generate_big_parquet.py`
-(flags --rows/--out/--seed/--row-group-size, `:80-98`) plus the 53-col
-supplymethod table (`generate_parquet_from_ddl.py`) via --table.
+(flags --rows/--out/--seed, `:80-98`) plus the 53-col supplymethod table
+(`generate_parquet_from_ddl.py`) via --table. One deliberate layout
+difference: the reference's --row-group-size controls parquet row-group
+size WITHIN one file; Spark's writer sizes row groups in bytes
+(parquet.block.size), not rows, so this CLI exposes --rows-per-file
+(maxRecordsPerFile — one file per N rows) instead and keeps
+--row-group-size only as a documented alias for it. Same data, finer
+file granularity; downstream scans treat a file set identically to one
+multi-row-group file.
 
 ``python -m parquet_demo_spark ingest`` ≙
 `examples/ingest_parquet_to_mongo_bulk.py` (flags --parquet/--mongo-uri/
@@ -28,7 +35,17 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rows", type=int, default=1_000_000)
     g.add_argument("--out", type=str, default="big.parquet")
     g.add_argument("--seed", type=int, default=0)
-    g.add_argument("--row-group-size", type=int, default=100_000)
+    g.add_argument(
+        "--rows-per-file",
+        "--row-group-size",  # reference-flag alias; see module docstring
+        dest="rows_per_file",
+        type=int,
+        default=100_000,
+        help="rows per output parquet FILE (maxRecordsPerFile). NOT an "
+        "in-file row-group knob: Spark sizes row groups in bytes "
+        "(parquet.block.size); the reference's --row-group-size is "
+        "accepted as an alias and produces one file per N rows instead.",
+    )
     g.add_argument(
         "--table", choices=["wide50", "supplymethod"], default="wide50"
     )
@@ -80,7 +97,7 @@ def _cmd_generate(args) -> int:
         print(f"dry-run: would write {df.count():,} rows to {args.out}")
         return 0
     print(f"Generating {args.rows:,} rows ({args.table}) -> {args.out}")
-    write_chunked(df, args.out, rows_per_file=args.row_group_size)
+    write_chunked(df, args.out, rows_per_file=args.rows_per_file)
     print(f"Wrote parquet in {time.time() - t0:.2f}s")
     return 0
 

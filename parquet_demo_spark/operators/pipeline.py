@@ -457,6 +457,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n,
            {mean6_sql('embedding[j + 1]')} AS centroid
     FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)
+    WHERE len(embedding) >= 8
     GROUP BY label, j ORDER BY label, j
     """,
     doc="Per-label centroid of the first 8 embedding dimensions — the "
@@ -470,9 +471,15 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q85(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    ex = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    ).filter(F.col("pos") < 8)
+    # len >= 8 on BOTH sides: DuckDB's CROSS JOIN range(8) would emit a
+    # (label, pos) cell (counting the NULL position) for a short vector
+    # while posexplode emits nothing — a variable-width fixture must
+    # fail loudly, not silently diverge.
+    ex = (
+        emb.filter(F.size("embedding") >= 8)
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+    )
     return (
         ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
         .agg(
@@ -545,6 +552,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
       SELECT label, j AS pos,
              {mean6_sql('embedding[j + 1]')} AS c
       FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j)
+      WHERE len(embedding) >= 64
       GROUP BY label, j
     ),
     cent AS (
@@ -581,8 +589,11 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q89(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
+    # width guard mirrors q85: len(embedding) >= 64 on both engines.
     ex = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        emb.filter(F.size("embedding") >= 64)
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 64)
         .groupBy("label", "pos")
         .agg(mean6("val").alias("c"))
     )

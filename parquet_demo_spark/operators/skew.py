@@ -27,22 +27,54 @@ from parquet_demo_spark.catalog import load
 from parquet_demo_spark.registry import register
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Uniform int salt in [0, n_salts) — random but not key-correlated."""
-    return df.withColumn(col_name, (F.rand() * n_salts).cast("int"))
+def _salt_expr(
+    df: DataFrame, n_salts: int, salt_cols: list[str] | None, seed: int
+) -> Column:
+    """Deterministic uniform salt in [0, n_salts).
+
+    Non-deterministic expressions feeding a shuffle are a correctness
+    hazard (SPARK-23207 class): a fetch-failure stage retry re-salts the
+    recomputed rows differently, double-counting or dropping them in the
+    phase-1 partial. So the salt is derived from row CONTENT when
+    ``salt_cols`` is given (``pmod(hash(cols), n)`` — retries reproduce
+    it bit-for-bit), else from ``rand(seed)`` whose per-partition stream
+    is reproducible for deterministic scan order (file sources).
+    Prefer ``salt_cols`` naming a high-cardinality column (a row id);
+    note hashing the HOT KEY itself would put every hot row in one salt
+    bucket and defeat the balancing.
+    """
+    if salt_cols:
+        return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    return (F.rand(seed) * n_salts).cast("int")
+
+
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "_salt",
+    salt_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Uniform int salt in [0, n_salts) — deterministic, not key-correlated."""
+    return df.withColumn(col_name, _salt_expr(df, n_salts, salt_cols, seed))
 
 
 def salted_agg_count(
-    df: DataFrame, key: str | Column, n_salts: int = 16
+    df: DataFrame,
+    key: str | Column,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """COUNT(*) per key via two-phase salted aggregation.
 
     Phase 1 groups by (key, salt) — the hot key splits into n_salts
     partials; phase 2 merges partials per key. Identical result to
-    ``df.groupBy(key).count()``, balanced shuffle.
+    ``df.groupBy(key).count()``, balanced shuffle. Pass ``salt_cols``
+    (a unique row-id column) for a content-derived, retry-stable salt.
     """
     k = F.col(key) if isinstance(key, str) else key
-    salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    salted = df.withColumn("_salt", _salt_expr(df, n_salts, salt_cols, seed))
     partial = salted.groupBy(k.alias("key"), F.col("_salt")).agg(
         F.count("*").alias("_partial")
     )
@@ -57,6 +89,8 @@ def salted_join(
     large_key: str,
     small_key: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Inner equi-join with the large side salted and the small side
     replicated per salt — each hot key spreads over n_salts tasks.
@@ -65,7 +99,9 @@ def salted_join(
     threshold (no shuffle at all); salting is for mid-size build sides
     over skewed probe keys.
     """
-    salted_large = large.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    salted_large = large.withColumn(
+        "_salt", _salt_expr(large, n_salts, salt_cols, seed)
+    )
     salts = large.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )
@@ -92,11 +128,15 @@ def salted_join(
     "key. The salt is random but the RESULT is exactly the unsalted "
     "aggregate — only the shuffle layout changes, which is the whole "
     "point: a key holding 5% of 100 TB becomes n_salts balanced "
-    "reducers instead of one hot one.",
+    "reducers instead of one hot one. The salt is content-derived "
+    "(hash of the unique event_id), so stage retries reproduce it.",
 )
 def q95(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     out = salted_agg_count(
-        ev.select((F.col("user_id") % 20).alias("k")), "k", n_salts=8
+        ev.select((F.col("user_id") % 20).alias("k"), "event_id"),
+        "k",
+        n_salts=8,
+        salt_cols=["event_id"],
     )
     return out.select(F.col("key").alias("k"), "cnt").orderBy("k")

@@ -29,15 +29,48 @@ COPIES = 10
 FILES = 32
 
 # per-table key columns to offset per copy (keeps keys disjoint so
-# group/join cardinality scales with the data, not just row counts)
+# group/join cardinality scales with the data, not just row counts).
+# part/supplier replicate WITH the facts — TPC-H scales them with SF, so
+# holding them single-copy would give each p_partkey/s_suppkey 10× the
+# lineitem matches (skew, not scale). Only region/nation stay 1× (fixed
+# 5/25 rows at every SF).
 _OFFSET_KEYS = {
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+
+# FK columns must shift by the span of the KEY DOMAIN they reference
+# (computed on the referenced table), not by their own max: copy-i
+# lineitem must point at copy-i part/supplier/orders even when the fact
+# table references only a subset of the dimension's key range.
+_KEY_DOMAIN = {
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "c_custkey": ("customer", "c_custkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+}
+
+_SPAN_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _domain_span(spark, col: str, own_df) -> int:
+    dom = _KEY_DOMAIN.get(col)
+    if dom is None:
+        return own_df.agg(F.max(col)).collect()[0][0] + 1
+    if dom not in _SPAN_CACHE:
+        ref = load(spark, SRC, dom[0])
+        _SPAN_CACHE[dom] = ref.agg(F.max(dom[1])).collect()[0][0] + 1
+    return _SPAN_CACHE[dom]
 
 
 def build(table: str) -> str:
@@ -47,15 +80,12 @@ def build(table: str) -> str:
     spark = get_spark()
     df = load(spark, SRC, table)
     if table not in _OFFSET_KEYS:
-        # dimension tables stay single-copy: replicating region/nation/
-        # part/supplier would duplicate keys and change join fan-out,
-        # which measures a different (wrong) workload
+        # region/nation stay single-copy: they are fixed-cardinality at
+        # every TPC-H SF, so replicating them would change join fan-out
+        # and measure a different (wrong) workload
         df.write.mode("overwrite").parquet(out)
         return out
-    span = {
-        c: df.agg(F.max(c)).collect()[0][0] + 1
-        for c in _OFFSET_KEYS[table]
-    }
+    span = {c: _domain_span(spark, c, df) for c in _OFFSET_KEYS[table]}
     copies = [
         df.select(
             *[
