@@ -233,3 +233,229 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — TPC-H Q14 shape: promotion revenue share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 *
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           6) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: PROMO revenue share for one ship month. The "
+    "date band prunes at the scan (PushedFilters on l_shipdate); part "
+    "broadcasts; the conditional revenue is ONE pass of two exact-"
+    "decimal sums with the ratio rendered as a rounded double.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf, "part")
+    one = F.lit(1).cast(DEC)
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — TPC-H Q19 shape: disjunctive predicate join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_disjunctive_pred",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 25 AND 45)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate across both join sides. "
+    "Catalyst CNF-converts the disjunction to push the derivable "
+    "single-side filters (p_brand IN (...), p_size/l_quantity range "
+    "unions) below the join, keeping only the cross-side residual on "
+    "the join — the scan never reads rows outside the brand/size "
+    "envelope. part broadcasts.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(20, 50)
+            & q.between(25, 45)
+        )
+    )
+    one = F.lit(1).cast(DEC)
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — TPC-H Q16 shape: supplier diversity per part profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_supplier_part_profile",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 20
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per (brand, type, "
+    "size) profile, excluding one brand/type and blacklisted suppliers. "
+    "The NOT IN subquery becomes a broadcast anti-join (s_suppkey is "
+    "non-null, so NOT IN ≡ NOT EXISTS); part filters push to its scan; "
+    "lineitem acts as the partsupp link. countDistinct shuffles only "
+    "(profile, suppkey) pairs after map-side dedup.",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load(spark, sf, "lineitem")
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+    li_ok = li.join(
+        F.broadcast(bad),
+        li.l_suppkey == bad.s_suppkey,
+        "left_anti",
+    )
+    return (
+        li_ok.join(F.broadcast(p), li_ok.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — TPC-H Q22 shape: dormant high-balance customers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q100_dormant_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN thresh
+    WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="TPC-H Q22 shape: customers with above-average balance and no "
+    "recent orders, tallied per nation. The scalar average is a 1-row "
+    "broadcast (decimal sum / count in double — both engines compute "
+    "the identical IEEE value); recent-order exclusion is an anti-join "
+    "whose build side is only the date-filtered distinct custkeys; "
+    "nation broadcasts.",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    recent = (
+        load(spark, sf, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(dec2("c_acctbal")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -254,12 +254,14 @@ def load_params(spark: SparkSession, rows, schema: str) -> DataFrame:
 # SimHash (charter)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_ORACLE = f"""
+def _simhash_fp_sql(doc_bound: int) -> str:
+    """Fingerprint CTE block shared by the q44 and q96 oracles."""
+    return f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id,
            unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
-    FROM documents WHERE doc_id < 100)
+    FROM documents WHERE doc_id < {doc_bound})
   WHERE token <> ''
 ),
 th AS (SELECT doc_id, {poly_hash_sql('token')} AS h FROM tok),
@@ -269,23 +271,40 @@ bits AS (
                   THEN 1 ELSE -1 END) AS s
   FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
   GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+_SIMHASH_ORACLE = (
+    _simhash_fp_sql(100)
+    + "\nSELECT doc_id, simhash FROM fp ORDER BY doc_id"
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
-"""
 
 
 @register(
     "q44_simhash",
     oracle=_SIMHASH_ORACLE,
     doc="SimHash (32-bit) document fingerprints from token polynomial "
-    "hashes: per-bit weighted vote, linear in corpus size (the all-pairs "
-    "hamming search would use these via bit-banding).",
+    "hashes: per-bit weighted vote, linear in corpus size (q96 does the "
+    "sub-quadratic hamming search over these via bit-banding).",
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash_fingerprints(docs).orderBy("doc_id")
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT): 32-bit SimHash per document.
+
+    Per-bit weighted vote over the distinct-token polynomial hashes —
+    linear in corpus size; the bit explode (32 rows/token) stays in-row
+    until the (doc_id, b) partial aggregation, which combines map-side.
+    """
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -311,18 +330,93 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("s")
         )
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("bigint")
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("simhash")
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("bigint")
+            ).otherwise(F.lit(0))
         )
-        .orderBy("doc_id")
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+_Q96_BOUND = 200
+
+_Q96_ORACLE = (
+    _simhash_fp_sql(_Q96_BOUND)
+    + """,
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         CAST(FLOOR(simhash / POWER(256, b)) AS BIGINT) % 256 AS band_val
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@register(
+    "q96_simhash_neardup",
+    oracle=_Q96_ORACLE,
+    doc="SimHash near-dup search: 32-bit fingerprints (q44's operator) "
+    "banded into 4x8-bit blocks; candidate pairs meet only inside a "
+    "shared (band, value) bucket — by pigeonhole any pair within "
+    "hamming distance 3 shares at least one intact band, so the "
+    "bucket equi-join has full recall for the verify threshold of 1 "
+    "used here (the fixture is dense with near-identical docs). Verification "
+    "is popcount(xor) on two i64s — no text comparison ever happens. "
+    "At 100 TB: fingerprints are 8 bytes/doc, bands shuffle-join on "
+    "(band, value) like any equi-key, and the quadratic blow-up is "
+    "bounded per bucket (hot buckets would get the q43 df-cut).",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _Q96_BOUND)
+    fp = simhash_fingerprints(docs)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.floor(F.col("simhash") / F.pow(F.lit(256), F.col("band"))).cast(
+            "bigint"
+        )
+        % 256,
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 

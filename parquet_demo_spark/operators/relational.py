@@ -747,3 +747,56 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf)
     return spark.sql(_Q28_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S12b explicit GROUPING SETS (non-hierarchical — not expressible as
+# ROLLUP or CUBE subsets without post-filtering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+    doc="Explicit GROUPING SETS ((status), (priority)): two disjoint "
+    "single-column aggregations in ONE Expand pass over the scan — the "
+    "shape ROLLUP/CUBE cannot express without computing and discarding "
+    "the combined set. Same one-scan Expand machinery as q12/q36, "
+    "driven through the native DataFrame.groupingSets API.",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_prio",
+            "n",
+            "total",
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )

@@ -463,3 +463,74 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id", poly_hash(normalized).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q101 — unigram surprisal: corpus-LM document quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q101_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents WHERE doc_id < 2000)
+      WHERE t <> ''
+    ),
+    tf AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
+    s AS (
+      SELECT token, ROUND(-ln(CAST(c AS DOUBLE) / n), 6) AS sur
+      FROM tf CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(sur AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS surprisal
+    FROM tok JOIN s USING (token)
+    GROUP BY doc_id
+    ORDER BY surprisal DESC, doc_id
+    LIMIT 15
+    """,
+    doc="Self-trained unigram LM quality score: every token's surprisal "
+    "-ln(count/total) from the corpus's own frequency table, averaged "
+    "per document; high scores flag rare-vocabulary (garbled or OOD) "
+    "documents — the cheap stand-in for a perplexity filter in a "
+    "training-data pipeline. Two passes over tokens: (1) the frequency "
+    "table (map-side-combined groupBy, ~vocabulary rows), (2) a "
+    "broadcast join of that table back onto the token stream — no "
+    "shuffle of the corpus itself. Determinism: per-token surprisal is "
+    "rounded to 6dp, decimal-summed (order-independent), then averaged "
+    "(mean6 recipe; F.log == DuckDB ln, same cross-engine contract q38's "
+    "TF-IDF already relies on).",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tf.agg(F.sum("c").cast("double").alias("n"))
+    s = tf.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
+            "sur"
+        ),
+    )
+    return (
+        tok.join(F.broadcast(s), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("sur").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("surprisal"),
+        )
+        .orderBy(F.col("surprisal").desc(), "doc_id")
+        .limit(15)
+    )
