@@ -113,3 +113,46 @@ def test_q93_preagg_broadcasts_and_heaps(spark, sf_dir):
     df = QUERIES["q93_large_orders"].spark(spark, sf_dir)
     assert uses_broadcast_join(df)
     assert uses_take_ordered(df)
+
+
+def test_q98_disjunction_pushes_single_side_filters(spark, sf_dir):
+    # OR-of-ANDs: the brand/size envelope must reach the part scan and
+    # the quantity envelope the lineitem scan (CNF extraction), with the
+    # cross-side disjunction left as a join residual — never a
+    # filter-after-cartesian shape.
+    df = QUERIES["q98_disjunctive_pred"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_pushed_filters(df, "p_brand")
+    assert has_pushed_filters(df, "l_quantity")
+    assert "CartesianProduct" not in plan
+
+
+def test_q99_not_in_plans_broadcast_anti_join(spark, sf_dir):
+    df = QUERIES["q99_supplier_part_profile"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q96_banding_never_goes_all_pairs(spark, sf_dir):
+    # candidate pairs must form via the (band, band_val) equi-join;
+    # a nested-loop/cartesian means the banding degenerated
+    df = QUERIES["q96_simhash_neardup"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q101_frequency_table_broadcasts(spark, sf_dir):
+    # the vocabulary-sized surprisal table must broadcast back onto the
+    # token stream — the corpus itself never shuffles
+    df = QUERIES["q101_unigram_surprisal"].spark(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q102_grouping_sets_single_expand_pass(spark, sf_dir):
+    # both grouping sets come from ONE Expand over one scan — not a
+    # union of two aggregations
+    df = QUERIES["q102_grouping_sets"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert "Union" not in plan  # not a union of two aggregations
