@@ -52,6 +52,8 @@ from parquet_demo_spark.streaming.windows import (
     "against the batch interval-join oracle.",
 )
 def q86(spark: SparkSession, sf: str) -> DataFrame:
+    # both sides derive from ONE stream source (streaming self-join):
+    # the events file is scanned once per micro-batch, not once per side
     ev = read_events_stream(spark, sf)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -63,8 +65,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        read_events_stream(spark, sf)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
