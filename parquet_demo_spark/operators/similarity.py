@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import cosine
+from parquet_demo_spark.functions import cosine, mean6, mean6_sql
 from parquet_demo_spark.registry import register
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
@@ -292,3 +292,151 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return pairs.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q103 — distributed k-means (Lloyd), 2 fixed iterations, deterministic init
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+
+_KM_D2_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, 65), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _km_assign_sql(cent: str) -> str:
+    return f"""
+  SELECT vec_id, cid, embedding, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid, e.embedding, {_KM_D2_SQL} AS d2
+    FROM emb e CROSS JOIN {cent} c)
+"""
+
+
+_KM_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) >= {_KM_DIM}
+),
+cent0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {_KM_K}
+),
+a1 AS ({_km_assign_sql('cent0')}),
+cent1 AS (
+  SELECT cid, list(cval ORDER BY pos) AS c FROM (
+    SELECT cid, j AS pos, {{mean6}} AS cval
+    FROM (SELECT cid, embedding FROM a1 WHERE rn = 1)
+    CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS j)
+    GROUP BY cid, j)
+  GROUP BY cid
+),
+a2 AS ({_km_assign_sql('cent1')})
+SELECT cid AS cluster, COUNT(*) AS n_points,
+       ROUND(CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_d2
+FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid
+"""
+
+
+def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cid, embedding, d2).
+
+    Lexicographic struct-min keeps the argmin deterministic under ties
+    (d2 first, then cid — same ordering as the oracle's ROW_NUMBER).
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("cid"), F.col("embedding"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean6 centroid from the assigned vectors."""
+    ex = assigned.select(
+        "cid", F.posexplode("embedding").alias("pos", "val")
+    )
+    dims = ex.groupBy("cid", "pos").agg(mean6("val").alias("cval"))
+    return dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+
+
+@register(
+    "q103_kmeans_lloyd",
+    oracle=_KM_ORACLE.format(mean6=mean6_sql("embedding[j + 1]")),
+    doc="Distributed Lloyd's k-means (K=8, 2 fixed iterations, "
+    "deterministic init = the K lowest vec_ids): assign via a broadcast "
+    "crossJoin against the K-row centroid table with a lexicographic "
+    "struct-min argmin (no window shuffle), update via posexplode + "
+    "per-(cid, pos) mean6 partials — the iterative-ML-on-Spark shape. "
+    "Each iteration is one broadcast pass over the vectors plus one "
+    "centroid-sized aggregation; nothing quadratic, nothing driver-side "
+    "(a K-row centroid table is the only thing that would ever "
+    "collect). Cross-engine determinism: distances are pure double "
+    "arithmetic over explicit DOUBLE casts (identical IEEE ops both "
+    "engines), centroid means use the q85 round->decimal-sum recipe, "
+    "ties break on cid. Reports per-cluster size and mean squared "
+    "distance after iteration 2.",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        load(spark, sf, "embeddings")
+        .filter(F.size("embedding") >= _KM_DIM)
+        .select("vec_id", "embedding")
+    )
+    cent0 = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    a1 = _km_assign(emb, cent0)
+    cent1 = _km_update(a1.select("cid", "embedding"))
+    a2 = _km_assign(emb, cent1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(
+                    F.round(F.col("d2"), 6).cast("decimal(18,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_d2"),
+        )
+        .orderBy("cluster")
+    )
