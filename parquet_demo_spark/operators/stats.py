@@ -157,16 +157,20 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Exact (interpolated) percentiles per group — the exact twin of "
     "q59b's sketch quantiles; both engines use linear interpolation on "
-    "the sorted group.",
+    "the sorted group. All three cuts come from ONE percentile(array) "
+    "call so the group's value buffer is built once, not per-quantile.",
 )
 def q68(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
+    pct = F.percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+            F.round(pct.getItem(0), 2).alias("p50"),
+            F.round(pct.getItem(1), 2).alias("p90"),
+            F.round(pct.getItem(2), 2).alias("p99"),
         )
         .orderBy("o_orderstatus")
     )

@@ -534,3 +534,87 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("surprisal").desc(), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — Zipf slope: log-log regression over the token rank/frequency curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY token),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM tf
+    ),
+    xy AS (
+      SELECT ROUND(ln(CAST(r AS DOUBLE)), 6) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 6) AS y
+      FROM ranked WHERE r <= 1000
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,9))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,9))) AS DOUBLE)
+               AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit: least-squares slope of ln(freq) over ln(rank) "
+    "for the top-1000 tokens — the corpus-health diagnostic (natural "
+    "text sits near -1; flat or cliff-shaped curves flag templated or "
+    "truncated corpora). The regression is hand-rolled from decimal "
+    "sums of 6dp-rounded terms instead of regr_slope: both engines' "
+    "streaming covariance kernels accumulate doubles in partition "
+    "order, which is not cross-engine (or cross-run) bit-stable, while "
+    "rounded-decimal sums are exact and order-independent at any "
+    "partition count. The rank sort is a single-task window over the "
+    "vocabulary (post-aggregation rows, not the corpus).",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count("*").alias("c"))
+    ranked = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "token"))
+        .alias("r"),
+    ).filter(F.col("r") <= 1000)
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    d9 = lambda col: F.sum(col.cast("decimal(18,9)")).cast("double")
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        d9(F.col("x")).alias("sx"),
+        d9(F.col("y")).alias("sy"),
+        d9(F.round(F.col("x") * F.col("y"), 6)).alias("sxy"),
+        d9(F.round(F.col("x") * F.col("x"), 6)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
