@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_demo_spark.functions import dsum
 from parquet_demo_spark.registry import register
 from parquet_demo_spark.streaming.windows import (
     _run_to_memory,
@@ -129,3 +130,42 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q105_stream_static_join",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY wstart, c_mktsegment
+    ORDER BY wstart, c_mktsegment
+    """,
+    doc="S29 stream-static enrichment join — the production shape for "
+    "dimension lookup on a stream: each micro-batch joins the event "
+    "stream against the static customer table (broadcast — the stream "
+    "side never shuffles for the join), then windows per market "
+    "segment. Stream-static joins are stateless (no watermark state on "
+    "the static side; the dimension is re-resolvable per batch, which "
+    "is also what makes slowly-changing dimensions pick up updates "
+    "between batches). Hash-checked against the batch join twin.",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.catalog import load
+
+    ev = read_events_stream(spark, sf)
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+    out = _run_to_memory(agg, "q105_mem")
+    return out.select(
+        F.col("w.start").alias("wstart"), "c_mktsegment", "n", "sum_value"
+    ).orderBy("wstart", "c_mktsegment")
