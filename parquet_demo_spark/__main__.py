@@ -56,6 +56,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="print 5 rows + count, write nothing (R15)",
     )
 
+    c = sub.add_parser(
+        "curate",
+        help="run the full curation pipeline over a documents parquet",
+    )
+    c.add_argument("--input", type=str, required=True)
+    c.add_argument("--out", type=str, default=None)
+    c.add_argument("--lang", type=str, default="en")
+    c.add_argument("--min-chars", type=int, default=100)
+    c.add_argument("--max-chars", type=int, default=2000)
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="report per-stage counts, write nothing (R15)",
+    )
+
     i = sub.add_parser("ingest", help="ingest parquet into MongoDB")
     i.add_argument("--parquet", type=str, required=True)
     i.add_argument("--mongo-uri", type=str, default=None)
@@ -132,9 +148,40 @@ def _cmd_ingest(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    import json
+
+    from parquet_demo_spark.curation import curate
+    from parquet_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="parquet_demo_spark_curate")
+    if not args.dry_run and args.out is None:
+        print("curate requires --out unless --dry-run", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    counts = curate(
+        spark,
+        args.input,
+        args.out,
+        lang=args.lang,
+        min_chars=args.min_chars,
+        max_chars=args.max_chars,
+        min_tokens=args.min_tokens,
+        dry_run=args.dry_run,
+    )
+    print(json.dumps(counts))
+    verb = "dry-run" if args.dry_run else f"wrote {args.out}"
+    print(f"curated in {time.time() - t0:.2f}s ({verb})", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
-    return _cmd_generate(args) if args.cmd == "generate" else _cmd_ingest(args)
+    if args.cmd == "generate":
+        return _cmd_generate(args)
+    if args.cmd == "curate":
+        return _cmd_curate(args)
+    return _cmd_ingest(args)
 
 
 if __name__ == "__main__":
