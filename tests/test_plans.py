@@ -156,3 +156,21 @@ def test_q102_grouping_sets_single_expand_pass(spark, sf_dir):
     plan = physical_plan(df)
     assert "Expand" in plan
     assert "Union" not in plan  # not a union of two aggregations
+
+
+def test_q96_fingerprint_pipeline_computes_once(spark, sf_dir):
+    # the band self-join's two sides canonicalize to the same shuffle;
+    # AQE must materialize the fingerprint pipeline ONCE and reuse the
+    # exchange for the other side (visible only in the final adaptive
+    # plan, so execute first)
+    import contextlib
+    import io
+
+    df = QUERIES["q96_simhash_neardup"].spark(spark, sf_dir)
+    # collect (not a sink write): the finalized adaptive plan is only
+    # attached to THIS DataFrame's own execution
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedExchange" in buf.getvalue()
