@@ -120,6 +120,9 @@ _NEEDS = {
     "q85_label_centroids": ["embeddings"],
     "q88_curation_funnel": ["documents"],
     "q89_label_affinity": ["embeddings"],
+    "q101_unigram_surprisal": ["documents"],
+    "q103_kmeans_lloyd": ["embeddings"],
+    "q104_zipf_slope": ["documents"],
 }
 
 
