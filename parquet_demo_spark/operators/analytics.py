@@ -459,3 +459,106 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — TPC-H Q2 shape: cheapest supplier per part (correlated argmin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_cheapest_supplier",
+    oracle="""
+    SELECT p_partkey, p_name, best_price, s_name FROM (
+      SELECT l_partkey AS p_partkey, l_extendedprice AS best_price,
+             l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_suppkey) AS rn
+      FROM lineitem)
+    JOIN part USING (p_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn = 1 AND p_size = 10
+    ORDER BY p_partkey
+    """,
+    doc="TPC-H Q2 shape: the correlated 'supplier with the minimum "
+    "price per part' subquery, expressed as a per-group argmin. Spark "
+    "side uses min(struct(price, suppkey)) — a lexicographic struct-min "
+    "that is ONE map-side-combining aggregation (no window sort-shuffle "
+    "of the fact table) and deterministic under price ties, unlike "
+    "min_by; the oracle's ROW_NUMBER ... ORDER BY price, suppkey "
+    "implements the identical tie-break. Dimension joins broadcast "
+    "after the aggregation has already collapsed the fact side.",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_size") == 10)
+    s = load(spark, sf, "supplier")
+    best = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.min(
+                F.struct(F.col("l_extendedprice"), F.col("l_suppkey"))
+            ).alias("m")
+        )
+        .select(
+            "p_partkey",
+            F.col("m.l_extendedprice").alias("best_price"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(p), "p_partkey")
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "best_price", "s_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — percent-of-total (ratio_to_report) without a global window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_revenue_share",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM per)
+    SELECT o_orderpriority, revenue, n_orders,
+           ROUND(revenue / t, 6) AS share
+    FROM per CROSS JOIN tot
+    ORDER BY o_orderpriority
+    """,
+    doc="Percent-of-total per order priority. The textbook form is "
+    "SUM(x) OVER () — an UNPARTITIONED window that funnels every row "
+    "through one task and dies at scale. The scale-correct plan: "
+    "aggregate per group first (map-side combined), total the tiny "
+    "per-group result, broadcast the 1-row total back. The grand total "
+    "merges only the handful of per-group doubles (identical across "
+    "engines); partition-order wobble in that sum is bounded by a few "
+    "ulp (~1e-16 relative), invisible at the 6-dp rounding of the "
+    "share.",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.sum(dec2("o_totalprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    tot = per.agg(F.sum("revenue").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "revenue",
+            "n_orders",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("o_orderpriority")
+    )
