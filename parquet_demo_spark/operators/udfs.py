@@ -161,3 +161,43 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- 1 vs 5: native / row-UDF twins are asserted in tests/test_udfs.py --
+
+
+# --- 5. mapInArrow -------------------------------------------------------
+
+
+@register(
+    "q108_map_in_arrow",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(n_chars AS BIGINT) * 2) AS BIGINT) AS doubled_chars
+    FROM documents
+    """,
+    doc="S32 mapInArrow: the zero-copy tier of the Python surface — "
+    "batches arrive as pyarrow.RecordBatch and are transformed with "
+    "pyarrow.compute kernels (C++ SIMD, no pandas materialization, no "
+    "per-row Python). The right tier when the transformation is "
+    "expressible in Arrow compute; hash-checked against the native "
+    "column-expression twin like the rest of the S32 ladder.",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def double_chars(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.multiply(batch.column(1), pa.scalar(2, pa.int64())),
+                ],
+                names=["doc_id", "doubled"],
+            )
+
+    mapped = docs.mapInArrow(double_chars, "doc_id bigint, doubled bigint")
+    return mapped.agg(
+        F.count("*").alias("n"),
+        F.sum("doubled").cast("bigint").alias("doubled_chars"),
+    )
