@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -34,7 +35,16 @@ def _settled_names(has_oracle: dict[str, bool] | None = None) -> set[str]:
     full registry accumulates coverage across rounds.
     """
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # numeric order: lexicographic glob order would sort r100 before
+    # r11..r99 and let stale rows overwrite the newest verdicts
+    for path in sorted(
+        glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):

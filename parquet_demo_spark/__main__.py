@@ -154,10 +154,10 @@ def _cmd_curate(args) -> int:
     from parquet_demo_spark.curation import curate
     from parquet_demo_spark.session import get_spark
 
-    spark = get_spark(app_name="parquet_demo_spark_curate")
     if not args.dry_run and args.out is None:
         print("curate requires --out unless --dry-run", file=sys.stderr)
         return 2
+    spark = get_spark(app_name="parquet_demo_spark_curate")
     t0 = time.time()
     counts = curate(
         spark,

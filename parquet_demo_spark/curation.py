@@ -67,38 +67,53 @@ def curate(
     counts["s3_tok"] = by_tok.count()
 
     # exact dedup: keep the lowest doc_id per identical text (q23's
-    # distinct, made deterministic about WHICH copy survives)
+    # distinct, made deterministic about WHICH copy survives).
+    # persist(): `exact` feeds the s4 count, the MinHash pair build AND
+    # the survivor anti-join — without pinning it, the scan→filter→
+    # text-window pipeline would recompute for each consumer.
     w = W.partitionBy("text").orderBy("doc_id")
     exact = (
         by_tok.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()
     )
-    counts["s4_exact_dedup"] = exact.count()
+    try:
+        counts["s4_exact_dedup"] = exact.count()
 
-    # near-dup collapse: banded MinHash candidates → connected
-    # components → keep each cluster's minimum doc_id (the CC label IS
-    # the component minimum under hash-min propagation)
-    pairs = minhash_candidate_pairs(exact).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    labels = connected_components(pairs)
-    dropped = labels.filter(F.col("v") != F.col("label")).select(
-        F.col("v").alias("doc_id")
-    )
-    survivors = exact.join(dropped, "doc_id", "left_anti")
-    counts["s5_neardup_dedup"] = survivors.count()
-
-    b = poly_hash("text") % 100
-    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    routed = survivors.withColumn("split", split)
-
-    if not dry_run:
-        if out_dir is None:
-            raise ValueError("out_dir is required unless dry_run")
-        routed.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    for row in (
-        routed.groupBy("split").agg(F.count("*").alias("n")).collect()
-    ):
-        counts[f"s6_split_{row['split']}"] = row["n"]
+        # near-dup collapse: banded MinHash candidates → connected
+        # components → keep each cluster's minimum doc_id (the CC label
+        # IS the component minimum under hash-min propagation)
+        pairs = minhash_candidate_pairs(exact).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        labels = connected_components(pairs)
+        dropped = labels.filter(F.col("v") != F.col("label")).select(
+            F.col("v").alias("doc_id")
+        )
+        b = poly_hash("text") % 100
+        split = (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+        routed = (
+            exact.join(dropped, "doc_id", "left_anti")
+            .withColumn("split", split)
+            .persist()  # consumed by s5 count, the write, and s6 tallies
+        )
+        try:
+            counts["s5_neardup_dedup"] = routed.count()
+            if not dry_run:
+                if out_dir is None:
+                    raise ValueError("out_dir is required unless dry_run")
+                routed.write.mode("overwrite").partitionBy(
+                    "split"
+                ).parquet(out_dir)
+            for row in (
+                routed.groupBy("split").agg(F.count("*").alias("n")).collect()
+            ):
+                counts[f"s6_split_{row['split']}"] = row["n"]
+        finally:
+            routed.unpersist()
+    finally:
+        exact.unpersist()
     return counts

@@ -31,7 +31,14 @@ from parquet_demo_spark.registry import register
     "HLL buffer through the distinct path (measured 3x slower).",
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders").select("o_custkey").distinct()
+    # isNotNull keeps countDistinct's null-excluding semantics: after
+    # distinct(), count(*) would count a NULL key as one extra customer
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+        .distinct()
+    )
     return o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
         F.count("*").cast("bigint").alias("exact_custs"),

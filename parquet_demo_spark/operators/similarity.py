@@ -410,17 +410,23 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     "distance after iteration 2.",
 )
 def q103(spark: SparkSession, sf: str) -> DataFrame:
+    # slice to exactly _KM_DIM dims: the oracle hard-codes range(64), so
+    # a wider vector must not leak extra dimensions into d2/centroids
+    # (q85's fail-loudly rule — >= filter alone would silently diverge)
     emb = (
         load(spark, sf, "embeddings")
         .filter(F.size("embedding") >= _KM_DIM)
-        .select("vec_id", "embedding")
+        .select("vec_id", F.slice("embedding", 1, _KM_DIM).alias("embedding"))
     )
     cent0 = (
         load(spark, sf, "embeddings")
         .filter(F.col("vec_id") < _KM_K)
         .select(
             F.col("vec_id").alias("cid"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+            F.transform(
+                F.slice("embedding", 1, _KM_DIM),
+                lambda x: x.cast("double"),
+            ).alias("c"),
         )
     )
     a1 = _km_assign(emb, cent0)

@@ -28,7 +28,7 @@ from parquet_demo_spark.registry import register
 
 
 def _salt_expr(
-    df: DataFrame, n_salts: int, salt_cols: list[str] | None, seed: int
+    n_salts: int, salt_cols: list[str] | None, seed: int
 ) -> Column:
     """Deterministic uniform salt in [0, n_salts).
 
@@ -56,7 +56,7 @@ def with_salt(
     seed: int = 42,
 ) -> DataFrame:
     """Uniform int salt in [0, n_salts) — deterministic, not key-correlated."""
-    return df.withColumn(col_name, _salt_expr(df, n_salts, salt_cols, seed))
+    return df.withColumn(col_name, _salt_expr(n_salts, salt_cols, seed))
 
 
 def salted_agg_count(
@@ -74,7 +74,7 @@ def salted_agg_count(
     (a unique row-id column) for a content-derived, retry-stable salt.
     """
     k = F.col(key) if isinstance(key, str) else key
-    salted = df.withColumn("_salt", _salt_expr(df, n_salts, salt_cols, seed))
+    salted = df.withColumn("_salt", _salt_expr(n_salts, salt_cols, seed))
     partial = salted.groupBy(k.alias("key"), F.col("_salt")).agg(
         F.count("*").alias("_partial")
     )
@@ -100,7 +100,7 @@ def salted_join(
     over skewed probe keys.
     """
     salted_large = large.withColumn(
-        "_salt", _salt_expr(large, n_salts, salt_cols, seed)
+        "_salt", _salt_expr(n_salts, salt_cols, seed)
     )
     salts = large.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

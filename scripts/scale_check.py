@@ -58,6 +58,10 @@ _KEY_DOMAIN = {
     "p_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
     "s_suppkey": ("supplier", "s_suppkey"),
+    # events.user_id joins customer.c_custkey (q105 stream-static join):
+    # offset by the CUSTOMER domain so copy-i events point at copy-i
+    # customers, not all copies at copy-0's block
+    "user_id": ("customer", "c_custkey"),
 }
 
 _SPAN_CACHE: dict[tuple[str, str], int] = {}
