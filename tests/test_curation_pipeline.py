@@ -62,3 +62,22 @@ def test_curate_cli_dry_run(sf_smoke):
     assert proc.returncode == 0, proc.stderr[-2000:]
     counts = json.loads(proc.stdout.strip().splitlines()[-1])
     assert counts["s0_input"] >= counts["s5_neardup_dedup"] > 0
+
+
+def test_curate_cli_requires_out_without_dry_run():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parquet_demo_spark",
+            "curate",
+            "--input",
+            "/nonexistent.parquet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    # usage error exits 2 BEFORE booting a SparkSession (fast fail)
+    assert proc.returncode == 2
+    assert "requires --out" in proc.stderr
