@@ -162,24 +162,45 @@ def df_cut_sql(key: str, max_df: int) -> str:
 # --- 6-dp deterministic mean (embedding centroid recipe) ---
 
 
-def mean6(col: Column | str) -> Column:
-    """Order-independent, engine-identical mean of a float column.
+def micro6(col: Column | str) -> Column:
+    """Quantize a double to integer micro-units: floor(x*1e6 + 0.5).
 
-    Recipe: ROUND each value to 6 dp first (round agrees across engines
-    and parks the double far from any cast boundary), THEN cast to
-    DECIMAL(18,9) and sum (exact, associative — a 10,000-partition sum
-    equals a sequential one), average in double, re-round to 6 dp.
-    Never cast a raw float/double straight to decimal (shortest-repr
-    divergence). Twin: :func:`mean6_sql`.
+    Pure IEEE ops (multiply, add, floor) — bit-identical across engines
+    at ANY input. ``ROUND(double, 6)`` is NOT: Spark rounds the
+    shortest decimal repr (BigDecimal.valueOf) while DuckDB multiplies
+    by 1e6 and rounds the double product, and the two disagree on
+    near-tie values (measured: mean 0.616992/192 = 0.0032134999999999998
+    renders 0.003213 in Spark, 0.003214 in DuckDB — a real sf0.1
+    failure). Sums of short decimals divided by counts land on such
+    ties easily, so every final rendering of a sum/count mean goes
+    through this quantization instead of ROUND. Twin: :func:`micro6_sql`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    v6 = F.round(c.cast("double"), 6).cast("decimal(18,9)")
-    return F.round(F.sum(v6).cast("double") / F.count("*"), 6)
+    return F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5))
+
+
+def micro6_sql(expr: str) -> str:
+    return f"CAST(FLOOR(CAST({expr} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+def mean6(col: Column | str) -> Column:
+    """Order-independent, engine-identical 6-dp mean of a float column.
+
+    Recipe: quantize each value to integer micro-units via
+    :func:`micro6` (deterministic where ROUND is not — see its doc),
+    sum the integers (exact, associative — a 10,000-partition sum
+    equals a sequential one), average in double, re-quantize the mean
+    to whole micros, render as micros/1e6 (single IEEE division).
+    Twin: :func:`mean6_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(micro6(c)).cast("double")
+    return F.floor(s / F.count("*") + F.lit(0.5)) / F.lit(1e6)
 
 
 def mean6_sql(expr: str) -> str:
     """DuckDB twin of :func:`mean6` over a SQL expression."""
     return (
-        f"ROUND(CAST(SUM(CAST(ROUND(CAST({expr} AS DOUBLE), 6) "
-        f"AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)"
+        f"FLOOR(CAST(SUM({micro6_sql(expr)}) AS DOUBLE)"
+        f" / COUNT(*) + 0.5) / 1000000"
     )

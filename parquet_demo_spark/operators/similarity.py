@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import cosine, mean6, mean6_sql
+from parquet_demo_spark.functions import cosine, mean6, mean6_sql, micro6
 from parquet_demo_spark.registry import register
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
@@ -340,8 +340,8 @@ cent1 AS (
 ),
 a2 AS ({_km_assign_sql('cent1')})
 SELECT cid AS cluster, COUNT(*) AS n_points,
-       ROUND(CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,9))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_d2
+       FLOOR(CAST(SUM(CAST(FLOOR(d2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) + 0.5) / 1000000 AS avg_d2
 FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid
 """
 
@@ -436,12 +436,13 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         a2.groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count("*").alias("n_points"),
-            F.round(
-                F.sum(
-                    F.round(F.col("d2"), 6).cast("decimal(18,9)")
-                ).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.floor(
+                    F.sum(micro6(F.col("d2"))).cast("double")
+                    / F.count("*")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("avg_d2"),
         )
         .orderBy("cluster")

@@ -24,6 +24,7 @@ from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import (
     df_cut,
     df_cut_sql,
+    micro6,
     poly_hash,
     poly_hash_sql,
     tokens,
@@ -483,13 +484,15 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     tf AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
     s AS (
-      SELECT token, ROUND(-ln(CAST(c AS DOUBLE) / n), 6) AS sur
+      SELECT token,
+             CAST(FLOOR(-ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5)
+                  AS BIGINT) AS sur
       FROM tf CROSS JOIN tot
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(sur AS DECIMAL(18,9))) AS DOUBLE)
-                 / COUNT(*), 6) AS surprisal
+           FLOOR(CAST(SUM(sur) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+             AS surprisal
     FROM tok JOIN s USING (token)
     GROUP BY doc_id
     ORDER BY surprisal DESC, doc_id
@@ -503,9 +506,10 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     "table (map-side-combined groupBy, ~vocabulary rows), (2) a "
     "broadcast join of that table back onto the token stream — no "
     "shuffle of the corpus itself. Determinism: per-token surprisal is "
-    "rounded to 6dp, decimal-summed (order-independent), then averaged "
-    "(mean6 recipe; F.log == DuckDB ln, same cross-engine contract q38's "
-    "TF-IDF already relies on).",
+    "quantized to integer micro-units (floor(x*1e6+0.5) — pure IEEE "
+    "ops, unlike ROUND which diverges on near-tie doubles), summed "
+    "exactly, then the mean is re-quantized (mean6 recipe; F.log == "
+    "DuckDB ln, same cross-engine contract q38's TF-IDF relies on).",
 )
 def q101(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 2000)
@@ -516,19 +520,18 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     tot = tf.agg(F.sum("c").cast("double").alias("n"))
     s = tf.crossJoin(F.broadcast(tot)).select(
         "token",
-        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
-            "sur"
-        ),
+        micro6(-F.log(F.col("c").cast("double") / F.col("n"))).alias("sur"),
     )
     return (
         tok.join(F.broadcast(s), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("sur").cast("decimal(18,9)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.floor(
+                    F.sum("sur").cast("double") / F.count("*") + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("surprisal"),
         )
         .orderBy(F.col("surprisal").desc(), "doc_id")
