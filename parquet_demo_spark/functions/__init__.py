@@ -183,6 +183,29 @@ def micro6_sql(expr: str) -> str:
     return f"CAST(FLOOR(CAST({expr} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
 
 
+def qround(col: Column | str, ndigits: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x*10^n + 0.5)/10^n.
+
+    Use instead of ROUND when the value can sit on an exact decimal
+    tie — quantile interpolation of 2-dp prices (frac 0.5 → x.xx5),
+    fences derived as 1.5x a 2-dp IQR, ratios of decimal-exact sums.
+    ROUND diverges across engines on those ties (see :func:`micro6`);
+    irrational-valued expressions (ln, sqrt, corr, cosine) stay on
+    ROUND — their tie probability is ~1e-11 and the oracles spell ROUND
+    today. Twin: :func:`qround_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**ndigits
+    return F.floor(c.cast("double") * F.lit(float(scale)) + F.lit(0.5)) / F.lit(
+        float(scale)
+    )
+
+
+def qround_sql(expr: str, ndigits: int) -> str:
+    scale = 10**ndigits
+    return f"FLOOR(CAST({expr} AS DOUBLE) * {scale} + 0.5) / {scale}"
+
+
 def mean6(col: Column | str) -> Column:
     """Order-independent, engine-identical 6-dp mean of a float column.
 

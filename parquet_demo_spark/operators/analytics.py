@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import DEC, dec2
+from parquet_demo_spark.functions import DEC, dec2, qround
 from parquet_demo_spark.registry import register
 
 
@@ -531,7 +531,7 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(revenue) AS t FROM per)
     SELECT o_orderpriority, revenue, n_orders,
-           ROUND(revenue / t, 6) AS share
+           FLOOR(revenue / t * 1000000 + 0.5) / 1000000 AS share
     FROM per CROSS JOIN tot
     ORDER BY o_orderpriority
     """,
@@ -558,7 +558,7 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderpriority",
             "revenue",
             "n_orders",
-            F.round(F.col("revenue") / F.col("t"), 6).alias("share"),
+            qround(F.col("revenue") / F.col("t"), 6).alias("share"),
         )
         .orderBy("o_orderpriority")
     )

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import (
+    qround,
     df_cut,
     df_cut_sql,
     mean6,
@@ -392,8 +393,10 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
-             ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
-             ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS q3
+             FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100
+               AS q1,
+             FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100
+               AS q3
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
@@ -401,8 +404,8 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
            SUM(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
                       OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 2) AS lo_fence,
-           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 2) AS hi_fence
+           FLOOR((q.q1 - 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS lo_fence,
+           FLOOR((q.q3 + 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS hi_fence
     FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
     GROUP BY l.l_returnflag, q.q1, q.q3 ORDER BY l.l_returnflag
     """,
@@ -424,8 +427,8 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))
     )
     q = li.groupBy("l_returnflag").agg(
-        F.round(pct.getItem(0), 2).alias("q1"),
-        F.round(pct.getItem(1), 2).alias("q3"),
+        qround(pct.getItem(0), 2).alias("q1"),
+        qround(pct.getItem(1), 2).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - 1.5 * iqr
@@ -444,8 +447,8 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
             "l_returnflag",
             "n_rows",
             "n_outliers",
-            F.round(lo, 2).alias("lo_fence"),
-            F.round(hi, 2).alias("hi_fence"),
+            qround(lo, 2).alias("lo_fence"),
+            qround(hi, 2).alias("hi_fence"),
         )
         .orderBy("l_returnflag")
     )

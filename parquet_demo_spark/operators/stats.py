@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_demo_spark.catalog import load
+from parquet_demo_spark.functions import qround
 from parquet_demo_spark.registry import register
 
 
@@ -150,9 +151,9 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     "q68_exact_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90,
+           FLOOR(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     doc="Exact (interpolated) percentiles per group — the exact twin of "
@@ -168,9 +169,9 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(pct.getItem(0), 2).alias("p50"),
-            F.round(pct.getItem(1), 2).alias("p90"),
-            F.round(pct.getItem(2), 2).alias("p99"),
+            qround(pct.getItem(0), 2).alias("p50"),
+            qround(pct.getItem(1), 2).alias("p90"),
+            qround(pct.getItem(2), 2).alias("p99"),
         )
         .orderBy("o_orderstatus")
     )
@@ -296,7 +297,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     "explode keeps the shuffle at vocab size.",
 )
 def q74(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_demo_spark.functions import tokens
+    from parquet_demo_spark.functions import qround, tokens
 
     docs = load(spark, sf, "documents")
     tok = docs.select(
