@@ -562,3 +562,153 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — TPC-H Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: the distribution of per-customer order counts "
+    "(excluding one priority class) — two stacked aggregations where "
+    "the second one's input is already customer-sized. The LEFT join "
+    "keeps zero-order customers (COUNT(o_orderkey) counts matches, not "
+    "rows, so they tally as 0); the join predicate's non-key filter "
+    "stays in the join condition, NOT the WHERE clause — pushing it to "
+    "WHERE would silently drop the zero-order bucket.",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — TPC-H Q17 shape: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_small_qty_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ak, AVG(CAST(l_quantity AS DOUBLE)) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON l_partkey = ak
+    WHERE p_brand = 'Brand#4'
+      AND CAST(l_quantity AS DOUBLE) < 0.4 * aq
+    """,
+    doc="TPC-H Q17 shape: items ordered below 40% of their part's "
+    "average quantity. The correlated AVG subquery becomes a per-part "
+    "pre-aggregation joined back to the fact (shuffle on l_partkey "
+    "shared by both sides). The comparison threshold is AVG in DOUBLE: "
+    "l_quantity values are small integers stored as doubles, so "
+    "sum/count division is the identical IEEE op in both engines, and "
+    "a strict < against 0.4*aq only flips if the product is EXACTLY "
+    "equal — impossible for 0.4 (not binary-representable) times a "
+    "nonzero quotient of integers.",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#4")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ak)
+        .filter(
+            F.col("l_quantity").cast("double") < 0.4 * F.col("aq")
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast("double").alias(
+                "total_price"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — TPC-H Q8 shape: market share by year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           FLOOR(
+             CAST(SUM(CASE WHEN n_name = 'CHINA'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mkt_share,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of supplier revenue per "
+    "order year — conditional exact-decimal sums in ONE pass (no "
+    "per-nation re-scan), the share a qround-quantized ratio. supplier "
+    "and nation broadcast; lineitem⋈orders is the only shuffle.",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    one = F.lit(1).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    china = F.when(F.col("n_name") == "CHINA", rev).otherwise(zero)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            qround(
+                F.sum(china).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
