@@ -736,3 +736,136 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     return jacc.filter(F.col("jacc") >= 0.5).agg(
         F.count("*").alias("n_similar_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — canonical selection: keep the best-quality doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_Q113_QUALITY_SQL = """
+  SELECT doc_id,
+         CAST(FLOOR(100 * CAST(n_stop AS DOUBLE) / n_tokens
+                    + CAST(LEAST(n_tokens, 100) AS DOUBLE)) AS BIGINT)
+           AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> list_contains(['the','a','of','and'], t)))
+                AS BIGINT) AS n_stop
+    FROM documents WHERE doc_id < 500)
+  WHERE n_tokens >= 1
+"""
+
+_Q113_ORACLE = f"""
+WITH RECURSIVE {_minhash_cand_ctes(f"WHERE doc_id < {_Q76_DOC_BOUND}")},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand WHERE doc_a <> doc_b
+  UNION SELECT doc_b, doc_a FROM cand WHERE doc_a <> doc_b
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS v, MIN(dst) AS label FROM reach GROUP BY src),
+q AS ({_Q113_QUALITY_SQL}),
+member AS (
+  SELECT q.doc_id, q.quality, comp.label
+  FROM q JOIN comp ON q.doc_id = comp.v
+),
+best AS (
+  SELECT label, doc_id, quality FROM (
+    SELECT label, doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM member)
+  WHERE rn = 1
+),
+singles AS (
+  SELECT doc_id, quality FROM q
+  WHERE doc_id NOT IN (SELECT v FROM comp)
+)
+SELECT (SELECT COUNT(*) FROM q) AS n_docs,
+       (SELECT COUNT(*) FROM member) AS n_in_clusters,
+       (SELECT COUNT(DISTINCT label) FROM member) AS n_clusters,
+       (SELECT COUNT(*) FROM singles)
+         + (SELECT COUNT(*) FROM best) AS n_kept,
+       (SELECT COALESCE(SUM(quality), 0) FROM singles)::BIGINT
+         + (SELECT COALESCE(SUM(quality), 0) FROM best)::BIGINT
+         AS kept_quality_sum
+"""
+
+
+@register(
+    "q113_keep_best_quality",
+    oracle=_Q113_ORACLE,
+    doc="Canonical selection — the step after clustering in a real "
+    "dedup pipeline: within each near-dup cluster (q76's MinHash+LSH → "
+    "connected components, unchanged) keep the HIGHEST-QUALITY member "
+    "(q47's integer score; ties to the lowest doc_id via struct-max on "
+    "(quality, -doc_id)) instead of an arbitrary survivor. Singletons "
+    "keep themselves. One broadcast-sized labels table joined back to "
+    "the quality scores; summary row hash-checked against the "
+    "recursive-CTE closure + window argmax oracle.",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(
+        F.col("doc_id") < _Q76_DOC_BOUND
+    )
+    tk = F.filter(tokens("text"), lambda t: t != "")
+    n_tokens = F.size(tk).cast("bigint")
+    n_stop = F.size(
+        F.filter(tk, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("bigint")
+    quality = F.floor(
+        100 * n_stop.cast("double") / n_tokens
+        + F.least(n_tokens, F.lit(100)).cast("double")
+    ).cast("bigint")
+    q = (
+        docs.select("doc_id", n_tokens.alias("nt"), quality.alias("quality"))
+        .filter(F.col("nt") >= 1)
+        .drop("nt")
+    )
+    pairs = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = connected_components(pairs)
+    member = q.join(labels, q.doc_id == labels.v).select(
+        "doc_id", "quality", "label"
+    )
+    best = (
+        member.groupBy("label")
+        .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")))).alias("m"))
+        .select(F.col("m.quality").alias("quality"))
+    )
+    singles = q.join(
+        labels.select(F.col("v").alias("doc_id")), "doc_id", "left_anti"
+    )
+    stats_q = q.agg(F.count("*").alias("n_docs"))
+    stats_m = member.agg(
+        F.count("*").alias("n_in_clusters"),
+        F.countDistinct("label").alias("n_clusters"),
+    )
+    stats_b = best.agg(
+        F.count("*").alias("_nb"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("_qb"),
+    )
+    stats_s = singles.agg(
+        F.count("*").alias("_ns"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("_qs"),
+    )
+    return (
+        stats_q.crossJoin(stats_m)
+        .crossJoin(stats_b)
+        .crossJoin(stats_s)
+        .select(
+            "n_docs",
+            "n_in_clusters",
+            "n_clusters",
+            (F.col("_ns") + F.col("_nb")).alias("n_kept"),
+            (F.col("_qs") + F.col("_qb")).alias("kept_quality_sum"),
+        )
+    )
