@@ -79,9 +79,10 @@ from contextlib import contextmanager
 # State-store partition count: each streaming shuffle partition carries
 # its own state-store instance, so oversizing it buys pure overhead
 # (measured: 32→4 partitions cut a fixture-scale tumbling query 2.3s→
-# 1.3s). On a cluster, size to key cardinality / executor count; the
-# fixture's key spaces (≤1000 users, ≤200 windows) want a small number.
-STREAM_STATE_PARTITIONS = 8
+# 1.3s; 8→4 a further ~15% across the streaming suite). On a cluster,
+# size to key cardinality / executor count; the fixture's key spaces
+# (≤1000 users, ≤200 windows) want a small number.
+STREAM_STATE_PARTITIONS = 4
 
 
 @contextmanager
