@@ -42,11 +42,14 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent AVG: decimal sum / count in double, rounded to 2."""
+    """Order-independent AVG: decimal sum / count, floor-quantized to 2dp.
+
+    Sum-of-decimals / count is the tie-prone mean construction (see
+    :func:`micro6`), so the render is floor(x*100+0.5)/100 — oracle
+    twins must spell the same FLOOR form, not ROUND."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(dec2(c)).cast("double") / F.count(c).cast("double"), 2
-    ).alias(alias)
+    q = F.sum(dec2(c)).cast("double") / F.count(c).cast("double")
+    return (F.floor(q * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(alias)
 
 
 def bsum(col: Column | str, alias: str) -> Column:

@@ -243,14 +243,14 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q97_promo_revenue",
     oracle="""
-    SELECT ROUND(100.0 *
+    SELECT FLOOR(100.0 *
              CAST(SUM(CASE WHEN p_type = 'PROMO'
                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-           6) AS promo_pct,
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           * 1000000 + 0.5) / 1000000 AS promo_pct,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -273,7 +273,7 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            qround(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
                 .cast("double")

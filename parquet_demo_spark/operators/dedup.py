@@ -742,7 +742,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 # q113 — canonical selection: keep the best-quality doc per near-dup cluster
 # ---------------------------------------------------------------------------
 
-_Q113_QUALITY_SQL = """
+_Q113_QUALITY_SQL = f"""
   SELECT doc_id,
          CAST(FLOOR(100 * CAST(n_stop AS DOUBLE) / n_tokens
                     + CAST(LEAST(n_tokens, 100) AS DOUBLE)) AS BIGINT)
@@ -754,7 +754,7 @@ _Q113_QUALITY_SQL = """
            CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
                                 t -> list_contains(['the','a','of','and'], t)))
                 AS BIGINT) AS n_stop
-    FROM documents WHERE doc_id < 500)
+    FROM documents WHERE doc_id < {_Q76_DOC_BOUND})
   WHERE n_tokens >= 1
 """
 
@@ -844,7 +844,6 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
     singles = q.join(
         labels.select(F.col("v").alias("doc_id")), "doc_id", "left_anti"
     )
-    stats_q = q.agg(F.count("*").alias("n_docs"))
     stats_m = member.agg(
         F.count("*").alias("n_in_clusters"),
         F.countDistinct("label").alias("n_clusters"),
@@ -857,12 +856,15 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("_ns"),
         F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("_qs"),
     )
+    # n_docs = members + singletons: q partitions exactly into the two
+    # (member = q semi-join comp, singles = q anti-join comp), so a third
+    # scan of the tokenization pipeline for a separate COUNT(q) would be
+    # redundant
     return (
-        stats_q.crossJoin(stats_m)
-        .crossJoin(stats_b)
+        stats_m.crossJoin(stats_b)
         .crossJoin(stats_s)
         .select(
-            "n_docs",
+            (F.col("n_in_clusters") + F.col("_ns")).alias("n_docs"),
             "n_in_clusters",
             "n_clusters",
             (F.col("_ns") + F.col("_nb")).alias("n_kept"),

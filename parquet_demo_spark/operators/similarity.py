@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import cosine, mean6, mean6_sql, micro6
+from parquet_demo_spark.functions import cosine, mean6, mean6_sql
 from parquet_demo_spark.registry import register
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
@@ -340,8 +340,7 @@ cent1 AS (
 ),
 a2 AS ({_km_assign_sql('cent1')})
 SELECT cid AS cluster, COUNT(*) AS n_points,
-       FLOOR(CAST(SUM(CAST(FLOOR(d2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / COUNT(*) + 0.5) / 1000000 AS avg_d2
+       {{mean6_d2}} AS avg_d2
 FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid
 """
 
@@ -394,7 +393,9 @@ def _km_update(assigned: DataFrame) -> DataFrame:
 
 @register(
     "q103_kmeans_lloyd",
-    oracle=_KM_ORACLE.format(mean6=mean6_sql("embedding[j + 1]")),
+    oracle=_KM_ORACLE.format(
+        mean6=mean6_sql("embedding[j + 1]"), mean6_d2=mean6_sql("d2")
+    ),
     doc="Distributed Lloyd's k-means (K=8, 2 fixed iterations, "
     "deterministic init = the K lowest vec_ids): assign via a broadcast "
     "crossJoin against the K-row centroid table with a lexicographic "
@@ -436,14 +437,7 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         a2.groupBy(F.col("cid").alias("cluster"))
         .agg(
             F.count("*").alias("n_points"),
-            (
-                F.floor(
-                    F.sum(micro6(F.col("d2"))).cast("double")
-                    / F.count("*")
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-            ).alias("avg_d2"),
+            mean6(F.col("d2")).alias("avg_d2"),
         )
         .orderBy("cluster")
     )

@@ -297,7 +297,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     "explode keeps the shuffle at vocab size.",
 )
 def q74(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_demo_spark.functions import qround, tokens
+    from parquet_demo_spark.functions import tokens
 
     docs = load(spark, sf, "documents")
     tok = docs.select(

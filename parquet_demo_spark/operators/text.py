@@ -27,6 +27,7 @@ from parquet_demo_spark.functions import (
     micro6,
     poly_hash,
     poly_hash_sql,
+    qround,
     tokens,
 )
 from parquet_demo_spark.registry import register
@@ -200,8 +201,10 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     "q47_quality_score",
     oracle="""
     SELECT doc_id, n_chars, n_tokens, n_stop,
-           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-           ROUND(CAST(n_alpha_chars AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+           FLOOR(CAST(n_stop AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000
+             AS stop_ratio,
+           FLOOR(CAST(n_alpha_chars AS DOUBLE) / n_chars * 10000 + 0.5)
+             / 10000 AS alpha_ratio,
            CAST(FLOOR(100 * CAST(n_stop AS DOUBLE) / n_tokens
                       + CAST(LEAST(n_tokens, 100) AS DOUBLE)) AS BIGINT)
              AS quality_score
@@ -243,10 +246,10 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         "n_tokens",
         "n_stop",
-        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
-            "stop_ratio"
-        ),
-        F.round(
+        qround(
+            F.col("n_stop").cast("double") / F.col("n_tokens"), 4
+        ).alias("stop_ratio"),
+        qround(
             F.col("n_alpha_chars").cast("double") / F.col("n_chars"), 4
         ).alias("alpha_ratio"),
         F.floor(
@@ -309,7 +312,8 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     "q65_repetition_score",
     oracle="""
     SELECT doc_id, n_tri, n_tri_distinct,
-           ROUND(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 4) AS dup_tri_ratio
+           FLOOR((1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri) * 10000
+                 + 0.5) / 10000 AS dup_tri_ratio
     FROM (
       SELECT doc_id,
              CAST(len(tri) AS BIGINT) AS n_tri,
@@ -354,7 +358,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_tri",
         "n_tri_distinct",
-        F.round(
+        qround(
             1.0 - F.col("n_tri_distinct").cast("double") / F.col("n_tri"), 4
         ).alias("dup_tri_ratio"),
     ).orderBy("doc_id")

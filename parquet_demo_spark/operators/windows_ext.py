@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
+from parquet_demo_spark.functions import qround
 from parquet_demo_spark.registry import register
 
 
@@ -22,8 +23,9 @@ from parquet_demo_spark.registry import register
     oracle="""
     SELECT c_custkey,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000
+             AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume,
            FIRST_VALUE(c_custkey) OVER w AS richest_in_segment,
            c_mktsegment
     FROM customer
@@ -42,8 +44,8 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        qround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        qround(F.cume_dist().over(w), 6).alias("cume"),
         F.first("c_custkey").over(w).alias("richest_in_segment"),
         "c_mktsegment",
     ).orderBy("c_custkey")

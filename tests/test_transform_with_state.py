@@ -17,16 +17,6 @@ from parquet_demo_spark.streaming.stateful import (
 )
 
 
-def test_gate_reflects_protobuf_presence():
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        expected = True
-    except ImportError:
-        expected = False
-    assert TWS_AVAILABLE is expected
-
-
 @pytest.mark.skipif(
     not TWS_AVAILABLE,
     reason="google.protobuf descriptors absent (container limitation); "
