@@ -174,3 +174,16 @@ def test_q96_fingerprint_pipeline_computes_once(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "ReusedExchange" in buf.getvalue()
+
+
+def test_q115_all_predicates_pushed(spark, sf_dir):
+    # Q6 is the scan-efficiency canary: date band, discount band, and
+    # quantity cap must ALL reach the parquet reader
+    df = QUERIES["q115_forecast_revenue"].spark(spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q116_topk_is_heap(spark, sf_dir):
+    df = QUERIES["q116_returned_revenue"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert uses_broadcast_join(df)
