@@ -748,7 +748,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     late = o.join(
         li,
         (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > F.date_add(o.o_orderdate, 80)),
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 80 DAYS")),
         "left_semi",
     )
     return (
@@ -883,6 +883,11 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        # explicit: the supplier inner join infers isnotnull(l_suppkey)
+        # on the join branch only; filtering it HERE makes both consumers
+        # of `rev` (the MAX threshold and the join) canonically identical
+        # so AQE materializes the per-supplier aggregation once
+        & F.col("l_suppkey").isNotNull()
     )
     s = load(spark, sf, "supplier")
     one = F.lit(1).cast(DEC)

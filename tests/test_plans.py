@@ -187,3 +187,18 @@ def test_q116_topk_is_heap(spark, sf_dir):
     df = QUERIES["q116_returned_revenue"].spark(spark, sf_dir)
     assert uses_take_ordered(df)
     assert uses_broadcast_join(df)
+
+
+def test_q117_preagg_computes_once(spark, sf_dir):
+    # the per-supplier revenue aggregation feeds both the MAX threshold
+    # and the ranking join; the explicit isnotnull(l_suppkey) filter
+    # makes the branches canonical so AQE reuses the materialized stage
+    import contextlib
+    import io
+
+    df = QUERIES["q117_top_supplier"].spark(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedExchange" in buf.getvalue()
