@@ -201,3 +201,65 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("doubled").cast("bigint").alias("doubled_chars"),
     )
+
+
+# --- 6. Python UDTF (table function) -------------------------------------
+
+
+@register(
+    "q120_udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(sents,
+                s -> len(list_filter(string_split_regex(s, '\\s+'),
+                                     w -> w <> '')))) AS BIGINT)
+             AS total_words
+    FROM (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'),
+                                        s -> trim(s)),
+                         s -> s <> '') AS sents
+      FROM documents WHERE doc_id < 50)
+    ORDER BY doc_id
+    """,
+    doc="S32 Python UDTF (table function): one input row expands to N "
+    "sentence rows via a generator class — the LATERAL-join tier of the "
+    "Python surface (native > pandas_udf > applyInPandas/mapInPandas > "
+    "mapInArrow > UDTF > row UDF). Row-at-a-time Python, so bounded to "
+    "50 docs and aggregated back for the oracle check; at scale the "
+    "same expansion is the in-row transform q65/q66 already use — the "
+    "UDTF exists for logic a lambda genuinely cannot express.",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words bigint")
+    class SentenceStats:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                sent = raw.strip()
+                if sent:
+                    yield idx, len(sent.split())
+                    idx += 1
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("sentence_stats", SentenceStats)
+    docs.select("doc_id", "text").createOrReplaceTempView("q120_docs")
+    per_sentence = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_words
+        FROM q120_docs d, LATERAL sentence_stats(d.text) s
+        """
+    )
+    return (
+        per_sentence.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("doc_id")
+    )
