@@ -824,10 +824,15 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         100 * n_stop.cast("double") / n_tokens
         + F.least(n_tokens, F.lit(100)).cast("double")
     ).cast("bigint")
+    # localCheckpoint: q is ~500 tiny rows feeding the member join, the
+    # singleton anti-join, and (via member) the per-label argmax — pinned
+    # once, the regex tokenization pipeline runs once instead of 3x
+    # (same pattern connected_components uses for its edge set)
     q = (
         docs.select("doc_id", n_tokens.alias("nt"), quality.alias("quality"))
         .filter(F.col("nt") >= 1)
         .drop("nt")
+        .localCheckpoint()
     )
     pairs = minhash_candidate_pairs(docs).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -836,38 +841,35 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
     member = q.join(labels, q.doc_id == labels.v).select(
         "doc_id", "quality", "label"
     )
-    best = (
-        member.groupBy("label")
-        .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")))).alias("m"))
-        .select(F.col("m.quality").alias("quality"))
+    # ONE pass over member: per-label size + quality-argmax together,
+    # then a single global roll-up (three separate agg branches would
+    # re-execute the member join per branch)
+    per_label = member.groupBy("label").agg(
+        F.count("*").alias("n_i"),
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")))).alias("m"),
+    )
+    stats_m = per_label.agg(
+        F.coalesce(F.sum("n_i"), F.lit(0))
+        .cast("bigint")
+        .alias("n_in_clusters"),
+        F.count("*").alias("n_clusters"),
+        F.coalesce(F.sum(F.col("m.quality")), F.lit(0))
+        .cast("bigint")
+        .alias("_qb"),
     )
     singles = q.join(
         labels.select(F.col("v").alias("doc_id")), "doc_id", "left_anti"
-    )
-    stats_m = member.agg(
-        F.count("*").alias("n_in_clusters"),
-        F.countDistinct("label").alias("n_clusters"),
-    )
-    stats_b = best.agg(
-        F.count("*").alias("_nb"),
-        F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("_qb"),
     )
     stats_s = singles.agg(
         F.count("*").alias("_ns"),
         F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("_qs"),
     )
     # n_docs = members + singletons: q partitions exactly into the two
-    # (member = q semi-join comp, singles = q anti-join comp), so a third
-    # scan of the tokenization pipeline for a separate COUNT(q) would be
-    # redundant
-    return (
-        stats_m.crossJoin(stats_b)
-        .crossJoin(stats_s)
-        .select(
-            (F.col("n_in_clusters") + F.col("_ns")).alias("n_docs"),
-            "n_in_clusters",
-            "n_clusters",
-            (F.col("_ns") + F.col("_nb")).alias("n_kept"),
-            (F.col("_qs") + F.col("_qb")).alias("kept_quality_sum"),
-        )
+    # (member = q semi-join comp, singles = q anti-join comp)
+    return stats_m.crossJoin(stats_s).select(
+        (F.col("n_in_clusters") + F.col("_ns")).alias("n_docs"),
+        "n_in_clusters",
+        "n_clusters",
+        (F.col("_ns") + F.col("n_clusters")).alias("n_kept"),
+        (F.col("_qs") + F.col("_qb")).alias("kept_quality_sum"),
     )
