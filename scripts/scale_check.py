@@ -127,6 +127,9 @@ _NEEDS = {
     "q101_unigram_surprisal": ["documents"],
     "q103_kmeans_lloyd": ["embeddings"],
     "q104_zipf_slope": ["documents"],
+    "q116_returned_revenue": ["lineitem", "orders", "customer", "nation"],
+    "q118_volume_shipping": ["lineitem", "orders", "customer", "supplier", "nation"],
+    "q119_product_profit": ["lineitem", "orders", "part", "supplier", "nation"],
 }
 
 
