@@ -498,23 +498,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the PREVIOUS label through the checkpoint so convergence
+        # is a filter-count on already-materialized rows — not an extra
+        # join job against the prior iteration per round
+        stepped = (
             labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
             .select(
                 "v",
+                F.col("label").alias("prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()  # cut lineage: iteration N+1 must not replan N
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        labels = stepped.select("v", "label")
         if changed == 0:
             return labels
     # exhausting the iteration budget means some component's diameter
