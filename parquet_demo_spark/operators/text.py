@@ -625,3 +625,122 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — bigram LM surprisal with interpolated unigram backoff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q121_bigram_surprisal",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 2000
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(tk) + 1),
+                    j -> tk[j-1] || ' ' || tk[j])) AS bg
+      FROM base WHERE len(tk) >= 2
+    ),
+    tok AS (
+      SELECT unnest(tk) AS token FROM base
+    ),
+    uni AS (SELECT token, COUNT(*)::BIGINT AS cu FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
+    bic AS (SELECT bg, COUNT(*)::BIGINT AS cb FROM bg GROUP BY bg),
+    prevc AS (
+      SELECT split_part(bg, ' ', 1) AS prev, COUNT(*)::BIGINT AS cp
+      FROM bg GROUP BY prev
+    ),
+    sur AS (
+      SELECT bic.bg,
+             CAST(FLOOR(-ln(
+               0.7 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+               + 0.3 * (CAST(cu AS DOUBLE) / n)
+             ) * 1000000 + 0.5) AS BIGINT) AS s
+      FROM bic
+      JOIN prevc ON split_part(bic.bg, ' ', 1) = prevc.prev
+      JOIN uni   ON split_part(bic.bg, ' ', 2) = uni.token
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+             AS surprisal
+    FROM bg JOIN sur USING (bg)
+    GROUP BY doc_id
+    ORDER BY surprisal DESC, doc_id
+    LIMIT 15
+    """,
+    doc="Bigram LM quality score with interpolated backoff "
+    "(p = 0.7*p(cur|prev) + 0.3*p(cur)) — the step past q101's unigram "
+    "model toward a real perplexity filter: repeated boilerplate scores "
+    "LOW (its bigrams are frequent) while garbled text scores HIGH even "
+    "when its unigrams are common, which is exactly the signal n-gram "
+    "LM filtering uses. Bigrams are built in-row (no position explode), "
+    "counted once, scored once per DISTINCT bigram (vocabulary-sized "
+    "work), and the scored table broadcasts back onto the bigram "
+    "stream — the corpus never shuffles. All probabilities are integer-"
+    "count ratios in identical IEEE expression order; surprisals are "
+    "micro-quantized (the mean6 contract).",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    base = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
+    bgs = F.transform(
+        F.sequence(F.lit(2), F.size(tk)),
+        lambda j: F.concat(
+            F.element_at(tk, j - 1), F.lit(" "), F.element_at(tk, j)
+        ),
+    )
+    bg = base.filter(F.size(tk) >= 2).select(
+        "doc_id", F.explode(bgs).alias("bg")
+    )
+    tok = base.select(F.explode(tk).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("cu"))
+    tot = uni.agg(F.sum("cu").cast("double").alias("n"))
+    bic = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    prevc = (
+        bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("cp"))
+    )
+    p = (
+        F.lit(0.7) * (F.col("cb").cast("double") / F.col("cp").cast("double"))
+        + F.lit(0.3) * (F.col("cu").cast("double") / F.col("n"))
+    )
+    sur = (
+        bic.join(
+            prevc,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("prev"),
+        )
+        .join(
+            uni,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("token"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("bg", micro6(-F.log(p)).cast("bigint").alias("s"))
+    )
+    return (
+        bg.join(F.broadcast(sur), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("s").cast("double") / F.count("*") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("surprisal"),
+        )
+        .orderBy(F.col("surprisal").desc(), "doc_id")
+        .limit(15)
+    )
