@@ -202,3 +202,10 @@ def test_q117_preagg_computes_once(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "ReusedExchange" in buf.getvalue()
+
+
+def test_q121_scoring_table_broadcasts(spark, sf_dir):
+    # the distinct-bigram surprisal table must broadcast back onto the
+    # bigram stream — the corpus itself never shuffles for the scoring
+    df = QUERIES["q121_bigram_surprisal"].spark(spark, sf_dir)
+    assert uses_broadcast_join(df)
