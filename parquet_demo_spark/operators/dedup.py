@@ -34,6 +34,7 @@ from parquet_demo_spark.functions import (
     dsum,
     poly_hash,
     poly_hash_sql,
+    qround,
     tokens,
 )
 from parquet_demo_spark.registry import register
@@ -871,4 +872,83 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         "n_clusters",
         (F.col("_ns") + F.col("n_clusters")).alias("n_kept"),
         (F.col("_qs") + F.col("_qb")).alias("kept_quality_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — LSH candidates → exact Jaccard verification (the production path)
+# ---------------------------------------------------------------------------
+
+_Q122_BOUND = 300
+
+_Q122_ORACLE = f"""
+WITH {_minhash_cand_ctes(f"WHERE doc_id < {_Q122_BOUND}")},
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(tk)), j -> tk[j] || '_' || tk[j+1])) AS sh
+  FROM toks WHERE len(tk) >= 2
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  JOIN sets a ON c.doc_a = a.doc_id
+  JOIN sets b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM verified
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@register(
+    "q122_lsh_verify_jaccard",
+    oracle=_Q122_ORACLE,
+    doc="The verify stage of the production near-dup pipeline: MinHash+"
+    "LSH candidate pairs (q43's operator) are checked against their "
+    "EXACT bigram-shingle Jaccard — candidates x exact, never corpus x "
+    "corpus (q45's df-cut all-pairs is the correctness baseline; this "
+    "composition is what actually runs at 100 TB: candidate count ~ "
+    "linear, each verification an in-row set op on two pre-built "
+    "shingle arrays). The per-doc shingle-set table joins in by doc_id "
+    "on BOTH sides of the pair; the integer-ratio jaccard is "
+    "floor-quantized (qround contract).",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(
+        F.col("doc_id") < _Q122_BOUND
+    )
+    cand = minhash_candidate_pairs(docs)
+    base = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda j: F.concat(
+                F.element_at(tk, j), F.lit("_"), F.element_at(tk, j + 1)
+            ),
+        )
+    )
+    sets = base.filter(F.size(tk) >= 2).select(
+        "doc_id", shingles.alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    jaccard = qround(
+        F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+        / F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double"),
+        6,
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
     )
