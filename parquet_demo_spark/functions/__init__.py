@@ -230,3 +230,24 @@ def mean6_sql(expr: str) -> str:
         f"FLOOR(CAST(SUM({micro6_sql(expr)}) AS DOUBLE)"
         f" / COUNT(*) + 0.5) / 1000000"
     )
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00, timestamp-type-agnostic.
+
+    ``F.unix_micros`` accepts only TIMESTAMP (LTZ) and raises
+    DATATYPE_MISMATCH on TIMESTAMP_NTZ — which is exactly what a naive
+    ``timestamp[us]`` parquet column becomes under
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` (the driver's
+    session reads the testdata that way). Diffing against the NTZ epoch
+    after an explicit NTZ cast works for both types: NTZ input is a
+    no-op cast (no session-timezone dependency at all), LTZ input
+    renders through the session zone (UTC in this engine, session.py),
+    so both agree with the DuckDB oracle's naive-µs ``epoch`` semantics.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import DEC, dec2, qround
+from parquet_demo_spark.functions import DEC, dec2, epoch_us, qround
 from parquet_demo_spark.registry import register
 
 
@@ -219,7 +219,7 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     rolled = ev.select(

@@ -454,6 +454,53 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q84b_iqr_outliers_approx",
+    oracle=None,  # sketch-based: bounded-diff-tested vs exact q84 instead
+    doc="The 100 TB fence pass for q84: identical two-pass broadcast "
+    "shape, but the quartiles come from approx_percentile (KLL-style "
+    "mergeable sketch, fixed-size per group) instead of F.percentile's "
+    "ObjectHashAggregate value buffer. Exact mode buffers every group's "
+    "values and measured 3x at 10x scale (BASELINE.md) — a hot group at "
+    "100x is an OOM; the sketch is O(1/accuracy) per group regardless "
+    "of group size. accuracy=10000 bounds rank error at ~0.01%; "
+    "tests/test_udfs_and_approx.py pins the fence drift vs exact q84. "
+    "No SQL oracle by design (DuckDB's approx sketch differs); the "
+    "driver records a rows-only check.",
+)
+def q84b(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
+    )
+    q = li.groupBy("l_returnflag").agg(
+        qround(pct.getItem(0), 2).alias("q1"),
+        qround(pct.getItem(1), 2).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    joined = li.join(F.broadcast(q), "l_returnflag")
+    p = F.col("l_extendedprice")
+    return (
+        joined.groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when((p < lo) | (p > hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            qround(lo, 2).alias("lo_fence"),
+            qround(hi, 2).alias("hi_fence"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q85 — per-label embedding centroids (first 8 dimensions)
 # ---------------------------------------------------------------------------

@@ -27,25 +27,26 @@ from parquet_demo_spark.catalog import load
 from parquet_demo_spark.registry import register
 
 
-def _salt_expr(
-    n_salts: int, salt_cols: list[str] | None, seed: int
-) -> Column:
-    """Deterministic uniform salt in [0, n_salts).
+def _salt_expr(n_salts: int, salt_cols: list[str]) -> Column:
+    """Deterministic uniform salt in [0, n_salts): pmod(hash(cols), n).
 
     Non-deterministic expressions feeding a shuffle are a correctness
     hazard (SPARK-23207 class): a fetch-failure stage retry re-salts the
     recomputed rows differently, double-counting or dropping them in the
-    phase-1 partial. So the salt is derived from row CONTENT when
-    ``salt_cols`` is given (``pmod(hash(cols), n)`` — retries reproduce
-    it bit-for-bit), else from ``rand(seed)`` whose per-partition stream
-    is reproducible for deterministic scan order (file sources).
+    phase-1 partial. So the salt is ALWAYS derived from row content —
+    retries reproduce it bit-for-bit. The old ``rand(seed)`` fallback is
+    gone: it was only retry-stable for deterministic scan order, a
+    property library callers can't be expected to audit.
+
     Prefer ``salt_cols`` naming a high-cardinality column (a row id);
-    note hashing the HOT KEY itself would put every hot row in one salt
-    bucket and defeat the balancing.
+    hashing the HOT KEY alone would put every hot row in one salt bucket
+    and defeat the balancing. Callers that omit ``salt_cols`` get a hash
+    of ALL columns — deterministic and well-spread unless rows are exact
+    duplicates (which then share a bucket; pass a row id to avoid).
     """
-    if salt_cols:
-        return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
-    return (F.rand(seed) * n_salts).cast("int")
+    if not salt_cols:
+        raise ValueError("salt_cols must name at least one column")
+    return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
 
 
 def with_salt(
@@ -53,10 +54,15 @@ def with_salt(
     n_salts: int,
     col_name: str = "_salt",
     salt_cols: list[str] | None = None,
-    seed: int = 42,
 ) -> DataFrame:
-    """Uniform int salt in [0, n_salts) — deterministic, not key-correlated."""
-    return df.withColumn(col_name, _salt_expr(n_salts, salt_cols, seed))
+    """Uniform int salt in [0, n_salts) — deterministic, not key-correlated.
+
+    Defaults to hashing every column when ``salt_cols`` is omitted (see
+    ``_salt_expr`` for the duplicate-row caveat).
+    """
+    return df.withColumn(
+        col_name, _salt_expr(n_salts, salt_cols or list(df.columns))
+    )
 
 
 def salted_agg_count(
@@ -64,17 +70,19 @@ def salted_agg_count(
     key: str | Column,
     n_salts: int = 16,
     salt_cols: list[str] | None = None,
-    seed: int = 42,
 ) -> DataFrame:
     """COUNT(*) per key via two-phase salted aggregation.
 
     Phase 1 groups by (key, salt) — the hot key splits into n_salts
     partials; phase 2 merges partials per key. Identical result to
     ``df.groupBy(key).count()``, balanced shuffle. Pass ``salt_cols``
-    (a unique row-id column) for a content-derived, retry-stable salt.
+    (a unique row-id column) for the best spread; the default hashes all
+    columns — still retry-stable, but exact-duplicate rows share a salt.
     """
     k = F.col(key) if isinstance(key, str) else key
-    salted = df.withColumn("_salt", _salt_expr(n_salts, salt_cols, seed))
+    salted = df.withColumn(
+        "_salt", _salt_expr(n_salts, salt_cols or list(df.columns))
+    )
     partial = salted.groupBy(k.alias("key"), F.col("_salt")).agg(
         F.count("*").alias("_partial")
     )
@@ -90,7 +98,6 @@ def salted_join(
     small_key: str,
     n_salts: int = 16,
     salt_cols: list[str] | None = None,
-    seed: int = 42,
 ) -> DataFrame:
     """Inner equi-join with the large side salted and the small side
     replicated per salt — each hot key spreads over n_salts tasks.
@@ -100,7 +107,7 @@ def salted_join(
     over skewed probe keys.
     """
     salted_large = large.withColumn(
-        "_salt", _salt_expr(n_salts, salt_cols, seed)
+        "_salt", _salt_expr(n_salts, salt_cols or list(large.columns))
     )
     salts = large.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import qround
+from parquet_demo_spark.functions import epoch_us, qround
 from parquet_demo_spark.registry import register
 
 
@@ -131,7 +131,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     # exact µs arithmetic (a seconds-granularity cast would truncate
     # fractional-second gaps and disagree with the oracle's interval
     # comparison at the 30-minute boundary)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     gap = us - F.lag(us).over(w)
     flagged = e.withColumn(
         "new_session",

@@ -49,7 +49,7 @@ def _update_user_profile(
         n += len(pdf)
         # exact integer cents (value is a 2-decimal double)
         cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        us = (pdf["ts"].astype("int64") // 1000).astype("int64")  # ns→µs
+        us = pdf["ts"].astype("int64")  # already epoch-µs (source-normalized)
         batch_last = max(zip(us, pdf["event_id"], pdf["event_type"]))
         if (batch_last[0], batch_last[1]) > (last_us, last_id):
             last_us, last_id, last_type = (
@@ -69,16 +69,12 @@ def _update_user_profile(
 
 
 def user_profile_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """Raw-ts variant of the events stream → per-user stateful profile."""
-    from pyspark.sql import functions as F
-    from parquet_demo_spark.streaming.windows import _EVENTS_SCHEMA, _stream_dir
+    """Raw-µs variant of the events stream → per-user stateful profile."""
+    from parquet_demo_spark.streaming.windows import read_events_stream_us_long
 
-    src = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir(sf))
-        .withColumn("ts", F.col("ts"))  # keep raw int64 ns for exact math
-    )
+    # ts arrives as int64 epoch-µs regardless of the fixture's physical
+    # unit — exact integer math in the pandas updater, no float round-trip
+    src = read_events_stream_us_long(spark, sf)
     return src.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
         outputStructType=_OUT_SCHEMA,
@@ -183,7 +179,7 @@ class _UserProfileProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             cents += int((pdf["value"] * 100).round().astype("int64").sum())
-            us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            us = pdf["ts"].astype("int64")  # epoch-µs (source-normalized)
             batch_last = max(zip(us, pdf["event_id"], pdf["event_type"]))
             if (batch_last[0], batch_last[1]) > (last_us, last_id):
                 last_us, last_id, last_type = (
@@ -236,16 +232,11 @@ def user_profile_transform_with_state(
     from pyspark.sql import functions as F
 
     from parquet_demo_spark.streaming.windows import (
-        _EVENTS_SCHEMA,
         _run_to_memory,
-        _stream_dir,
+        read_events_stream_us_long,
     )
 
-    src = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir(sf))
-    )
+    src = read_events_stream_us_long(spark, sf)
     agg = src.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_UserProfileProcessor(),
         outputStructType=_OUT_SCHEMA,

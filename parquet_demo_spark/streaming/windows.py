@@ -28,21 +28,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parquet_demo_spark.functions import dsum
+from parquet_demo_spark.functions import dsum, epoch_us
 from parquet_demo_spark.registry import register
 
-# Explicit source schema: ts is parquet timestamp[ns] → read as long
-# (nanosAsLong) and converted to µs timestamps, as in catalog.load.
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_ts_type(sf: str) -> T.DataType:
+    """Spark type for the fixture's ``ts`` column, from the parquet footer.
+
+    File streams require an explicit schema, and the fixture's physical
+    ts type has varied across driver releases — timestamp[ns] (Spark
+    reads raw int64 under ``nanosAsLong``, as catalog.load handles for
+    the batch side) vs naive timestamp[us] (TIMESTAMP_NTZ). Hard-coding
+    either breaks the other, so the schema derives from the footer: a
+    single driver-side metadata read, no data scanned.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf, "events.parquet")).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    return T.LongType()
+
+
+def events_schema(sf: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", _events_ts_type(sf)),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf: str) -> str:
@@ -64,14 +83,47 @@ def _stream_dir(sf: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+def _raw_events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        spark.readStream.schema(events_schema(sf))
         .option("maxFilesPerTrigger", 1)
         .parquet(_stream_dir(sf))
     )
-    # integral div: epoch-ns exceeds double's exact-integer range
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Events stream with ``ts`` normalized to a µs TIMESTAMP.
+
+    ns fixture: integral div (epoch-ns exceeds double's exact-integer
+    range). NTZ fixture: plain cast — the session timezone is pinned to
+    UTC (``__spark_entry__._configure`` / session.py), so the cast is a
+    bit-identical reinterpretation, matching the DuckDB oracle's naive
+    timestamps.
+    """
+    stream = _raw_events_stream(spark, sf)
+    t = stream.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if isinstance(t, T.TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def read_events_stream_us_long(spark: SparkSession, sf: str) -> DataFrame:
+    """Events stream with ``ts`` as raw int64 epoch-MICROSECONDS.
+
+    The stateful operators (q63 and its transformWithState twin) do
+    exact integer event-time comparisons in pandas; handing them a
+    unit-normalized int64 keeps the Python side unit-blind across
+    fixture layouts.
+    """
+    stream = _raw_events_stream(spark, sf)
+    t = stream.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return stream.withColumn("ts", F.expr("ts div 1000"))
+    return stream.withColumn("ts", epoch_us("ts"))
 
 
 from contextlib import contextmanager

@@ -8,6 +8,7 @@ import glob
 
 from pyspark.sql import functions as F
 
+from parquet_demo_spark.catalog import load
 from parquet_demo_spark.io import write_partitioned
 from parquet_demo_spark.plans import physical_plan
 from parquet_demo_spark.streaming.windows import read_events_stream
@@ -41,8 +42,10 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
 
 def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events_by_day")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "day", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    # catalog.load normalizes ts across fixture layouts (ns-as-long vs
+    # native µs timestamps); to_date accepts either timestamp flavor
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
     )
     write_partitioned(events, out, ["day"])
 

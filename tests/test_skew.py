@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.operators.skew import salted_agg_count, salted_join
+from parquet_demo_spark.operators.skew import (
+    salted_agg_count,
+    salted_join,
+    with_salt,
+)
 
 
 def test_salted_agg_count_equals_plain(spark, sf_dir):
@@ -39,3 +43,31 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert sorted((r.c_mktsegment, r["count"]) for r in plain) == sorted(
         (r.c_mktsegment, r["count"]) for r in salted
     )
+
+
+def test_salt_stable_across_materializations(spark, sf_dir):
+    """VERDICT r3 #10: the salt must be identical across two independent
+    materializations of the same input (no rand() anywhere — a stage
+    retry that rescans the file must reproduce every salt value)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    first = {
+        r.event_id: r._salt for r in with_salt(ev, 16).collect()
+    }
+    second = {
+        r.event_id: r._salt
+        for r in with_salt(
+            load(spark, sf_dir, "events").select("event_id", "user_id"), 16
+        ).collect()
+    }
+    assert first == second
+    # and the default (all-columns) spread actually uses all buckets
+    assert len(set(first.values())) == 16
+
+
+def test_salt_requires_columns():
+    import pytest
+
+    from parquet_demo_spark.operators.skew import _salt_expr
+
+    with pytest.raises(ValueError):
+        _salt_expr(8, [])

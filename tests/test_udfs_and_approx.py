@@ -70,3 +70,25 @@ def test_multimodal_stub_raises():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_q84b_approx_fences_bounded_vs_exact(spark, sf_dir):
+    """q84b (sketch fences) must stay within tight bounds of the exact
+    q84: identical group keys and row counts, fence drift below 0.5% of
+    the fence magnitude, and outlier-count drift below 2% of rows —
+    the contract that makes it a safe 100 TB substitute."""
+    exact = {
+        r.l_returnflag: r
+        for r in QUERIES["q84_iqr_outliers"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["q84b_iqr_outliers_approx"].spark(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        a = approx[k]
+        assert a.n_rows == e.n_rows
+        assert abs(a.lo_fence - e.lo_fence) <= 0.005 * abs(e.lo_fence) + 1
+        assert abs(a.hi_fence - e.hi_fence) <= 0.005 * abs(e.hi_fence) + 1
+        assert abs(a.n_outliers - e.n_outliers) <= max(0.02 * e.n_rows, 5)
