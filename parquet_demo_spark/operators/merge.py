@@ -1,0 +1,87 @@
+"""MERGE / upsert-into-mutable-store queries (SURVEY §2A R14 end-to-end).
+
+The reference's R14 is "bulk ReplaceOne into Mongo by composite PK"
+(`examples/ingest_parquet_to_mongo_bulk.py`, `_bulk.py:108-116,119-209`).
+sources/mongo.py maps that to the Spark connector (env-gated: no jar/
+mongod in this container); sources/merge_store.py provides the same
+mutable-store capability file-backed, so the upsert path executes — and
+is hash-checked by the driver — against a REAL mutable store in any
+environment.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.catalog import load
+from parquet_demo_spark.registry import register
+from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+
+@register(
+    "q123_merge_upsert_roundtrip",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (event_id % 2) DESC, ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="R14 upsert executed end-to-end against a real mutable store: "
+    "events split into two batches (even event_ids, then odd) merged "
+    "into a ParquetMergeStore keyed by (user_id, event_type) with "
+    "(ts, event_id) last-write-wins inside a batch and unconditional "
+    "replace across batches — exactly the reference's ReplaceOne stream "
+    "semantics. The returned aggregate reads the store's committed "
+    "snapshot back from disk, so the driver's hash check covers the "
+    "whole write→commit→read round trip (collapse shuffle, bucket "
+    "routing, manifest, atomic pointer swap). The oracle reproduces the "
+    "two-batch replace order as (event_id % 2) DESC, ts DESC, "
+    "event_id DESC per key.",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    # deterministic per-(sf) scratch root, rebuilt each run: the query
+    # must exercise a FRESH store (same input → same versions → same
+    # result), and reruns must not accumulate /tmp state
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_merge",
+        "q123_" + sf.strip("/").replace("/", "_"),
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    store.merge(ev.filter(F.col("event_id") % 2 == 1))
+    final = store.read(spark)
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,132 @@
+"""ParquetMergeStore: the file-backed R14 mutable store.
+
+Covers what the q123 registry hash-check can't see from the final
+aggregate alone: ReplaceOne-faithful per-row semantics, bucket-level
+rewrite pruning, snapshot isolation under a crashed merge, time travel,
+and vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+
+def _store(tmp_path, **kw):
+    defaults = dict(
+        keys=("k",), version_cols=("v",), num_buckets=4
+    )
+    defaults.update(kw)
+    return ParquetMergeStore(str(tmp_path / "store"), **defaults)
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.payload) for r in df.collect())
+
+
+def test_merge_replace_and_insert(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )
+    # batch 2: replace k=1, insert k=3. The replacement carries a LOWER
+    # version — it must still win (ReplaceOne is unconditional)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=0, payload="a2"), Row(k=3, v=1, payload="c")]
+        )
+    )
+    assert _rows(st.read(spark)) == [
+        (1, 0, "a2"),
+        (2, 1, "b"),
+        (3, 1, "c"),
+    ]
+
+
+def test_within_batch_lww_by_version(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="new"),
+                Row(k=1, v=1, payload="old"),
+            ]
+        )
+    )
+    assert _rows(st.read(spark)) == [(1, 2, "new")]
+
+
+def test_bucket_pruning_rewrites_only_touched(spark, tmp_path):
+    """A merge touching one key must re-reference, not rewrite, every
+    bucket it didn't touch — the property that makes a 1% upsert batch
+    a 1% rewrite at 100 TB."""
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame([Row(k=i, v=1, payload=str(i)) for i in range(64)])
+    )
+    before = st._bucket_paths(0)
+    assert len(before) == 8  # 64 keys cover all 8 buckets
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="x")]))
+    after = st._bucket_paths(1)
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert len(changed) == 1  # exactly the bucket containing k=1
+    # and the data survived: one row changed, 63 untouched
+    rows = dict((r.k, r.payload) for r in st.read(spark).collect())
+    assert rows[1] == "x" and len(rows) == 64 and rows[63] == "63"
+
+
+def test_crashed_merge_leaves_snapshot_intact(spark, tmp_path):
+    """Files written without a pointer swap are invisible to readers —
+    the atomic-commit property."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    # simulate a merge that died after writing data but before commit:
+    # orphan data dir + orphan manifest dir with no pointer update
+    os.makedirs(str(tmp_path / "store" / "data" / "v00001"), exist_ok=True)
+    assert st.current_version() == 0
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+    # and the next merge commits cleanly on top
+    st.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    assert st.current_version() == 1
+    assert len(_rows(st.read(spark))) == 2
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="b")]))
+    assert st.history() == [0, 1]
+    assert _rows(st.read(spark, version=0)) == [(1, 1, "a")]
+    assert _rows(st.read(spark)) == [(1, 2, "b")]
+
+
+def test_vacuum_keeps_live_data(spark, tmp_path):
+    st = _store(tmp_path, num_buckets=2)
+    st.merge(spark.createDataFrame([Row(k=i, v=1, payload="a") for i in range(8)]))
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="b")]))
+    removed = st.vacuum(keep_last=1)
+    # v0's dirs are still referenced by v1's untouched bucket → kept
+    assert removed == []
+    latest = _rows(st.read(spark))
+    assert len(latest) == 8 and (1, 2, "b") in latest
+    # rewrite everything, then v0's data dir becomes garbage
+    st.merge(spark.createDataFrame([Row(k=i, v=3, payload="c") for i in range(8)]))
+    removed = st.vacuum(keep_last=1)
+    assert os.path.join("data", "v00000") in removed
+    assert len(_rows(st.read(spark))) == 8
+
+
+def test_empty_store_read_raises(spark, tmp_path):
+    st = _store(tmp_path)
+    with pytest.raises(ValueError):
+        st.read(spark)
+
+
+def test_requires_keys(tmp_path):
+    with pytest.raises(ValueError):
+        ParquetMergeStore(str(tmp_path / "s"), keys=())
