@@ -2,14 +2,14 @@
 
 ``python -m parquet_demo_spark generate`` ≙ `examples/generate_big_parquet.py`
 (flags --rows/--out/--seed, `:80-98`) plus the 53-col supplymethod table
-(`generate_parquet_from_ddl.py`) via --table. One deliberate layout
-difference: the reference's --row-group-size controls parquet row-group
-size WITHIN one file; Spark's writer sizes row groups in bytes
-(parquet.block.size), not rows, so this CLI exposes --rows-per-file
-(maxRecordsPerFile — one file per N rows) instead and keeps
---row-group-size only as a documented alias for it. Same data, finer
-file granularity; downstream scans treat a file set identically to one
-multi-row-group file.
+(`generate_parquet_from_ddl.py`) via --table. The reference's
+--row-group-size controls parquet row-group size WITHIN one file; with
+--single-file this CLI reproduces that layout exactly (one file, N-row
+row groups, written via Arrow — driver-bound like the reference's own
+single ParquetWriter). The distributed default instead maps the flag to
+--rows-per-file (maxRecordsPerFile — one file per N rows): same data,
+finer file granularity; downstream scans treat a file set identically
+to one multi-row-group file.
 
 ``python -m parquet_demo_spark ingest`` ≙
 `examples/ingest_parquet_to_mongo_bulk.py` (flags --parquet/--mongo-uri/
@@ -48,6 +48,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     g.add_argument(
         "--table", choices=["wide50", "supplymethod"], default="wide50"
+    )
+    g.add_argument(
+        "--single-file",
+        action="store_true",
+        help="write ONE parquet file with row groups of exactly "
+        "--row-group-size rows (the reference's physical layout; "
+        "driver-bound — collects through Arrow). Default (off) writes "
+        "distributed, one file per --rows-per-file rows.",
     )
     g.add_argument("--partitions", type=int, default=None)
     g.add_argument(
@@ -113,7 +121,16 @@ def _cmd_generate(args) -> int:
         print(f"dry-run: would write {df.count():,} rows to {args.out}")
         return 0
     print(f"Generating {args.rows:,} rows ({args.table}) -> {args.out}")
-    write_chunked(df, args.out, rows_per_file=args.rows_per_file)
+    if args.single_file:
+        from parquet_demo_spark.generators import (
+            write_single_file_row_grouped,
+        )
+
+        write_single_file_row_grouped(
+            df, args.out, row_group_rows=args.rows_per_file
+        )
+    else:
+        write_chunked(df, args.out, rows_per_file=args.rows_per_file)
     print(f"Wrote parquet in {time.time() - t0:.2f}s")
     return 0
 

@@ -147,3 +147,62 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         salt_cols=["event_id"],
     )
     return out.select(F.col("key").alias("k"), "cnt").orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join: the zero-code-change layer (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+# When to use which layer:
+#
+# - JOIN skew → AQE. OptimizeSkewedJoin splits an oversized shuffle
+#   partition into task-sized chunks at runtime (replicating the matching
+#   other-side partition), even when ONE key holds the bulk of the rows.
+#   No code changes, no result change; needs nothing but the configs.
+# - AGGREGATION skew → salting (salted_agg_count above). AQE cannot split
+#   a single GROUP BY key's partial aggregate across tasks — the key IS
+#   the partition. Two-phase salting is the only rebalance.
+# - Streaming / stateful plans → salting. AQE is disabled inside
+#   stateful streaming queries, so hot keys there need the explicit salt.
+#
+# The thresholds below are fixture-scale (KB, not the 256MB production
+# default) so the optimization is demonstrable — and CI-assertable
+# (tests/test_plans.py::test_aqe_skew_join_applied) — on local data.
+# Production keeps the defaults: a partition is "skewed" when it exceeds
+# skewedPartitionFactor x median AND skewedPartitionThresholdInBytes.
+
+AQE_SKEW_DEMO_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # no broadcast: force the shuffled join AQE has to repair
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+}
+
+
+def skewed_join_demo(
+    spark: SparkSession, n_big: int = 500_000, n_right: int = 200_000
+) -> DataFrame:
+    """A deliberately key-skewed shuffled join (90% of the big side on
+    one key) reduced to a scalar — collect it under
+    ``AQE_SKEW_DEMO_CONFS`` and the final adaptive plan shows
+    ``SortMergeJoin(skew=true)``: the hot partition was split at
+    runtime. The caller owns setting/restoring the confs (they're
+    session-wide)."""
+    big = spark.range(0, n_big).select(
+        F.when(F.col("id") < int(n_big * 0.9), F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, n_right).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("r")
+    )
+    return (
+        big.join(right, "k")
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+    )

@@ -73,3 +73,32 @@ def test_ingest_without_mongo_errors_clearly(spark, sf_smoke, monkeypatch):
                 os.path.join(sf_smoke, "region.parquet"),
             ]
         )
+
+
+def test_generate_single_file_row_groups(spark, tmp_path):
+    """VERDICT r3 #4: --single-file reproduces the reference's physical
+    layout — ONE parquet file whose row groups hold exactly
+    --row-group-size rows (footer-inspected, not inferred)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "w50_single.parquet")
+    rc = main(
+        [
+            "generate",
+            "--rows",
+            "1000",
+            "--out",
+            out,
+            "--row-group-size",
+            "300",
+            "--single-file",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isfile(out)  # one file, not a directory of parts
+    meta = pq.ParquetFile(out).metadata
+    assert meta.num_rows == 1000
+    assert meta.num_row_groups == 4  # 300+300+300+100
+    assert [meta.row_group(i).num_rows for i in range(4)] == [300, 300, 300, 100]
+    # and the data reads back identically through Spark
+    assert spark.read.parquet(out).count() == 1000
