@@ -1,11 +1,14 @@
-"""10× scaling check (BASELINE.md §'Scaling check').
+"""N× scaling check (BASELINE.md §'Scaling check').
 
-Replicates the sf0.1 fixture tables ×10 (key columns offset per copy so
+Replicates the sf0.1 fixture tables ×N (key columns offset per copy so
 join/group cardinality scales too) into 32-file parquet under /tmp, then
 re-runs headline queries warm and prints per-query seconds plus the plan
 markers that must survive the scale-up (WindowGroupLimit, TakeOrdered).
 
-Usage: python scripts/scale_check.py [q13 q15 ...]
+Usage: python scripts/scale_check.py [--copies N] [q13 q15 ...]
+--copies defaults to 10; --copies 100 is the VERDICT r3 #9 tier that
+turns "plans hold at 100×" into a measurement (sampled headline queries
+only — build time and disk scale with N).
 """
 
 from __future__ import annotations
@@ -24,8 +27,8 @@ from parquet_demo_spark.registry import all_queries
 from parquet_demo_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/spark_graft_scale10"
-COPIES = 10
+COPIES = 10  # overridden by --copies
+DST = f"/tmp/spark_graft_scale{COPIES}"
 FILES = 32
 
 # per-table key columns to offset per copy (keeps keys disjoint so
@@ -121,6 +124,11 @@ _NEEDS = {
     "q78_decontaminate": ["documents"],
     "q79_train_split": ["documents"],
     "q84_iqr_outliers": ["lineitem"],
+    "q84b_iqr_outliers_approx": ["lineitem"],
+    "q31_local_supplier_volume": [
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    ],
+    "q76_dedup_clusters_minhash": ["documents"],
     "q85_label_centroids": ["embeddings"],
     "q88_curation_funnel": ["documents"],
     "q89_label_affinity": ["embeddings"],
@@ -134,7 +142,14 @@ _NEEDS = {
 
 
 def main() -> None:
-    wanted = sys.argv[1:] or ["q13", "q15"]
+    global COPIES, DST
+    args = sys.argv[1:]
+    if "--copies" in args:
+        i = args.index("--copies")
+        COPIES = int(args[i + 1])
+        del args[i : i + 2]
+        DST = f"/tmp/spark_graft_scale{COPIES}"
+    wanted = args or ["q13", "q15"]
     spark = get_spark()
     qs = all_queries()
     os.makedirs(DST, exist_ok=True)
@@ -151,14 +166,18 @@ def main() -> None:
             if m in plan
         ]
         df.count()  # warm
+        # timed runs REBUILD the query: iterative operators (connected
+        # components) do their work at construction time via
+        # localCheckpoint, so timing only .count() on a prebuilt frame
+        # would measure reading the final checkpoint, not the algorithm
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            df.count()
+            q.spark(spark, DST).count()
             times.append(time.perf_counter() - t0)
         print(
-            f"{name}: best {min(times):.2f}s (runs {[f'{t:.2f}' for t in times]}) "
-            f"markers={markers}"
+            f"{name}: median {sorted(times)[1]:.2f}s "
+            f"(runs {[f'{t:.2f}' for t in times]}) markers={markers}"
         )
 
 
