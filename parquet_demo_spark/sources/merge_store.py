@@ -84,7 +84,12 @@ class ParquetMergeStore:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, version: int, bucket_paths: dict[int, str]) -> None:
+    def _commit(
+        self,
+        version: int,
+        bucket_paths: dict[int, str],
+        columns: list[str],
+    ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
         manifest = {
@@ -92,6 +97,10 @@ class ParquetMergeStore:
             "keys": list(self.keys),
             "version_cols": list(self.version_cols),
             "num_buckets": self.num_buckets,
+            # the table schema (column names, stable order): bucket dirs
+            # from different versions may carry different physical
+            # schemas after an evolution — this is the authoritative set
+            "columns": columns,
             # JSON keys are strings; normalize on read
             "bucket_paths": {str(k): v for k, v in bucket_paths.items()},
         }
@@ -125,8 +134,15 @@ class ParquetMergeStore:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty merge store: {self.root}")
+        m = self._read_manifest(v)
         paths = sorted(set(self._bucket_paths(v).values()))
-        return spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+        # mergeSchema: after a schema evolution, buckets written before
+        # it lack the new columns — union the footers and backfill null,
+        # then present the manifest's authoritative column order
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+        return df.select(*m["columns"])
 
     def history(self) -> list[int]:
         vs = []
@@ -143,7 +159,9 @@ class ParquetMergeStore:
             F.hash(*[F.col(c) for c in self.keys]), F.lit(self.num_buckets)
         )
 
-    def merge(self, upserts: DataFrame) -> int:
+    def merge(
+        self, upserts: DataFrame, allow_schema_evolution: bool = False
+    ) -> int:
         """Replace-by-PK merge; returns the committed version number.
 
         1. collapse the batch to one row per PK (LWW by version_cols —
@@ -152,11 +170,52 @@ class ParquetMergeStore:
         3. current ∪ upserts for touched buckets, upsert wins per PK
            (unconditional replace — ReplaceOne semantics);
         4. write new bucket dirs, commit manifest + pointer atomically.
+
+        ``allow_schema_evolution`` unions by name with missing columns
+        permitted (Delta-style mergeSchema): columns new in the batch
+        backfill null on stored rows, columns absent from the batch
+        stay null on its rows. Mongo needs no flag here — documents are
+        schemaless — so the loose mode is the R14-faithful one; the
+        strict default exists because a silently-widening 100 TB table
+        is usually a bug, not an intent. Key and version columns must
+        always be present.
         """
         from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
+        missing = [
+            c
+            for c in (*self.keys, *self.version_cols)
+            if c not in upserts.columns
+        ]
+        if missing:
+            raise ValueError(f"upsert batch lacks key/version cols {missing}")
+
         spark = upserts.sparkSession
         batch = collapse_for_upsert(upserts, self.keys, self.version_cols)
+
+        # schema check against the MANIFEST, not incidentally via the
+        # union below: a drifting batch whose keys all land in untouched
+        # buckets would otherwise slip through and leave heterogeneous
+        # bucket schemas behind a strict-mode store
+        cur_version = self.current_version()
+        if cur_version is None:
+            columns = list(batch.columns)
+        else:
+            stored = self._read_manifest(cur_version)["columns"]
+            if set(batch.columns) != set(stored):
+                if not allow_schema_evolution:
+                    raise ValueError(
+                        "schema drift: batch columns "
+                        f"{sorted(set(batch.columns) ^ set(stored))} differ "
+                        "from the store's; pass allow_schema_evolution=True "
+                        "for Delta-style mergeSchema behavior"
+                    )
+                columns = list(stored) + [
+                    c for c in batch.columns if c not in stored
+                ]
+            else:
+                columns = list(stored)
+
         batch = batch.withColumn(_BUCKET, self._bucket_expr())
 
         # the touched-bucket set is ≤ num_buckets ints — a driver-side
@@ -164,7 +223,6 @@ class ParquetMergeStore:
         touched = sorted(
             r[0] for r in batch.select(_BUCKET).distinct().collect()
         )
-        cur_version = self.current_version()
         prior = {} if cur_version is None else self._bucket_paths(cur_version)
 
         existing_touched = [
@@ -176,7 +234,10 @@ class ParquetMergeStore:
             )
             combined = batch.withColumn(
                 _FROM_UPSERT, F.lit(1)
-            ).unionByName(current.withColumn(_FROM_UPSERT, F.lit(0)))
+            ).unionByName(
+                current.withColumn(_FROM_UPSERT, F.lit(0)),
+                allowMissingColumns=allow_schema_evolution,
+            )
             # upsert beats stored row on the same PK, regardless of
             # version order — ReplaceOne is an unconditional replace
             w = Window.partitionBy(*self.keys).orderBy(
@@ -200,7 +261,7 @@ class ParquetMergeStore:
         bucket_paths = dict(prior)
         for b in touched:
             bucket_paths[b] = os.path.join(rel_data, f"{_BUCKET}={b}")
-        self._commit(new_version, bucket_paths)
+        self._commit(new_version, bucket_paths, columns)
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -224,3 +285,38 @@ class ParquetMergeStore:
                     shutil.rmtree(os.path.join(data_root, d))
                     removed.append(rel)
         return removed
+
+
+def stream_merge_into_store(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store: ParquetMergeStore,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """R13 ∘ R14: streaming ingest into the mutable store.
+
+    The reference's streaming pipeline ends in bulk ReplaceOne
+    (`ingest_parquet_to_mongo_stream.py:102-181`); here the same shape is
+    readStream → foreachBatch → ``store.merge`` — each micro-batch is one
+    atomic store version, so a crash between batches leaves the last
+    fully-merged snapshot (and the checkpoint replays the batch that
+    didn't commit). Micro-batches execute sequentially, which is exactly
+    the store's single-writer contract.
+    """
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.merge(batch_df)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -130,3 +130,76 @@ def test_empty_store_read_raises(spark, tmp_path):
 def test_requires_keys(tmp_path):
     with pytest.raises(ValueError):
         ParquetMergeStore(str(tmp_path / "s"), keys=())
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Delta-style mergeSchema: a batch adding a column backfills null
+    on stored rows; strict default refuses the drift loudly — checked
+    against the manifest, so it fires even when the drifting batch only
+    touches buckets with no existing data."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    widened = spark.createDataFrame([Row(k=2, v=1, payload="b", extra=7)])
+    with pytest.raises(ValueError, match="schema drift"):
+        st.merge(widened)
+    # nothing committed by the failed merge
+    assert st.current_version() == 0
+    st.merge(widened, allow_schema_evolution=True)
+    rows = {r.k: (r.payload, r.extra) for r in st.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_merge_requires_key_columns(spark, tmp_path):
+    st = _store(tmp_path)
+    with pytest.raises(ValueError, match="key/version"):
+        st.merge(spark.createDataFrame([Row(k=1, payload="a")]))  # no v
+
+
+def test_stream_merge_into_store(spark, tmp_path):
+    """R13∘R14: three source files → three sequential micro-batch merges
+    → final snapshot equals applying the batches in order."""
+    from pyspark.sql import types as T
+
+    from parquet_demo_spark.sources.merge_store import (
+        stream_merge_into_store,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    batches = [
+        [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")],
+        [Row(k=1, v=2, payload="a2")],
+        [Row(k=3, v=1, payload="c"), Row(k=2, v=2, payload="b2")],
+    ]
+    # the file stream source lists leaf FILES: write each batch via a
+    # scratch dir and move its single part file into the source dir
+    import glob
+    import shutil
+
+    for i, rows in enumerate(batches):
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        [part] = glob.glob(os.path.join(scratch, "part-*.parquet"))
+        shutil.move(part, str(src / f"batch{i}.parquet"))
+
+    st = _store(tmp_path)
+    q = stream_merge_into_store(
+        spark, str(src), schema, st, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    # one committed version per non-empty micro-batch, final LWW state
+    assert st.current_version() == 2
+    assert _rows(st.read(spark)) == [
+        (1, 2, "a2"),
+        (2, 2, "b2"),
+        (3, 1, "c"),
+    ]
