@@ -203,3 +203,53 @@ def test_stream_merge_into_store(spark, tmp_path):
         (2, 2, "b2"),
         (3, 1, "c"),
     ]
+
+
+# --- property-based: the store equals a dict-model of ReplaceOne ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # k (collision-prone)
+        st.integers(min_value=0, max_value=5),  # v
+        st.sampled_from(["a", "b", "c", "d"]),  # payload
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_batch, min_size=1, max_size=3))
+def test_merge_model_equivalence(spark, tmp_path_factory, batches):
+    """Random batch sequences: final snapshot must equal the dict model —
+    within a batch the highest (v, position) survives per key (LWW by
+    version, later occurrence breaks ties), across batches the upsert
+    replaces unconditionally."""
+    tmp = tmp_path_factory.mktemp("merge_model")
+    st_store = ParquetMergeStore(
+        str(tmp / "store"), keys=("k",), version_cols=("v", "pos"), num_buckets=4
+    )
+    model: dict[int, tuple] = {}
+    for rows in batches:
+        tagged = [
+            Row(k=k, v=v, payload=p, pos=i)
+            for i, (k, v, p) in enumerate(rows)
+        ]
+        st_store.merge(spark.createDataFrame(tagged))
+        best: dict[int, tuple] = {}
+        for i, (k, v, p) in enumerate(rows):
+            if k not in best or (v, i) > (best[k][0], best[k][1]):
+                best[k] = (v, i, p)
+        model.update(best)
+    got = {
+        r.k: (r.v, r.pos, r.payload) for r in st_store.read(spark).collect()
+    }
+    assert got == model
