@@ -114,3 +114,86 @@ def file_column_ranges(path: str, column: str) -> list[tuple]:
 def drop_table(spark: SparkSession, table: str) -> None:
     """Drop a saved (e.g. bucketed) table from the session catalog."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# q124 — the bucketed fact⋈fact join as a hash-checked registry row
+# ---------------------------------------------------------------------------
+
+
+def _bucket_tag(sf: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^0-9A-Za-z]+", "_", sf.strip("/"))
+
+
+def _register_q124() -> None:
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.catalog import load
+    from parquet_demo_spark.functions import DEC, dec2
+    from parquet_demo_spark.registry import register
+
+    @register(
+        "q124_bucketed_join",
+        oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        doc="The 100 TB fact⋈fact strategy run end-to-end: both join "
+        "sides are rewritten as tables bucketed (and sorted) on the "
+        "join key, so the sort-merge join reads co-located buckets with "
+        "NO Exchange on either side (SelectedBucketsCount in the scan; "
+        "asserted in tests/test_plans.py::test_q124_bucketed_join_no_"
+        "shuffle). The merge hint pins SMJ — without it Catalyst would "
+        "broadcast the small fixture side, which is the right call at "
+        "this SF but not the strategy under test; at 100 TB neither "
+        "fact side broadcasts and bucket co-location is what removes "
+        "the shuffle. Tables are rebuilt from the fixture every run "
+        "(no stale-cache risk across fixture regenerations); the "
+        "rebuild cost is the one-time write that pays for itself on "
+        "every co-located join after — the lakehouse bucketing trade.",
+    )
+    def q124(spark, sf):
+        from parquet_demo_spark.layout import drop_table, write_bucketed
+
+        tag = _bucket_tag(sf)
+        base = f"/tmp/spark_graft_bucketed/{tag}"
+        lt, ot = f"bq124_lineitem_{tag}", f"bq124_orders_{tag}"
+        li = load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        for tbl, df, key, sub in (
+            (lt, li, "l_orderkey", "lineitem"),
+            (ot, o, "o_orderkey", "orders"),
+        ):
+            drop_table(spark, tbl)
+            write_bucketed(
+                df, tbl, [key], 8, sort_by=[key], path=f"{base}/{sub}"
+            )
+        rev = dec2("l_extendedprice") * (F.lit(1).cast(DEC) - dec2("l_discount"))
+        j = (
+            spark.table(lt)
+            .hint("merge")
+            .join(
+                spark.table(ot),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
+_register_q124()

@@ -66,7 +66,7 @@ def all_queries() -> dict[str, Query]:
         udfs,
         windows_ext,
     )
-    from parquet_demo_spark import generators  # noqa: F401
+    from parquet_demo_spark import generators, layout  # noqa: F401
     from parquet_demo_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return dict(_REGISTRY)

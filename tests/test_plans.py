@@ -244,3 +244,15 @@ def test_aqe_skew_join_applied(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q124_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucket co-location must remove BOTH join-side exchanges: the SMJ
+    reads SelectedBucketsCount scans directly; the only Exchange left in
+    the plan is the groupBy's, never a hashpartitioning on a join key."""
+    df = QUERIES["q124_bucketed_join"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
