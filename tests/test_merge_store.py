@@ -314,3 +314,57 @@ def test_changes_after_schema_evolution(spark, tmp_path):
     got = [(r.k, r.extra, r._change_type) for r in changes_between(st, spark, 0, 1).collect()]
     # same payload but a new non-null column value → a real change
     assert got == [(1, 7, "update_postimage")]
+
+
+def test_incremental_scoring_pipeline(spark, tmp_path):
+    """The incremental-pipeline composition the store exists for: a
+    derived (scores) table maintained by scoring ONLY the CDC rows of
+    the source table must equal scoring the full latest snapshot —
+    at 100 TB that is the difference between reprocessing the corpus
+    per refresh and reprocessing the day's changes."""
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    def score(df):
+        toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+        return df.select(
+            "doc_id",
+            "rev",
+            F.size(F.filter(toks, lambda t: t != ""))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+
+    docs = ParquetMergeStore(
+        str(tmp_path / "docs"), keys=("doc_id",), version_cols=("rev",)
+    )
+    scores = ParquetMergeStore(
+        str(tmp_path / "scores"), keys=("doc_id",), version_cols=("rev",)
+    )
+    v0 = spark.createDataFrame(
+        [Row(doc_id=i, rev=0, text=f"the quick doc number {i}") for i in range(40)]
+    )
+    docs.merge(v0)
+    scores.merge(score(docs.read(spark)))
+
+    # day 2: 6 docs rewritten, 4 new docs, the rest untouched
+    docs.merge(
+        spark.createDataFrame(
+            [Row(doc_id=i, rev=1, text=f"rewritten and much longer doc {i} indeed") for i in range(6)]
+            + [Row(doc_id=100 + i, rev=1, text=f"fresh doc {i}") for i in range(4)]
+        )
+    )
+    delta = changes_between(docs, spark, 0, 1).drop("_change_type")
+    scores.merge(score(delta))
+
+    incremental = sorted(
+        (r.doc_id, r.rev, r.n_tokens, r.n_chars)
+        for r in scores.read(spark).collect()
+    )
+    full = sorted(
+        (r.doc_id, r.rev, r.n_tokens, r.n_chars)
+        for r in score(docs.read(spark)).collect()
+    )
+    assert incremental == full and len(full) == 44
