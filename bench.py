@@ -57,7 +57,11 @@ _TABLES = (
 
 def _multifile_rewrite(spark, sf_dir: str, files: int = 32) -> str:
     """Rewrite the fixture tables into a ``files``-file layout under
-    /tmp (cached per source dir; data identical, physical layout not)."""
+    /tmp (cached per source dir; data identical, physical layout not).
+
+    The cache invalidates on source mtime: the driver regenerates the
+    fixtures between rounds in place, and benching a stale rewrite
+    would time last round's data."""
     from parquet_demo_spark.catalog import load
 
     dst = os.path.join(
@@ -66,7 +70,18 @@ def _multifile_rewrite(spark, sf_dir: str, files: int = 32) -> str:
         sf_dir.strip("/").replace("/", "_") + f"_x{files}",
     )
     marker = os.path.join(dst, "_READY")
-    if not os.path.exists(marker):
+    src_mtime = max(
+        (
+            os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in _TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        ),
+        default=0.0,
+    )
+    if (
+        not os.path.exists(marker)
+        or os.path.getmtime(marker) < src_mtime
+    ):
         os.makedirs(dst, exist_ok=True)
         for t in _TABLES:
             src = os.path.join(sf_dir, f"{t}.parquet")
@@ -108,6 +123,17 @@ def main() -> None:
 
     run_once("q01_scan_count", sf_dir)  # JVM/codegen warmup, not recorded
 
+    # prepare the 32-file rewrite BEFORE the main loop: the rewrite job
+    # leaves the JVM heap churned, which measurably inflated tier
+    # timings when it ran immediately before them — the main loop's
+    # minutes of steady-state execution are the recovery window
+    mf_dir: str | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_MULTIFILE", "1") != "0":
+        try:
+            mf_dir = _multifile_rewrite(spark, sf_dir)
+        except Exception as exc:  # the primary metric must still print
+            print(f"# bench multifile rewrite FAIL: {exc}", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     per_mad: dict[str, float] = {}
     for name in sorted(queries):
@@ -118,13 +144,12 @@ def main() -> None:
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
 
     multifile: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_MULTIFILE", "1") != "0":
+    if mf_dir is not None:
         try:
-            mf_dir = _multifile_rewrite(spark, sf_dir)
             for name in MULTIFILE_QUERIES:
                 if name in queries:
                     multifile[name], _ = run_median(name, mf_dir)
-        except Exception as exc:  # the primary metric must still print
+        except Exception as exc:
             print(f"# bench multifile tier FAIL: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
