@@ -85,3 +85,75 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q125_cdc_incremental_read",
+    oracle="""
+    WITH s0 AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY (event_id % 2) DESC, ts DESC,
+                                           event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    )
+    SELECT s1.event_type,
+           CASE WHEN s0.user_id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s1.event_id) AS BIGINT) AS sum_event_id
+    FROM s1 LEFT JOIN s0
+      ON s1.user_id = s0.user_id AND s1.event_type = s0.event_type
+    WHERE s0.user_id IS NULL OR s1.event_id <> s0.event_id
+    GROUP BY s1.event_type, _change_type
+    ORDER BY s1.event_type, _change_type
+    """,
+    doc="CDC incremental read, hash-checked: after the two q123-style "
+    "merges (even event_ids, then odd), changes_between(v0, v1) must "
+    "emit exactly the keys whose surviving row differs between the "
+    "snapshots — tagged insert vs update_postimage — and DROP keys in "
+    "rewritten buckets whose row was re-written identically (keys with "
+    "no odd-batch event). The oracle reconstructs both snapshot states "
+    "with windows and diffs them; the engine side reads only the "
+    "buckets whose manifest path changed. This is the derived-table "
+    "refresh primitive: at 100 TB a consumer re-scores the day's "
+    "changes, not the corpus.",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    ev = load(spark, sf, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_merge",
+        "q125_" + sf.strip("/").replace("/", "_"),
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    store.merge(ev.filter(F.col("event_id") % 2 == 1))
+    ch = changes_between(store, spark, 0, 1)
+    return (
+        ch.groupBy("event_type", "_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        .orderBy("event_type", "_change_type")
+    )
