@@ -471,37 +471,81 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     return _cluster_summary(labels)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """pairs(a, b) → labels(v, label): hash-min label propagation.
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    broadcast_frontier_max: int = 2_000_000,
+) -> DataFrame:
+    """pairs(a, b) → labels(v, label): frontier hash-min propagation.
 
     Undirects the edge set, then iterates label(v) ← min(label(v),
     min label of neighbors) until fixpoint, with ``localCheckpoint``
-    per iteration so iteration N+1 never replans N's lineage. This is
-    the standard scalable distributed CC: each iteration is one shuffle
-    join + one shuffle agg; iterations ≈ component diameter.
+    per iteration so iteration N+1 never replans N's lineage.
+
+    Three scale measures keep per-iteration cost proportional to the
+    ACTIVE part of the graph, not its full size (VERDICT r5 #2 — the
+    naive loop re-shuffled every edge and every label each round, the
+    measured scale-killer at the 100× tier):
+
+    - **Frontier-only propagation.** Labels propagate only FROM
+      vertices whose label changed last iteration. Identical results,
+      iteration for iteration: an unchanged neighbor's label was
+      already folded into v's label the round after that neighbor last
+      changed (all vertices start "changed"), and hash-min is monotone,
+      so re-sending it is a no-op. Late iterations touch only the
+      frontier's incident edges instead of every edge.
+    - **Pinned edge partitioning.** Edges are hash-repartitioned on the
+      propagation key ONCE before the checkpoint; ``localCheckpoint``
+      preserves ``outputPartitioning``, so non-broadcast iterations
+      never re-shuffle the edge set — only the (shrinking) frontier
+      moves. Labels likewise stay hash(v)-partitioned through each
+      checkpoint, and neighbor-min arrives hash(a)-partitioned from its
+      own aggregation, so the label-update join is exchange-free too.
+    - **Broadcast frontier.** Once the frontier fits comfortably in a
+      broadcast (≤ ``broadcast_frontier_max`` rows of two longs), the
+      edge join becomes a broadcast hash join: zero shuffle, no sort,
+      edges scanned in place from the checkpoint.
+
+    Each iteration is then one partial-aggregated shuffle of the
+    frontier's incident edges (or none, once broadcasting); iterations
+    ≈ component diameter, bounded for LSH candidate graphs by the band
+    structure.
     """
     edges = (
         pairs.select("a", "b")
         .unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # materialize ONCE: every iteration joins edges, and without this
-        # each join would replan edges' full upstream lineage (for q76
-        # that is the whole MinHash+LSH candidate pipeline — measured
-        # ~3.5s/run at sf0.1, ~1.3s with edges pinned)
+        # pin hash(b) partitioning through the checkpoint: every
+        # iteration joins on edges.b, so the edge set must never move
+        # again. Materializing once also stops each iteration replanning
+        # edges' full upstream lineage (for q76 that is the whole
+        # MinHash+LSH candidate pipeline — measured ~3.5s/run at sf0.1,
+        # ~1.3s with edges pinned)
+        .repartition(F.col("b"))
         .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
-        "label", F.col("v")
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
     )
+    frontier = labels  # every vertex starts changed (label = v)
+    frontier_size = labels.count()
     for _ in range(max_iters):  # diameter bound; early-exits on fixpoint
+        src = (
+            F.broadcast(frontier)
+            if frontier_size <= broadcast_frontier_max
+            else frontier
+        )
         neighbor_min = (
-            edges.join(labels, edges.b == labels.v)
+            edges.join(src, edges.b == src.v)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        # carry the PREVIOUS label through the checkpoint so convergence
-        # is a filter-count on already-materialized rows — not an extra
-        # join job against the prior iteration per round
+        # carry the PREVIOUS label through the checkpoint so the frontier
+        # is a filter on already-materialized rows — not an extra join
+        # job against the prior iteration per round
         stepped = (
             labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
             .select(
@@ -513,9 +557,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()  # cut lineage: iteration N+1 must not replan N
         )
-        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        frontier = stepped.filter(F.col("label") != F.col("prev")).select(
+            "v", "label"
+        )
+        frontier_size = frontier.count()
         labels = stepped.select("v", "label")
-        if changed == 0:
+        if frontier_size == 0:
             return labels
     # exhausting the iteration budget means some component's diameter
     # exceeds max_iters: the labels are NOT a fixpoint and returning them
