@@ -72,9 +72,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q51_ann_bruteforce_batch",
-    oracle=f"""
+_Q51_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
     scored AS (
       SELECT qid, vec_id,
@@ -89,7 +87,12 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
       FROM scored)
     WHERE rn <= 3
     ORDER BY qid, cos_sim DESC, vec_id
-    """,
+    """
+
+
+@register(
+    "q51_ann_bruteforce_batch",
+    oracle=_Q51_ORACLE,
     doc="Batch brute-force ANN baseline: 5 query vectors broadcast against "
     "the corpus, per-query top-3 via window. O(n·q) — the correctness "
     "baseline every ANN variant is measured against.",
@@ -117,9 +120,7 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q52_ann_ivf_cell",
-    oracle=f"""
+_Q52_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qcell
                FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -135,7 +136,12 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
       FROM scored)
     WHERE rn <= 3
     ORDER BY qid, cos_sim DESC, vec_id
-    """,
+    """
+
+
+@register(
+    "q52_ann_ivf_cell",
+    oracle=_Q52_ORACLE,
     doc="IVF-style ANN: search only the query's coarse cell (fixture "
     "`label` = cell assignment; in production an argmin-over-centroids "
     "broadcast pass computes it). Equi-join on cell replaces the cross "
@@ -185,9 +191,7 @@ def _bucket_sql(emb: str) -> str:
     return " + ".join(bits)
 
 
-@register(
-    "q69_ann_lsh_hyperplane",
-    oracle=f"""
+_Q69_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS BIGINT) AS bucket
       FROM embeddings
@@ -205,7 +209,12 @@ def _bucket_sql(emb: str) -> str:
       FROM scored)
     WHERE rn <= 3
     ORDER BY qid, cos_sim DESC, vec_id
-    """,
+    """
+
+
+@register(
+    "q69_ann_lsh_hyperplane",
+    oracle=_Q69_ORACLE,
     doc="LSH-bucketed ANN (random-hyperplane signs → 8-bit bucket, "
     "integer-exact assignment): candidates come from an equi-join on "
     "the bucket — the second scale path beside IVF cells (q52). "
@@ -260,6 +269,262 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         .select("qid", "vec_id", "cos_sim")
         .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+# --- q126: ANN recall gate (VERDICT r5 #3) --------------------------------
+#
+# Two protocols, because they answer different questions:
+#
+# - "fixture": recall@3 of q52 (IVF cell) / q69 (LSH bucket) against q51's
+#   brute-force truth on the raw embeddings table. The fixture vectors are
+#   i.i.d. noise (measured within-label avg cosine ≈ across-label ≈ 0), so
+#   ANY partition-restricted search is information-theoretically capped at
+#   its candidate fraction (~10% for 10 cells, ~1/256 for 8-bit buckets) —
+#   the honest number is near-chance and documents that floor.
+# - "planted": the standard near-duplicate retrieval eval. Three
+#   deterministic perturbed copies of each probe are added to the corpus
+#   (cos ≈ 0.99 to their source); recall then measures what ANN is FOR —
+#   whether the cell/bucket structure retrieves genuinely-similar items.
+#   Planted rows inherit the probe's cell (a real coarse quantizer would
+#   co-assign near-identical vectors) and get their LSH bucket from their
+#   own perturbed values, so the LSH row also exercises hash stability
+#   under perturbation.
+#
+# All arithmetic is sequential double ops identical in both engines
+# (same expression, same order), scores rounded before ranking, vec_id
+# tie-breaks — hash-checkable.
+
+_PROBE_PERTURB_SQL = (
+    "list_transform(range(1, 65), i -> p.qe[i] "
+    "+ 0.02 * s.p * (((i-1)*37 + s.p*11) % 5 - 2))"
+)
+
+
+def _recall_block_sql(tag: str, corpus: str, pred: str) -> str:
+    return f"""
+    scored_{tag} AS (
+      SELECT q.qid, c.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM {corpus} c JOIN probes q ON {pred}
+      WHERE c.vec_id <> q.qid
+    ),
+    top_{tag} AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cs DESC, vec_id) AS rn
+        FROM scored_{tag}) WHERE rn <= 3
+    )"""
+
+
+def _recall_rows_sql(protocol: str, method: str, truth: str, approx: str) -> str:
+    return f"""
+      SELECT '{protocol}' AS protocol, '{method}' AS method, t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_{truth} t LEFT JOIN top_{approx} m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid"""
+
+
+_RECALL_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe,
+             CAST({_bucket_sql('e')} AS BIGINT) AS qbkt
+      FROM base WHERE vec_id < 5
+    ),
+    planted AS (
+      SELECT CAST(1000000 + p.qid * 10 + s.p AS BIGINT) AS vec_id,
+             p.qlabel AS label,
+             {_PROBE_PERTURB_SQL} AS e
+      FROM probes p CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    fc AS (
+      SELECT vec_id, label, e, CAST({_bucket_sql('e')} AS BIGINT) AS bkt
+      FROM base
+    ),
+    pc AS (
+      SELECT vec_id, label, e, CAST({_bucket_sql('e')} AS BIGINT) AS bkt
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    ),
+    {_recall_block_sql('f_truth', 'fc', 'TRUE')},
+    {_recall_block_sql('f_ivf', 'fc', 'c.label = q.qlabel')},
+    {_recall_block_sql('f_lsh', 'fc', 'c.bkt = q.qbkt')},
+    {_recall_block_sql('p_truth', 'pc', 'TRUE')},
+    {_recall_block_sql('p_ivf', 'pc', 'c.label = q.qlabel')},
+    {_recall_block_sql('p_lsh', 'pc', 'c.bkt = q.qbkt')},
+    per_q AS (
+      {_recall_rows_sql('fixture', 'ivf_cell', 'f_truth', 'f_ivf')}
+      UNION ALL
+      {_recall_rows_sql('fixture', 'lsh_hyperplane', 'f_truth', 'f_lsh')}
+      UNION ALL
+      {_recall_rows_sql('planted', 'ivf_cell', 'p_truth', 'p_ivf')}
+      UNION ALL
+      {_recall_rows_sql('planted', 'lsh_hyperplane', 'p_truth', 'p_lsh')}
+    )
+    SELECT protocol, method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows
+    FROM per_q GROUP BY protocol, method ORDER BY protocol, method
+    """
+
+
+def _hyperplane_bucket(e) -> "F.Column":
+    """8-bit sign bucket of a double-array column; twin of _bucket_sql."""
+    sv = F.transform(e, lambda x: F.floor(x * 1000).cast("bigint"))
+
+    def bit(j: int):
+        dot = F.aggregate(
+            F.zip_with(
+                sv,
+                F.array(
+                    *[F.lit((i * 31 + j * 17) % 7 - 3) for i in range(64)]
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0))
+
+    bucket = bit(0)
+    for j in range(1, _N_PLANES):
+        bucket = bucket + bit(j)
+    return bucket.cast("bigint")
+
+
+def _top3(corpus: DataFrame, probes: DataFrame, pred) -> DataFrame:
+    scored = (
+        corpus.join(F.broadcast(probes), pred)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cs"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+
+
+def _recall_row(
+    truth: DataFrame, approx: DataFrame, protocol: str, method: str
+) -> DataFrame:
+    per_q = (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits_q"),
+            F.count("*").alias("truth_q"),
+        )
+    )
+    return per_q.agg(
+        F.avg(F.col("hits_q") / F.col("truth_q")).alias("_r"),
+        F.sum("hits_q").cast("bigint").alias("hits"),
+        F.sum("truth_q").cast("bigint").alias("truth_rows"),
+    ).select(
+        F.lit(protocol).alias("protocol"),
+        F.lit(method).alias("method"),
+        F.round(F.col("_r"), 4).alias("recall_at_3"),
+        "hits",
+        "truth_rows",
+    )
+
+
+@register(
+    "q126_ann_recall_at_3",
+    oracle=_RECALL_ORACLE,
+    doc="ANN quality gate (VERDICT r5 #3): recall@3 of the two scale "
+    "paths — IVF cell restriction (q52's shape) and hyperplane-LSH "
+    "buckets (q69's shape) — against brute-force ground truth over the "
+    "same 5 probes, under two protocols: the raw fixture (i.i.d. noise "
+    "vectors, so recall is capped at the candidate fraction — the "
+    "honest floor) and planted near-duplicates (three deterministic "
+    "perturbed copies of each probe; measures whether the structures "
+    "retrieve genuinely-similar items). Deterministic end-to-end, "
+    "hash-checkable; `hits`/`truth_rows` expose the raw intersection "
+    "so a recall change is attributable.",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"),
+        )
+        .withColumn("qbkt", _hyperplane_bucket(F.col("qe")))
+    )
+    reps = probes.select(
+        "qid",
+        "qlabel",
+        "qe",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("p"),
+    )
+    planted = reps.select(
+        (F.lit(1000000) + F.col("qid") * 10 + F.col("p"))
+        .cast("bigint")
+        .alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        F.transform(
+            F.col("qe"),
+            lambda x, i: x
+            + F.lit(0.02)
+            * F.col("p")
+            * ((i * 37 + F.col("p") * 11) % 5 - 2),
+        ).alias("e"),
+    )
+    fc = base.withColumn("bkt", _hyperplane_bucket(F.col("e")))
+    pc = base.unionByName(planted).withColumn(
+        "bkt", _hyperplane_bucket(F.col("e"))
+    )
+    rows = [
+        _recall_row(
+            _top3(fc, probes, F.lit(True)),
+            _top3(fc, probes, F.col("label") == F.col("qlabel")),
+            "fixture",
+            "ivf_cell",
+        ),
+        _recall_row(
+            _top3(fc, probes, F.lit(True)),
+            _top3(fc, probes, F.col("bkt") == F.col("qbkt")),
+            "fixture",
+            "lsh_hyperplane",
+        ),
+        _recall_row(
+            _top3(pc, probes, F.lit(True)),
+            _top3(pc, probes, F.col("label") == F.col("qlabel")),
+            "planted",
+            "ivf_cell",
+        ),
+        _recall_row(
+            _top3(pc, probes, F.lit(True)),
+            _top3(pc, probes, F.col("bkt") == F.col("qbkt")),
+            "planted",
+            "lsh_hyperplane",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("protocol", "method")
 
 
 @register(
