@@ -23,6 +23,25 @@ from parquet_demo_spark.registry import register
 from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
 
+def _scratch_root(tag: str, sf: str) -> str:
+    """Per-process scratch dir for a query's throwaway store.
+
+    Keyed by (tag, sf, pid): the query must exercise a FRESH store
+    (same input → same versions → same result) and reruns must not
+    accumulate /tmp state, but two processes hitting the same fixture
+    concurrently (e.g. bench and verify) must not share a path — one
+    would rmtree the store the other is mid-merge/read on.
+    """
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_merge",
+        f"{tag}_{sf.strip('/').replace('/', '_')}_pid{os.getpid()}",
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    return root
+
+
 @register(
     "q123_merge_upsert_roundtrip",
     oracle="""
@@ -55,16 +74,7 @@ from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 )
 def q123(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
-    # deterministic per-(sf) scratch root, rebuilt each run: the query
-    # must exercise a FRESH store (same input → same versions → same
-    # result), and reruns must not accumulate /tmp state
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_merge",
-        "q123_" + sf.strip("/").replace("/", "_"),
-    )
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    root = _scratch_root("q123", sf)
     store = ParquetMergeStore(
         root,
         keys=("user_id", "event_type"),
@@ -133,13 +143,7 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     from parquet_demo_spark.sources.merge_store import changes_between
 
     ev = load(spark, sf, "events")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_merge",
-        "q125_" + sf.strip("/").replace("/", "_"),
-    )
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    root = _scratch_root("q125", sf)
     store = ParquetMergeStore(
         root,
         keys=("user_id", "event_type"),

@@ -62,6 +62,29 @@ class ParquetMergeStore:
         self.version_cols = tuple(version_cols)
         self.num_buckets = int(num_buckets)
         os.makedirs(root, exist_ok=True)
+        # reopening an existing store with different bucketing/key config
+        # would silently route the same PK to a different bucket: the old
+        # row survives in an untouched bucket while the replacement lands
+        # in a new one — duplicate PKs, ReplaceOne invariant broken with
+        # no error. Validate against the committed manifest up front.
+        committed = self.current_version()
+        if committed is not None:
+            m = self._read_manifest(committed)
+            mismatches = {
+                field: (getattr(self, field), m[field])
+                for field, got in (
+                    ("keys", list(self.keys)),
+                    ("version_cols", list(self.version_cols)),
+                    ("num_buckets", self.num_buckets),
+                )
+                if m[field] != got
+            }
+            if mismatches:
+                raise ValueError(
+                    f"store at {root} was created with different "
+                    f"config: {mismatches} (constructor value, manifest "
+                    "value); pass the manifest's values to reopen it"
+                )
 
     # -- pointer / manifest plumbing -----------------------------------
 
@@ -89,6 +112,7 @@ class ParquetMergeStore:
         version: int,
         bucket_paths: dict[int, str],
         columns: list[str],
+        stats: dict[int, dict] | None = None,
     ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -103,6 +127,10 @@ class ParquetMergeStore:
             "columns": columns,
             # JSON keys are strings; normalize on read
             "bucket_paths": {str(k): v for k, v in bucket_paths.items()},
+            # per-bucket column [min, max] (footer-derived, JSON-safe
+            # types only) — Iceberg-style data skipping for reads with
+            # value predicates; absence of a column means "can't prune"
+            "stats": {str(k): v for k, v in (stats or {}).items()},
         }
         with open(self._manifest_path(version), "w") as fh:
             json.dump(manifest, fh, indent=1)
@@ -121,28 +149,125 @@ class ParquetMergeStore:
         m = self._read_manifest(version)
         return {int(k): v for k, v in m["bucket_paths"].items()}
 
+    def _dir_column_stats(self, rel_dir: str) -> dict[str, list]:
+        """Footer-derived per-column [min, max] for one bucket dir.
+
+        Parquet row groups already carry exact min/max; aggregating the
+        footers is metadata-speed (no data scan, no extra Spark job).
+        Only JSON-safe, order-preserving types (int/float/str/bool) are
+        recorded; a column any row group lacks stats for is dropped —
+        absence means "can't prune", never "wrong prune".
+        """
+        import pyarrow.parquet as pq
+
+        abs_dir = os.path.join(self.root, rel_dir)
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        dropped: set[str] = set()
+        for fname in sorted(os.listdir(abs_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(abs_dir, fname)).metadata
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    name = col.path_in_schema
+                    if name in dropped:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str, bool))
+                        or not isinstance(st.max, (int, float, str, bool))
+                    ):
+                        dropped.add(name)
+                        mins.pop(name, None)
+                        maxs.pop(name, None)
+                        continue
+                    mins[name] = (
+                        st.min if name not in mins else min(mins[name], st.min)
+                    )
+                    maxs[name] = (
+                        st.max if name not in maxs else max(maxs[name], st.max)
+                    )
+        return {name: [mins[name], maxs[name]] for name in mins}
+
+    def _pruned_bucket_paths(
+        self, version: int, where: dict[str, tuple] | None
+    ) -> dict[int, str]:
+        """Bucket paths surviving min/max pruning for ``where``.
+
+        ``where`` maps column → (lo, hi) closed range (either bound may
+        be None). A bucket is skipped only when its recorded stats prove
+        no row can satisfy EVERY range; buckets without stats for a
+        column always survive.
+        """
+        paths = self._bucket_paths(version)
+        if not where:
+            return paths
+        stats = {
+            int(k): v
+            for k, v in self._read_manifest(version).get("stats", {}).items()
+        }
+        out = {}
+        for b, p in paths.items():
+            bstats = stats.get(b, {})
+            keep = True
+            for col, (lo, hi) in where.items():
+                if col not in bstats:
+                    continue
+                mn, mx = bstats[col]
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out[b] = p
+        return out
+
     # -- read side ------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read (optionally time-traveled to an older version).
 
-        Returns an empty-schema-less union of every referenced bucket
-        dir; raises on an empty store (no schema to synthesize).
+        ``where`` (column → (lo, hi) closed range) both prunes bucket
+        dirs via the manifest's min/max stats — files whose stats prove
+        emptiness are never opened — and applies the residual range
+        filter to the returned rows, so the result is exactly the
+        filtered snapshot. Raises on an empty store (no schema to
+        synthesize).
         """
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty merge store: {self.root}")
         m = self._read_manifest(v)
-        paths = sorted(set(self._bucket_paths(v).values()))
+        pruned = self._pruned_bucket_paths(v, where)
+        paths = sorted(set(pruned.values()))
+        if not paths:
+            # stats prove the result empty; synthesize the schema from
+            # any live dir without scanning it for rows
+            paths = sorted(set(self._bucket_paths(v).values()))[:1]
         # mergeSchema: after a schema evolution, buckets written before
         # it lack the new columns — union the footers and backfill null,
         # then present the manifest's authoritative column order
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, p) for p in paths]
         )
-        return df.select(*m["columns"])
+        df = df.select(*m["columns"])
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def history(self) -> list[int]:
         vs = []
@@ -259,24 +384,120 @@ class ParquetMergeStore:
         combined.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
 
         bucket_paths = dict(prior)
+        prior_stats = (
+            {}
+            if cur_version is None
+            else {
+                int(k): v
+                for k, v in self._read_manifest(cur_version)
+                .get("stats", {})
+                .items()
+            }
+        )
+        stats = {b: s for b, s in prior_stats.items() if b not in touched}
         for b in touched:
-            bucket_paths[b] = os.path.join(rel_data, f"{_BUCKET}={b}")
-        self._commit(new_version, bucket_paths, columns)
+            rel = os.path.join(rel_data, f"{_BUCKET}={b}")
+            bucket_paths[b] = rel
+            stats[b] = self._dir_column_stats(rel)
+        self._commit(new_version, bucket_paths, columns, stats)
+        return new_version
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
+        """Rewrite fragmented bucket dirs into one file each, as a new
+        snapshot version (atomic pointer swap — same isolation as merge).
+
+        Repeated small upserts leave each rewritten bucket dir with as
+        many files as the write had partitions; vacuum drops dead
+        VERSIONS but nothing merged small files within a live bucket.
+        Buckets with ≥ ``min_files`` files are read back, re-routed by
+        the PK-hash (one shuffle of only the fragmented buckets), and
+        written one-file-per-bucket; untouched buckets keep their dirs.
+        Returns the committed version, or None if nothing was fragmented
+        (no pointless empty version is created).
+
+        Time travel and CDC are unaffected: prior manifests still
+        reference the old dirs, and ``changes_between`` across a
+        compaction emits nothing because every rewritten row is
+        value-identical (identical-rewrite rows are dropped).
+        """
+        cur_version = self.current_version()
+        if cur_version is None:
+            return None
+        paths = self._bucket_paths(cur_version)
+
+        def _n_files(rel: str) -> int:
+            d = os.path.join(self.root, rel)
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+        fragmented = sorted(
+            b for b, rel in paths.items() if _n_files(rel) >= min_files
+        )
+        if not fragmented:
+            return None
+        m = self._read_manifest(cur_version)
+        cols = m["columns"]
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, paths[b]) for b in fragmented]
+        )
+        for c in cols:  # evolved schemas: backfill columns absent here
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None))
+        df = df.select(*cols).withColumn(_BUCKET, self._bucket_expr())
+        new_version = cur_version + 1
+        rel_data = os.path.join("data", f"v{new_version:05d}")
+        out_dir = os.path.join(self.root, rel_data)
+        # hash-repartition on the bucket id: each bucket lands wholly in
+        # one task, so partitionBy emits exactly one file per bucket dir
+        df.repartition(F.col(_BUCKET)).write.mode("overwrite").partitionBy(
+            _BUCKET
+        ).parquet(out_dir)
+        bucket_paths = dict(paths)
+        stats = {
+            int(k): v for k, v in m.get("stats", {}).items()
+        }
+        for b in fragmented:
+            rel = os.path.join(rel_data, f"{_BUCKET}={b}")
+            bucket_paths[b] = rel
+            stats[b] = self._dir_column_stats(rel)
+        self._commit(new_version, bucket_paths, cols, stats)
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data dirs unreferenced by the newest ``keep_last``
-        manifests; returns removed paths. Old manifests/pointers stay —
-        they're metadata-sized."""
+        COMMITTED manifests; returns removed paths (data dirs plus any
+        orphan manifest dirs from a crashed merge).
+
+        Liveness is anchored on the committed pointer, never on manifest
+        files alone: ``_commit`` writes the manifest BEFORE the atomic
+        pointer swap, so a merge that crashed between the two leaves an
+        orphan manifest newer than the pointer. Treating that orphan as
+        the newest version could drop data dirs the committed snapshot
+        still references — destroying committed data. Orphan manifests
+        (version > pointer) are cleaned up here instead; their data dirs
+        were never committed.
+        """
         import shutil
 
-        keep_versions = self.history()[-keep_last:]
+        current = self.current_version()
+        if current is None:
+            # nothing committed: any on-disk state is a crashed first
+            # merge; removing it could race that merge's commit, and
+            # keeping it costs only uncommitted scratch
+            return []
+        committed = [v for v in self.history() if v <= current]
+        keep_versions = committed[-keep_last:]
+        if current not in keep_versions:
+            keep_versions.append(current)
         live: set[str] = set()
         for v in keep_versions:
             for rel in self._bucket_paths(v).values():
                 # a referenced bucket dir keeps its parent data/vN dir
                 live.add(rel.split(os.sep + _BUCKET + "=")[0])
         removed = []
+        for v in self.history():
+            if v > current:  # orphan manifest from a crashed merge
+                shutil.rmtree(os.path.join(self.root, f"v{v:05d}"))
+                removed.append(f"v{v:05d}")
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
@@ -327,6 +548,7 @@ def changes_between(
     spark: SparkSession,
     v_from: int,
     v_to: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """CDC-style incremental read: rows whose state at ``v_to`` differs
     from ``v_from`` (inserted or updated keys), plus ``_change_type``.
@@ -345,6 +567,11 @@ def changes_between(
 
     Deletes can't occur (ReplaceOne has no delete op), so none are
     emitted.
+
+    ``where`` (column → (lo, hi) closed range, as in ``read``) further
+    prunes the changed-bucket set via ``v_to``'s min/max stats — a
+    changed bucket whose new stats exclude the range cannot contain a
+    qualifying post-image — and filters the emitted rows.
     """
     v_to = store.current_version() if v_to is None else v_to
     if v_to is None or v_from > v_to:
@@ -354,7 +581,19 @@ def changes_between(
     changed = sorted(
         b for b, p in new_paths.items() if old_paths.get(b) != p
     )
+    if where:
+        surviving = store._pruned_bucket_paths(v_to, where)
+        changed = [b for b in changed if b in surviving]
     cols = store._read_manifest(v_to)["columns"]
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     if not changed:
         return store.read(spark, v_to).select(*cols).limit(0).withColumn(
             "_change_type", F.lit("insert")
@@ -372,7 +611,9 @@ def changes_between(
     old = _read(old_paths, changed)
     keys = list(store.keys)
     if old is None:
-        return new.select(*cols).withColumn("_change_type", F.lit("insert"))
+        return _residual(
+            new.select(*cols).withColumn("_change_type", F.lit("insert"))
+        )
 
     # align evolved schemas: missing columns read as null on either side
     for c in cols:
@@ -392,7 +633,7 @@ def changes_between(
     for c in non_keys:
         row_differs = row_differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
     is_insert = F.col(f"__old_{keys[0]}").isNull()
-    return (
+    return _residual(
         joined.withColumn(
             "_change_type",
             F.when(is_insert, F.lit("insert")).otherwise(

@@ -316,6 +316,169 @@ def test_changes_after_schema_evolution(spark, tmp_path):
     assert got == [(1, 7, "update_postimage")]
 
 
+# --- config validation / vacuum crash-safety / stats pruning / compaction -
+
+
+def test_reopen_config_mismatch_raises(spark, tmp_path):
+    """Reopening with different bucketing/keys would route the same PK
+    to a different bucket — duplicate PKs with no error. Must raise."""
+    store = _store(tmp_path)
+    store.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    with pytest.raises(ValueError, match="different"):
+        _store(tmp_path, num_buckets=8)
+    with pytest.raises(ValueError, match="different"):
+        _store(tmp_path, keys=("payload",))
+    with pytest.raises(ValueError, match="different"):
+        _store(tmp_path, version_cols=())
+    # identical config reopens cleanly
+    assert _store(tmp_path).current_version() == 0
+
+
+def test_vacuum_anchored_on_committed_pointer(spark, tmp_path):
+    """A manifest without a pointer swap (crashed merge) must not anchor
+    vacuum's liveness set: with keep_last=1 the orphan would otherwise be
+    'the newest version' and the committed snapshot's dirs deleted."""
+    import json
+
+    store = _store(tmp_path, num_buckets=2)
+    store.merge(
+        spark.createDataFrame([Row(k=i, v=1, payload="a") for i in range(8)])
+    )
+    store.merge(
+        spark.createDataFrame([Row(k=i, v=2, payload="b") for i in range(8)])
+    )
+    # orphan v2 manifest, as left by a merge that died between manifest
+    # write and pointer swap; references dirs the commit never produced
+    orphan = tmp_path / "store" / "v00002"
+    orphan.mkdir()
+    with open(orphan / "manifest.json", "w") as fh:
+        json.dump(
+            {
+                "version": 2,
+                "keys": ["k"],
+                "version_cols": ["v"],
+                "num_buckets": 2,
+                "columns": ["k", "v", "payload"],
+                "bucket_paths": {"0": "data/v00002/__bucket=0"},
+                "stats": {},
+            },
+            fh,
+        )
+    assert store.current_version() == 1
+    removed = store.vacuum(keep_last=1)
+    # the committed snapshot survives in full...
+    rows = _rows(store.read(spark))
+    assert len(rows) == 8 and all(v == 2 for _, v, _ in rows)
+    # ...the orphan manifest is cleaned up, dead v0 data is reclaimed
+    assert "v00002" in removed
+    assert os.path.join("data", "v00000") in removed
+    assert store.history() == [0, 1]
+
+
+def test_stats_pruning_skips_buckets(spark, tmp_path):
+    """Manifest min/max stats must let a recency-style value predicate
+    skip every bucket the matching merge didn't touch — files-read drops
+    from all buckets to the touched one."""
+    store = _store(tmp_path, num_buckets=8)
+    store.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(64)]
+        )
+    )
+    store.merge(spark.createDataFrame([Row(k=1, v=2, payload="fresh")]))
+    all_buckets = store._bucket_paths(1)
+    assert len(all_buckets) == 8
+    pruned = store._pruned_bucket_paths(1, {"v": (2, None)})
+    assert len(pruned) == 1  # only the bucket the v=2 merge rewrote
+    got = _rows(store.read(spark, where={"v": (2, None)}))
+    assert got == [(1, 2, "fresh")]
+
+
+def test_read_where_matches_full_filter(spark, tmp_path):
+    store = _store(tmp_path, num_buckets=4)
+    store.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=i % 5, payload=str(i)) for i in range(32)]
+        )
+    )
+    want = sorted(
+        (r.k, r.v, r.payload)
+        for r in store.read(spark)
+        .filter("k >= 10 and k <= 20 and v >= 1")
+        .collect()
+    )
+    got = _rows(store.read(spark, where={"k": (10, 20), "v": (1, None)}))
+    assert got == want and len(got) > 0
+    # a range stats prove empty reads no data but keeps the schema
+    empty = store.read(spark, where={"k": (1000, None)})
+    assert empty.count() == 0 and empty.columns == ["k", "v", "payload"]
+
+
+def test_changes_between_where_pruning(spark, tmp_path):
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    store = _store(tmp_path, num_buckets=8)
+    store.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(64)]
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=2, payload="x"), Row(k=200, v=2, payload="y")]
+        )
+    )
+    ch = changes_between(store, spark, 0, 1, where={"k": (200, None)})
+    assert sorted((r.k, r._change_type) for r in ch.collect()) == [
+        (200, "insert")
+    ]
+
+
+def test_compact_defragments_without_breaking_history(spark, tmp_path):
+    """compact() must cut per-bucket file counts to one, keep the
+    snapshot bit-identical, leave time travel intact, and emit zero CDC
+    rows (a compaction is not a change)."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    store = _store(tmp_path, num_buckets=2)
+    # AQE normally coalesces the collapse shuffle to one partition at
+    # this data size, which hides fragmentation; real fragmentation
+    # comes from multi-partition writes, so pin that shape
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        store.merge(
+            spark.createDataFrame(
+                [Row(k=i, v=1, payload=str(i)) for i in range(16)]
+            )
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    v_before = store.current_version()
+    paths = store._bucket_paths(v_before)
+
+    def n_files(rel):
+        d = os.path.join(str(tmp_path / "store"), rel)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert max(n_files(p) for p in paths.values()) >= 2  # fragmented
+    rows_before = _rows(store.read(spark))
+
+    v_new = store.compact(spark)
+    assert v_new == v_before + 1
+    for rel in store._bucket_paths(v_new).values():
+        assert n_files(rel) == 1
+    assert _rows(store.read(spark)) == rows_before
+    assert _rows(store.read(spark, version=v_before)) == rows_before
+    assert changes_between(store, spark, v_before, v_new).count() == 0
+    # idempotent: nothing fragmented → no pointless new version
+    assert store.compact(spark) is None
+    assert store.current_version() == v_new
+    # stats survive compaction → pruning still works
+    assert len(store._pruned_bucket_paths(v_new, {"k": (0, 15)})) == 2
+
+
 def test_incremental_scoring_pipeline(spark, tmp_path):
     """The incremental-pipeline composition the store exists for: a
     derived (scores) table maintained by scoring ONLY the CDC rows of
