@@ -35,9 +35,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# scan-bound headliners re-run at the 32-file layout: table scans feed
-# wide aggregations/joins, so single-file vs 32-file changes the first
-# stage's task count from 1 to 32
+# scan-bound headliners ALWAYS re-run at the 32-file layout: table scans
+# feed wide aggregations/joins, so single-file vs 32-file changes the
+# first stage's task count from 1 to 32. On top of this floor, every
+# query whose main-loop median is >= MULTIFILE_THRESHOLD_SEC joins the
+# tier dynamically (VERDICT r5 #8) — layout-sensitive regressions should
+# be visible wherever scan parallelism actually engages, and a hardcoded
+# list would silently rot as queries are added.
 MULTIFILE_QUERIES = [
     "q01_scan_count",
     "q10_agg_pricing_summary",
@@ -48,6 +52,13 @@ MULTIFILE_QUERIES = [
     "q116_returned_revenue",
     "q119_product_profit",
 ]
+MULTIFILE_THRESHOLD_SEC = 0.5
+
+# single-row sketch aggregates materialize via collect(): the result
+# transfer is one row (free), and collect is undeniable execution —
+# BENCH_r05 recorded 0.0s for q59b through the noop sink (a timing-floor
+# / lazy-materialization smell on the driver host, VERDICT r5 #6)
+COLLECT_QUERIES = {"q59_approx_distinct", "q59b_approx_quantiles"}
 
 _TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -111,7 +122,12 @@ def main() -> None:
         df = queries[name].spark(spark, d)
         if df.isStreaming:  # pragma: no cover - streaming twins run batch
             raise ValueError(f"{name}: bench expects batch plans")
-        df.write.mode("overwrite").format("noop").save()
+        if name in COLLECT_QUERIES:
+            rows = df.collect()
+            if not rows:  # a sketch agg always yields exactly one row
+                raise ValueError(f"{name}: empty result from sketch agg")
+        else:
+            df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     def run_median(name: str, d: str) -> tuple[float, float]:
@@ -145,12 +161,34 @@ def main() -> None:
 
     multifile: dict[str, float] = {}
     if mf_dir is not None:
-        try:
-            for name in MULTIFILE_QUERIES:
-                if name in queries:
-                    multifile[name], _ = run_median(name, mf_dir)
-        except Exception as exc:
-            print(f"# bench multifile tier FAIL: {exc}", file=sys.stderr)
+        # streaming twins are excluded: with maxFilesPerTrigger=1 a
+        # 32-file layout means 32 micro-batches — that measures trigger
+        # machinery, not scan-layout parallelism
+        tier = sorted(
+            n
+            for n in (
+                set(MULTIFILE_QUERIES)
+                | {
+                    n
+                    for n, t in per_query.items()
+                    if t >= MULTIFILE_THRESHOLD_SEC
+                }
+            )
+            if not re.search(r"stream|stateful", n)
+        )
+        for name in tier:
+            if name not in queries:
+                continue
+            # per-query isolation: one failure must not abort the rest
+            # of the tier (the main loop already records failures this
+            # way)
+            try:
+                multifile[name], _ = run_median(name, mf_dir)
+            except Exception as exc:
+                multifile[name] = -1.0
+                print(
+                    f"# bench multifile FAIL {name}: {exc}", file=sys.stderr
+                )
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     print(

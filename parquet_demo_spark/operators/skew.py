@@ -49,6 +49,36 @@ def _salt_expr(n_salts: int, salt_cols: list[str]) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
 
 
+def _default_salt_cols(df: DataFrame) -> list[str]:
+    """All columns F.hash accepts — the omitted-``salt_cols`` default.
+
+    ``hash`` raises DATATYPE_MISMATCH on MapType (maps have no canonical
+    entry order), so a dataframe carrying a map column would make the
+    convenient hash-everything default error out. Columns whose type
+    contains a map anywhere (map, array<map>, struct{...map...}) are
+    excluded; if nothing hashable remains the caller must name
+    ``salt_cols`` explicitly.
+    """
+    from pyspark.sql import types as T
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [f.name for f in df.schema.fields if not has_map(f.dataType)]
+    if not cols:
+        raise ValueError(
+            "no hashable columns for the default salt (every column "
+            "contains a MapType); pass salt_cols explicitly"
+        )
+    return cols
+
+
 def with_salt(
     df: DataFrame,
     n_salts: int,
@@ -61,7 +91,7 @@ def with_salt(
     ``_salt_expr`` for the duplicate-row caveat).
     """
     return df.withColumn(
-        col_name, _salt_expr(n_salts, salt_cols or list(df.columns))
+        col_name, _salt_expr(n_salts, salt_cols or _default_salt_cols(df))
     )
 
 
@@ -81,7 +111,7 @@ def salted_agg_count(
     """
     k = F.col(key) if isinstance(key, str) else key
     salted = df.withColumn(
-        "_salt", _salt_expr(n_salts, salt_cols or list(df.columns))
+        "_salt", _salt_expr(n_salts, salt_cols or _default_salt_cols(df))
     )
     partial = salted.groupBy(k.alias("key"), F.col("_salt")).agg(
         F.count("*").alias("_partial")
@@ -107,7 +137,7 @@ def salted_join(
     over skewed probe keys.
     """
     salted_large = large.withColumn(
-        "_salt", _salt_expr(n_salts, salt_cols or list(large.columns))
+        "_salt", _salt_expr(n_salts, salt_cols or _default_salt_cols(large))
     )
     salts = large.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

@@ -45,10 +45,27 @@ def _events_ts_type(sf: str) -> T.DataType:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(os.path.join(sf, "events.parquet")).field("ts").type
+    t = pq.read_schema(_events_files(sf)[0]).field("ts").type
     if pa.types.is_timestamp(t) and t.unit != "ns":
         return T.TimestampType() if t.tz else T.TimestampNTZType()
     return T.LongType()
+
+
+def _events_files(sf: str) -> list[str]:
+    """The fixture's events parquet file(s): ``events.parquet`` is a
+    single file in the driver fixtures but a directory of part files in
+    multi-file layouts (bench rewrite, any real table)."""
+    p = os.path.join(sf, "events.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no part files under {p}")
+        return parts
+    return [p]
 
 
 def events_schema(sf: str) -> T.StructType:
@@ -65,21 +82,33 @@ def events_schema(sf: str) -> T.StructType:
 
 
 def _stream_dir(sf: str) -> str:
-    """File stream sources need a directory; expose events.parquet via a
-    symlink under /tmp (the fixture dir is read-only and mixes tables)."""
+    """File stream sources need a directory of leaf files; expose the
+    events file(s) via symlinks under /tmp (the fixture dir is read-only
+    and mixes tables; a directory-shaped events.parquet must contribute
+    its part files directly — the stream source does not recurse)."""
+    import shutil
+
     d = os.path.join(
         tempfile.gettempdir(), "spark_graft_stream", sf.strip("/").replace("/", "_")
     )
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    target = os.path.join(sf, "events.parquet")
-    # lexists: a dangling link (fixture recreated elsewhere) must be
-    # replaced, and a stale link to different data must be re-pointed.
-    if os.path.lexists(link):
-        if os.path.realpath(link) == os.path.realpath(target):
+    targets = _events_files(sf)
+    want = {
+        (f"part{i:05d}.parquet" if len(targets) > 1 else "events.parquet"):
+        os.path.realpath(t)
+        for i, t in enumerate(targets)
+    }
+    # rebuild on any drift: dangling links (fixture recreated elsewhere)
+    # or a stale/different file set must be re-pointed, never mixed
+    if os.path.isdir(d):
+        have = {
+            f: os.path.realpath(os.path.join(d, f)) for f in os.listdir(d)
+        }
+        if have == want:
             return d
-        os.remove(link)
-    os.symlink(target, link)
+        shutil.rmtree(d)
+    os.makedirs(d)
+    for name, target in want.items():
+        os.symlink(target, os.path.join(d, name))
     return d
 
 

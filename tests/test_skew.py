@@ -71,3 +71,31 @@ def test_salt_requires_columns():
 
     with pytest.raises(ValueError):
         _salt_expr(8, [])
+
+
+def test_default_salt_skips_map_columns(spark):
+    """F.hash raises on MapType; the all-columns default must exclude
+    map-bearing columns (incl. nested) instead of erroring on any
+    dataframe that carries one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.operators.skew import (
+        _default_salt_cols,
+        with_salt,
+    )
+
+    df = spark.range(8).select(
+        F.col("id"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.array(F.create_map(F.lit("x"), F.col("id"))).alias("am"),
+        F.struct(F.create_map(F.lit("y"), F.col("id")).alias("im")).alias(
+            "sm"
+        ),
+    )
+    assert _default_salt_cols(df) == ["id"]
+    out = with_salt(df, 4)  # must not raise
+    assert out.filter("_salt < 0 or _salt >= 4").count() == 0
+    only_maps = df.select("m")
+    with pytest.raises(ValueError, match="salt_cols"):
+        _default_salt_cols(only_maps)
