@@ -1035,3 +1035,248 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — TPC-H Q11 shape: important supply value (scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_important_supply_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(val AS DOUBLE) AS supply_value
+    FROM v
+    WHERE val * 10000 > (SELECT SUM(val) FROM v) * 15
+    ORDER BY supply_value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape (no partsupp table in the fixture, so lineitem "
+    "is the supply relation): per-part supply value from a 3-nation "
+    "supplier bloc, kept when the part holds > 0.15% of the bloc's "
+    "total — a grouped aggregate HAVING'd against a scalar subquery of "
+    "itself. The threshold compare is decimal-exact on both engines "
+    "(val*10000 > total*15 — no floating-point boundary). Plan: dims "
+    "broadcast, ONE fact aggregation reused for both the per-part "
+    "values and the broadcast scalar total.",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    one = F.lit(1).cast(DEC)
+    val = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    bloc = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    per_part = (
+        li.join(F.broadcast(bloc), li.l_suppkey == bloc.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 10000 > F.col("total") * 15)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("supply_value"),
+        )
+        .orderBy(F.col("supply_value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — TPC-H Q16 shape: supplier-part relationship profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q129_supplier_part_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: how many distinct suppliers can deliver each "
+    "(brand, type, size) combination, excluding one brand, a size "
+    "list, and a supplier blacklist (negative account balance stands "
+    "in for the complaint-comment scan — the fixture has no comments). "
+    "Exercises NOT IN as a broadcast anti-join (s_suppkey is non-null, "
+    "so anti ≡ NOT IN) feeding a count-distinct aggregate; part is "
+    "broadcast, lineitem never shuffles before the distinct.",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    excl = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — TPC-H Q20 shape: dominant-share suppliers of a part family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q130_promotion_share_suppliers",
+    oracle="""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q,
+             SUM(SUM(l_quantity)) OVER (PARTITION BY l_partkey) AS t
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red %'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_name
+    FROM qty JOIN supplier ON l_suppkey = s_suppkey
+    WHERE q * 2 > t
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (availqty stands in as shipped quantity — no "
+    "partsupp in the fixture): suppliers who shipped more than half of "
+    "a 'red' part's 1997 volume. The per-(part, supplier) aggregate "
+    "reuses its own shuffle for the per-part total via a window over "
+    "the grouped result — one fact shuffle, no self-join — then a "
+    "broadcast semi against supplier names. q*2 > t is integer-exact.",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf, "part").filter(F.col("p_name").like("red %"))
+    s = load(spark, sf, "supplier")
+    qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn(
+            "t", F.sum("q").over(W.partitionBy("l_partkey"))
+        )
+    )
+    dominant = qty.filter(F.col("q") * 2 > F.col("t")).select("l_suppkey")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — TPC-H Q21 shape: the only-late supplier on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_waiting_supplier_orders",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL '80 days'
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    culprit AS (
+      SELECT l_orderkey, l_suppkey,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late,
+             is_late
+      FROM per_supp
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND n_late = 1 AND is_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    doc="TPC-H Q21 shape (ship-lag > 80 days after ordering stands in "
+    "for receipt-after-commit — the fixture has no commit/receipt "
+    "dates, same stand-in as q114): on orders involving ≥2 suppliers "
+    "where EXACTLY one was late, count waiting orders per culprit "
+    "supplier, top 25. The EXISTS/NOT-EXISTS pair of the original "
+    "collapses into window counts over one per-(order, supplier) "
+    "aggregate — one fact shuffle instead of two self-joins; supplier "
+    "is broadcast; TakeOrderedAndProject caps the result.",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    s = load(spark, sf, "supplier")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"),
+            1,
+        ).otherwise(0)
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # one hash(l_orderkey) exchange serves BOTH the (orderkey,
+        # suppkey) aggregate (subset clustering) and the per-order
+        # window below — without it the agg shuffles on (k, s) and the
+        # window re-shuffles on (k): two fact-sized exchanges
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("is_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    culprit = (
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+            & (F.col("is_late") == 1)
+        )
+    )
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
