@@ -179,13 +179,23 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 _N_PLANES = 8
 
 
-def _bucket_sql(emb: str) -> str:
+# per-table coordinate multipliers, distinct mod 7 — a mere plane-index
+# shift would NOT work: with 31 ≡ 17 ≡ 3 (mod 7) the "shifted" tables
+# reuse the same hyperplane family in rotated bit order, yielding
+# identical vector partitions and zero recall gain from OR-ing tables
+_TABLE_MULT = (31, 29, 23, 19)
+
+
+def _bucket_sql(emb: str, table: int = 0) -> str:
+    """8-bit sign bucket; ``table`` selects an independent hyperplane
+    family (q127's multi-table LSH). table=0 is q69's original bucket."""
+    mult = _TABLE_MULT[table]
     bits = []
     for j in range(_N_PLANES):
         dot = (
             f"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), "
             f"i -> CAST(FLOOR(CAST({emb}[i] AS DOUBLE) * 1000) AS BIGINT) "
-            f"* (((i - 1) * 31 + {j} * 17) % 7 - 3))), (a, b) -> a + b)"
+            f"* (((i - 1) * {mult} + {j} * 17) % 7 - 3))), (a, b) -> a + b)"
         )
         bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** j} ELSE 0 END)")
     return " + ".join(bits)
@@ -374,16 +384,17 @@ _RECALL_ORACLE = f"""
     """
 
 
-def _hyperplane_bucket(e) -> "F.Column":
+def _hyperplane_bucket(e, table: int = 0) -> "F.Column":
     """8-bit sign bucket of a double-array column; twin of _bucket_sql."""
     sv = F.transform(e, lambda x: F.floor(x * 1000).cast("bigint"))
+    mult = _TABLE_MULT[table]
 
     def bit(j: int):
         dot = F.aggregate(
             F.zip_with(
                 sv,
                 F.array(
-                    *[F.lit((i * 31 + j * 17) % 7 - 3) for i in range(64)]
+                    *[F.lit((i * mult + j * 17) % 7 - 3) for i in range(64)]
                 ),
                 lambda x, w: x * w,
             ),
@@ -442,35 +453,22 @@ def _recall_row(
     )
 
 
-@register(
-    "q126_ann_recall_at_3",
-    oracle=_RECALL_ORACLE,
-    doc="ANN quality gate (VERDICT r5 #3): recall@3 of the two scale "
-    "paths — IVF cell restriction (q52's shape) and hyperplane-LSH "
-    "buckets (q69's shape) — against brute-force ground truth over the "
-    "same 5 probes, under two protocols: the raw fixture (i.i.d. noise "
-    "vectors, so recall is capped at the candidate fraction — the "
-    "honest floor) and planted near-duplicates (three deterministic "
-    "perturbed copies of each probe; measures whether the structures "
-    "retrieve genuinely-similar items). Deterministic end-to-end, "
-    "hash-checkable; `hits`/`truth_rows` expose the raw intersection "
-    "so a recall change is attributable.",
-)
-def q126(spark: SparkSession, sf: str) -> DataFrame:
+def _planted_sets(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, probes, planted) for the recall protocols (q126/q127):
+    double-cast corpus, the 5 probes, and 3 deterministic perturbed
+    copies of each probe (cos ≈ 0.99 to their source)."""
     emb = load(spark, sf, "embeddings")
     base = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
-    probes = (
-        base.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("qlabel"),
-            F.col("e").alias("qe"),
-        )
-        .withColumn("qbkt", _hyperplane_bucket(F.col("qe")))
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
     )
     reps = probes.select(
         "qid",
@@ -491,6 +489,26 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
             * ((i * 37 + F.col("p") * 11) % 5 - 2),
         ).alias("e"),
     )
+    return base, probes, planted
+
+
+@register(
+    "q126_ann_recall_at_3",
+    oracle=_RECALL_ORACLE,
+    doc="ANN quality gate (VERDICT r5 #3): recall@3 of the two scale "
+    "paths — IVF cell restriction (q52's shape) and hyperplane-LSH "
+    "buckets (q69's shape) — against brute-force ground truth over the "
+    "same 5 probes, under two protocols: the raw fixture (i.i.d. noise "
+    "vectors, so recall is capped at the candidate fraction — the "
+    "honest floor) and planted near-duplicates (three deterministic "
+    "perturbed copies of each probe; measures whether the structures "
+    "retrieve genuinely-similar items). Deterministic end-to-end, "
+    "hash-checkable; `hits`/`truth_rows` expose the raw intersection "
+    "so a recall change is attributable.",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    base, probes, planted = _planted_sets(spark, sf)
+    probes = probes.withColumn("qbkt", _hyperplane_bucket(F.col("qe")))
     fc = base.withColumn("bkt", _hyperplane_bucket(F.col("e")))
     pc = base.unionByName(planted).withColumn(
         "bkt", _hyperplane_bucket(F.col("e"))
@@ -525,6 +543,175 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("protocol", "method")
+
+
+# --- q127: multi-table LSH — the recall lever, measured -------------------
+
+_N_TABLES = 4
+
+
+def _mt_pairs_sql(tables: list[int]) -> str:
+    """Distinct (qid, vec_id) candidates matching in ANY listed table."""
+    selects = [
+        f"SELECT q.qid, c.vec_id FROM pc c JOIN probes q "
+        f"ON c.b{t} = q.qb{t} WHERE c.vec_id <> q.qid"
+        for t in tables
+    ]
+    return " UNION ".join(selects)  # UNION (not ALL): distinct pairs
+
+
+_MT_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes0 AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe
+      FROM base WHERE vec_id < 5
+    ),
+    planted AS (
+      SELECT CAST(1000000 + p.qid * 10 + s.p AS BIGINT) AS vec_id,
+             p.qlabel AS label,
+             {_PROBE_PERTURB_SQL} AS e
+      FROM probes0 p CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    pc AS (
+      SELECT vec_id, e,
+             {", ".join(f"CAST({_bucket_sql('e', t)} AS BIGINT) AS b{t}" for t in range(_N_TABLES))}
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    ),
+    probes AS (
+      SELECT qid, qe,
+             {", ".join(f"CAST({_bucket_sql('qe', t)} AS BIGINT) AS qb{t}" for t in range(_N_TABLES))}
+      FROM probes0
+    ),
+    scored_truth AS (
+      SELECT q.qid, c.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM pc c JOIN probes q ON TRUE WHERE c.vec_id <> q.qid
+    ),
+    top_truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored_truth)
+      WHERE rn <= 3
+    ),
+    pairs1 AS ({_mt_pairs_sql([0])}),
+    pairs4 AS ({_mt_pairs_sql(list(range(_N_TABLES)))}),
+    scored1 AS (
+      SELECT p.qid, p.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM pairs1 p JOIN pc c ON p.vec_id = c.vec_id
+      JOIN probes q ON p.qid = q.qid
+    ),
+    scored4 AS (
+      SELECT p.qid, p.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM pairs4 p JOIN pc c ON p.vec_id = c.vec_id
+      JOIN probes q ON p.qid = q.qid
+    ),
+    top1 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored1)
+      WHERE rn <= 3
+    ),
+    top4 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored4)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT 'lsh_1table' AS method, t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN top1 m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+      UNION ALL
+      SELECT 'lsh_4tables', t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM top_truth t LEFT JOIN top4 m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           CASE WHEN method = 'lsh_1table'
+                THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs1)
+                ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs4)
+           END AS n_candidates
+    FROM per_q GROUP BY method ORDER BY method
+    """
+
+
+@register(
+    "q127_ann_lsh_multitable",
+    oracle=_MT_ORACLE,
+    doc="Multi-table LSH, the published recall lever measured (closes "
+    "q126's two single-table misses): 4 independent 8-plane hyperplane "
+    "tables, candidates = distinct pairs matching in ANY table — each "
+    "table is still a banded equi-join, so the scale posture is "
+    "unchanged while the per-pair collision probability compounds. "
+    "Planted-near-dup protocol (q126's); reports recall@3 AND the "
+    "candidate count per method, so the recall-vs-candidates trade is "
+    "explicit and hash-checked.",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    base, probes0, planted = _planted_sets(spark, sf)
+    pc = base.unionByName(planted).select("vec_id", "e")
+    for t in range(_N_TABLES):
+        pc = pc.withColumn(f"b{t}", _hyperplane_bucket(F.col("e"), t))
+    probes = probes0.select("qid", "qe")
+    for t in range(_N_TABLES):
+        probes = probes.withColumn(
+            f"qb{t}", _hyperplane_bucket(F.col("qe"), t)
+        )
+    truth = _top3(pc, probes, F.lit(True))
+
+    def pairs_for(tables: list[int]) -> DataFrame:
+        parts = [
+            pc.join(
+                F.broadcast(probes), F.col(f"b{t}") == F.col(f"qb{t}")
+            )
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+            for t in tables
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+
+    def method_row(tables: list[int], method: str) -> DataFrame:
+        pairs = pairs_for(tables)
+        scored = (
+            pairs.join(pc.select("vec_id", "e"), "vec_id")
+            .join(F.broadcast(probes.select("qid", "qe")), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cs"),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+        top = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("qid", "vec_id")
+        )
+        rec = _recall_row(truth, top, "planted", method).drop("protocol")
+        n_cand = pairs.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        return rec.crossJoin(F.broadcast(n_cand))
+
+    return (
+        method_row([0], "lsh_1table")
+        .unionByName(method_row(list(range(_N_TABLES)), "lsh_4tables"))
+        .orderBy("method")
+    )
 
 
 @register(
