@@ -256,3 +256,35 @@ def test_q124_bucketed_join_no_shuffle(spark, sf_dir):
     assert "SelectedBucketsCount" in plan
     assert "hashpartitioning(l_orderkey" not in plan
     assert "hashpartitioning(o_orderkey" not in plan
+
+
+def test_q128_scalar_total_broadcasts(spark, sf_dir):
+    # the HAVING-vs-own-total compare must be a broadcast of the 1-row
+    # scalar aggregate onto the per-part values — never a shuffle or a
+    # driver-side collect of the total
+    df = QUERIES["q128_important_supply_value"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q129_blacklist_is_broadcast_anti(spark, sf_dir):
+    df = QUERIES["q129_supplier_part_relationship"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q131_single_fact_exchange_and_heap(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS collapse must reuse ONE hash(l_orderkey)
+    # exchange for both the per-(order, supplier) aggregate and the
+    # per-order window, and cap the result with a top-25 heap
+    df = QUERIES["q131_waiting_supplier_orders"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_take_ordered(df)
+    # formatted mode lists each exchange's partitioning on an Arguments
+    # line; exactly one may hash the fact key
+    fact_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(l_orderkey" in ln and "Arguments" in ln
+    ]
+    assert len(fact_exchanges) == 1, fact_exchanges
