@@ -46,3 +46,37 @@ def test_self_loops_and_duplicate_edges_are_harmless(spark):
     got = _labels(spark, edges)
     assert got[1] == 1 and got[2] == 1
     assert got[3] == 3
+
+
+def test_matches_union_find_model_both_join_paths(spark):
+    """Deterministic pseudo-random graphs vs a union-find model, run
+    through BOTH per-iteration join strategies: broadcast frontier
+    (default) and the non-broadcast SMJ path (broadcast_frontier_max=0)
+    that large graphs take — results must be identical to the model and
+    to each other."""
+
+    def union_find(n_edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in n_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label every vertex by its component min
+        return {v: find(v) for v in parent}
+
+    # LCG-derived edge list: collision-heavy, several components, no RNG
+    edges = [((i * 7919 + 13) % 60, (i * 104729 + 7) % 60) for i in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    model = union_find(edges)
+    got_bcast = _labels(spark, edges)
+    got_smj = _labels(spark, edges, broadcast_frontier_max=0)
+    assert got_bcast == model
+    assert got_smj == model
