@@ -904,3 +904,168 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- q132: IVF with a REAL coarse quantizer (k-means cells), measured -----
+#
+# q52's cell restriction uses the fixture `label` as the cell assignment;
+# its docstring promises "with a real centroid table the assignment is
+# one broadcast-join argmin pass". q132 keeps that promise end-to-end
+# with hash-checked results: Lloyd centroids (q103's operator, one
+# update iteration from the deterministic K-lowest-vec_id init), argmin
+# cell assignment for the whole planted corpus, cell-restricted search,
+# recall@3 vs brute force — the full production IVF loop.
+
+_Q132_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))), (acc, v) -> acc + v)"
+)
+
+
+def _q132_assign_sql(cent: str) -> str:
+    return f"""
+  SELECT vec_id, cid, e, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid, e.e, {_Q132_D2} AS d2
+    FROM corpus e CROSS JOIN {cent} c)
+"""
+
+
+_Q132_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes0 AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe
+      FROM base WHERE vec_id < 5
+    ),
+    planted AS (
+      SELECT CAST(1000000 + p.qid * 10 + s.p AS BIGINT) AS vec_id,
+             p.qlabel AS label,
+             {_PROBE_PERTURB_SQL} AS e
+      FROM probes0 p CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted
+    ),
+    cent0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < 8),
+    a1 AS ({_q132_assign_sql('cent0')}),
+    cent1 AS (
+      SELECT cid, list(cval ORDER BY pos) AS c FROM (
+        SELECT cid, j AS pos, {mean6_sql('e[j + 1]')} AS cval
+        FROM (SELECT cid, e FROM a1 WHERE rn = 1)
+        CROSS JOIN (SELECT unnest(range(64)) AS j)
+        GROUP BY cid, j)
+      GROUP BY cid
+    ),
+    a2 AS ({_q132_assign_sql('cent1')}),
+    cells AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+    probes AS (
+      SELECT p.qid, p.qe, cc.cid AS qcell
+      FROM probes0 p JOIN cells cc ON p.qid = cc.vec_id
+    ),
+    scored_truth AS (
+      SELECT q.qid, c.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM corpus c JOIN probes q ON TRUE WHERE c.vec_id <> q.qid
+    ),
+    top_truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored_truth)
+      WHERE rn <= 3
+    ),
+    pairs AS (
+      SELECT q.qid, c.vec_id
+      FROM corpus c JOIN cells cc ON c.vec_id = cc.vec_id
+      JOIN probes q ON cc.cid = q.qcell
+      WHERE c.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT p.qid, p.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM pairs p JOIN corpus c ON p.vec_id = c.vec_id
+      JOIN probes q ON p.qid = q.qid
+    ),
+    topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN topk m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT 'ivf_kmeans_k8' AS method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates
+    FROM per_q
+    """
+
+
+@register(
+    "q132_ann_ivf_kmeans",
+    oracle=_Q132_ORACLE,
+    doc="IVF with a REAL coarse quantizer, end-to-end (closes q52's "
+    "label-as-cell stand-in): Lloyd centroids (q103's operator, one "
+    "update from the deterministic K-lowest init), broadcast argmin "
+    "cell assignment over the planted corpus, cell-restricted search, "
+    "recall@3 vs brute force plus the candidate count — the production "
+    "IVF loop, hash-checked. Scale: the quantizer is one broadcast "
+    "pass + a K×64 aggregate; search joins per cell; nothing quadratic.",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    base, probes0, planted = _planted_sets(spark, sf)
+    corpus = (
+        base.select("vec_id", "e")
+        .unionByName(planted.select("vec_id", "e"))
+        .localCheckpoint()  # referenced by assign, truth, and scoring
+    )
+    corpus_emb = corpus.select("vec_id", F.col("e").alias("embedding"))
+    cent0 = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    a1 = _km_assign(corpus_emb, cent0)
+    cent1 = _km_update(a1.select("cid", "embedding"))
+    cells = _km_assign(corpus_emb, cent1).select("vec_id", "cid")
+    probes = (
+        probes0.select("qid", "qe")
+        .join(cells, F.col("qid") == F.col("vec_id"))
+        .select("qid", "qe", F.col("cid").alias("qcell"))
+        .localCheckpoint()
+    )
+    pc = corpus.join(cells, "vec_id").localCheckpoint()
+    truth = _top3(pc, probes, F.lit(True))
+    pairs = (
+        pc.join(F.broadcast(probes), F.col("cid") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        pairs.join(pc.select("vec_id", "e"), "vec_id")
+        .join(F.broadcast(probes.select("qid", "qe")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cs"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(truth, top, "planted", "ivf_kmeans_k8").drop(
+        "protocol"
+    )
+    n_cand = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    return rec.crossJoin(F.broadcast(n_cand))
