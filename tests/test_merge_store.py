@@ -531,3 +531,83 @@ def test_incremental_scoring_pipeline(spark, tmp_path):
         for r in score(docs.read(spark)).collect()
     )
     assert incremental == full and len(full) == 44
+
+
+def test_stream_restart_replays_uncommitted_batch_idempotently(
+    spark, tmp_path
+):
+    """Crash-recovery contract of the foreachBatch store sink: a merge
+    that completed but whose micro-batch offset was never committed is
+    REPLAYED on restart (at-least-once merge), and ReplaceOne semantics
+    make the replay converge to the exactly-once final state — the
+    extra store version changes nothing a reader sees."""
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+    from pyspark.errors import StreamingQueryException
+
+    from parquet_demo_spark.sources.merge_store import (
+        stream_merge_into_store,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")],
+        [Row(k=1, v=2, payload="a2")],
+        [Row(k=3, v=1, payload="c")],
+    ]
+    for i, rows in enumerate(batches):
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        [part] = glob.glob(os.path.join(scratch, "part-*.parquet"))
+        shutil.move(part, str(src / f"batch{i}.parquet"))
+
+    store = _store(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"done": False}
+
+    def merge_then_crash(df, epoch_id):
+        if df.isEmpty():
+            return
+        store.merge(df)
+        if not crashed["done"]:
+            # die AFTER the merge committed a store version but BEFORE
+            # the streaming offset commit — the worst-case crash point
+            crashed["done"] = True
+            raise RuntimeError("simulated crash post-merge, pre-offset")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_then_crash)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert store.current_version() == 0  # exactly one batch merged
+
+    # restart from the same checkpoint with the healthy sink
+    q2 = stream_merge_into_store(spark, str(src), schema, store, ckpt)
+    assert q2.awaitTermination(120)
+    # batch 0 merged twice (replay) + batches 1 and 2 → 4 versions...
+    assert store.history() == [0, 1, 2, 3]
+    # ...but the reader-visible state is the exactly-once application
+    assert _rows(store.read(spark)) == [
+        (1, 2, "a2"),
+        (2, 1, "b"),
+        (3, 1, "c"),
+    ]
