@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         approx,
         asof,
         dedup,
+        incremental,
         merge,
         multimodal,
         pipeline,

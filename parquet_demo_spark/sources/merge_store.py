@@ -285,7 +285,10 @@ class ParquetMergeStore:
         )
 
     def merge(
-        self, upserts: DataFrame, allow_schema_evolution: bool = False
+        self,
+        upserts: DataFrame,
+        allow_schema_evolution: bool = False,
+        conditional: bool = False,
     ) -> int:
         """Replace-by-PK merge; returns the committed version number.
 
@@ -304,6 +307,17 @@ class ParquetMergeStore:
         strict default exists because a silently-widening 100 TB table
         is usually a bug, not an intent. Key and version columns must
         always be present.
+
+        ``conditional=True`` switches step 3 from unconditional
+        ReplaceOne to **only-if-newer**: the surviving row per PK is the
+        max by ``version_cols`` over (stored row ∪ batch row), batch
+        winning ties. This is Mongo's guarded
+        ``ReplaceOne({pk, version < new_version})`` pattern and makes
+        the final state independent of batch arrival order — the
+        property that lets an out-of-order or replayed streaming
+        ingest (foreachBatch re-delivery after a crash) converge to the
+        same snapshot. Null version values sort last (lose). The extra
+        cost is nothing: the same PK window, one more sort key.
         """
         from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
@@ -363,11 +377,18 @@ class ParquetMergeStore:
                 current.withColumn(_FROM_UPSERT, F.lit(0)),
                 allowMissingColumns=allow_schema_evolution,
             )
-            # upsert beats stored row on the same PK, regardless of
-            # version order — ReplaceOne is an unconditional replace
-            w = Window.partitionBy(*self.keys).orderBy(
-                F.col(_FROM_UPSERT).desc()
-            )
+            if conditional:
+                # only-if-newer: version_cols decide, batch wins ties
+                # (desc puts nulls last, so a null version never beats
+                # a real one)
+                order = [
+                    F.col(c).desc() for c in self.version_cols
+                ] + [F.col(_FROM_UPSERT).desc()]
+            else:
+                # upsert beats stored row on the same PK, regardless of
+                # version order — ReplaceOne is an unconditional replace
+                order = [F.col(_FROM_UPSERT).desc()]
+            w = Window.partitionBy(*self.keys).orderBy(*order)
             combined = (
                 combined.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -515,6 +536,7 @@ def stream_merge_into_store(
     store: ParquetMergeStore,
     checkpoint: str,
     max_files_per_trigger: int = 1,
+    conditional: bool = False,
 ):
     """R13 ∘ R14: streaming ingest into the mutable store.
 
@@ -525,12 +547,17 @@ def stream_merge_into_store(
     fully-merged snapshot (and the checkpoint replays the batch that
     didn't commit). Micro-batches execute sequentially, which is exactly
     the store's single-writer contract.
+
+    ``conditional=True`` uses only-if-newer merges, making the final
+    snapshot independent of file/batch arrival order AND idempotent
+    under foreachBatch's at-least-once redelivery — the exactly-once
+    recipe for this sink.
     """
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.merge(batch_df)
+        store.merge(batch_df, conditional=conditional)
 
     return (
         spark.readStream.schema(schema)
@@ -549,6 +576,7 @@ def changes_between(
     v_from: int,
     v_to: int | None = None,
     where: dict[str, tuple] | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """CDC-style incremental read: rows whose state at ``v_to`` differs
     from ``v_from`` (inserted or updated keys), plus ``_change_type``.
@@ -567,6 +595,15 @@ def changes_between(
 
     Deletes can't occur (ReplaceOne has no delete op), so none are
     emitted.
+
+    ``include_preimages=True`` additionally emits the OLD row for every
+    updated key as ``update_preimage`` (Delta CDF naming). Pre-images
+    are what make the feed *invertible*: a downstream aggregate can be
+    maintained incrementally as +post −pre per group instead of being
+    recomputed from the table (see operators/incremental.py). When a
+    ``where`` range is given, a changed pair is emitted iff its
+    POST-image qualifies (the pair travels together — an aggregate over
+    a qualifying key needs both sides).
 
     ``where`` (column → (lo, hi) closed range, as in ``read``) further
     prunes the changed-bucket set via ``v_to``'s min/max stats — a
@@ -633,13 +670,18 @@ def changes_between(
     for c in non_keys:
         row_differs = row_differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
     is_insert = F.col(f"__old_{keys[0]}").isNull()
-    return _residual(
-        joined.withColumn(
-            "_change_type",
-            F.when(is_insert, F.lit("insert")).otherwise(
-                F.lit("update_postimage")
-            ),
-        )
-        .filter(is_insert | row_differs)
-        .select(*cols, "_change_type")
+    changed = _residual(joined.filter(is_insert | row_differs))
+    post = changed.withColumn(
+        "_change_type",
+        F.when(is_insert, F.lit("insert")).otherwise(
+            F.lit("update_postimage")
+        ),
+    ).select(*cols, "_change_type")
+    if not include_preimages:
+        return post
+    pre = (
+        changed.filter(~is_insert)
+        .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
+        .withColumn("_change_type", F.lit("update_preimage"))
     )
+    return post.unionByName(pre)
