@@ -85,6 +85,92 @@ def write_range_sorted(
     )
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 6, relative_error: float = 1e-3
+):
+    """Morton (Z-curve) interleave of equal-depth rank buckets.
+
+    Multi-dimensional clustering for file skipping (the public design
+    behind Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order z-curve):
+    a one-dimensional sort clusters only its leading column — every
+    file then spans the FULL range of every other column, so footer
+    min/max stats prune nothing for predicates on them. Interleaving
+    the bit patterns of per-column rank buckets yields a single sort
+    key whose contiguous runs are small hyper-rectangles in
+    ``cols``-space: every file gets a tight min/max box on EVERY
+    z-ordered column, and a conjunctive range predicate skips all
+    files whose box misses it.
+
+    Mechanics (all scale-safe):
+    - per column, one ``approxQuantile`` pass yields ``2^bits − 1``
+      equal-depth cut points (a driver-side array of a few hundred
+      doubles — statistics, not data);
+    - each row's bucket id is how many cuts it is ≥ (an ``aggregate``
+      over the broadcast literal array — pure JVM expression);
+    - bucket ids interleave round-robin into one BIGINT: bit ``j`` of
+      column ``i`` lands at position ``j·k + (k−1−i)``.
+
+    Equal-depth (not equal-width) buckets make the curve skew-proof:
+    a hot key range gets more cells, so files stay balanced.
+    Returns the key Column; compose with ``write_range_sorted`` or use
+    :func:`write_zorder`.
+    """
+    from pyspark.sql import functions as F
+
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_cuts = casted.approxQuantile(cols, probs, relative_error)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+        )
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), j * k + (k - 1 - i))
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int,
+    bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` clustered on the Z-curve over ``zorder_by``.
+
+    One quantile pass + one range shuffle on the z-key + a local sort —
+    the same cost shape as ``write_range_sorted``, but the footer
+    min/max boxes it buys are tight on EVERY listed column, not just
+    the first (asserted in tests/test_layout.py: a conjunctive box
+    predicate intersects strictly fewer files than under a linear
+    sort).
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    key = zorder_key(df, zorder_by, bits=bits)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def file_column_ranges(path: str, column: str) -> list[tuple]:
     """Per-file (min, max) footer statistics for ``column``.
 
@@ -197,3 +283,86 @@ def _register_q124() -> None:
 
 
 _register_q124()
+
+
+def _register_q136() -> None:
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.catalog import load
+    from parquet_demo_spark.registry import register
+
+    @register(
+        "q136_zorder_box_scan",
+        oracle="""
+        WITH b AS (
+          SELECT (4 * MAX(l_partkey)) // 10 AS p_lo,
+                 (6 * MAX(l_partkey)) // 10 AS p_hi,
+                 (4 * MAX(l_suppkey)) // 10 AS s_lo,
+                 (5 * MAX(l_suppkey)) // 10 AS s_hi
+          FROM lineitem)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem, b
+        WHERE l_partkey BETWEEN p_lo AND p_hi
+          AND l_suppkey BETWEEN s_lo AND s_hi
+        """,
+        doc="Z-order clustering end-to-end: lineitem is rewritten on "
+        "the Morton curve over (l_partkey, l_suppkey) — equal-depth "
+        "quantile buckets bit-interleaved into one sort key — then a "
+        "conjunctive box predicate (data-derived bounds, SF-invariant "
+        "selectivity) scans it back and aggregates. The hash check "
+        "proves the clustered rewrite is lossless; the file-skipping "
+        "payoff is pinned separately in tests/test_layout.py, where "
+        "the same box intersects strictly fewer footer min/max boxes "
+        "than under a linear l_partkey sort (a 1-D sort leaves every "
+        "file spanning the full l_suppkey range). At 100 TB this is "
+        "the difference between a needle-in-two-dimensions query "
+        "reading ~sqrt-fraction of files and reading all of them; the "
+        "rebuild is the one-time write that pays for itself on every "
+        "selective read after, same trade as q124's bucketing.",
+    )
+    def q136(spark, sf):
+        import os
+        import tempfile
+
+        from parquet_demo_spark.layout import write_zorder
+
+        li = load(spark, sf, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        mx = li.agg(
+            F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+        ).first()
+        p_lo, p_hi = (4 * mx.p) // 10, (6 * mx.p) // 10
+        s_lo, s_hi = (4 * mx.s) // 10, (5 * mx.s) // 10
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_zorder",
+            f"{_bucket_tag(sf)}_pid{os.getpid()}",
+        )
+        write_zorder(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+        zli = spark.read.parquet(path)
+        return (
+            zli.filter(
+                F.col("l_partkey").between(p_lo, p_hi)
+                & F.col("l_suppkey").between(s_lo, s_hi)
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+
+
+_register_q136()

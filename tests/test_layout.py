@@ -165,3 +165,76 @@ def test_bucketed_aggregation_has_no_exchange(spark, sf_smoke, tmp_path):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         drop_table(spark, "t_lineitem_agg")
+
+
+def _box_hits(path: str, boxes: dict[str, tuple]) -> int:
+    """Files whose footer min/max intersects EVERY per-column range —
+    exactly the files a conjunctive predicate must open."""
+    per_col = {c: file_column_ranges(path, c) for c in boxes}
+    cols = list(boxes)
+    n_files = len(per_col[cols[0]])
+    hits = 0
+    for i in range(n_files):
+        ok = True
+        for c, (lo, hi) in boxes.items():
+            fmin, fmax = per_col[c][i]
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            hits += 1
+    return hits
+
+
+def test_zorder_skips_more_files_than_linear_sort(
+    spark, sf_smoke, tmp_path
+):
+    """The multi-dimensional clustering contract: under a linear
+    l_orderkey sort every file spans the full l_partkey range, so a
+    predicate on l_partkey alone opens ALL files; the Z-curve gives
+    every file a bounded box on both dims (median ~19% extent at 64
+    files on the smoke fixture), so the same predicate opens at most
+    half — and a 2-D box opens no more than linear does. The margins
+    widen with file count: at 100 TB (tens of thousands of files) a
+    file's extent shrinks toward the curve-block size while linear
+    stays at 100%."""
+    from parquet_demo_spark.layout import write_zorder
+
+    # the two highest-cardinality lineitem dims (l_suppkey has ~10
+    # distinct values at smoke SF — too coarse to cluster on)
+    li = load(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    mx = li.agg(
+        F.max("l_orderkey").alias("o"), F.max("l_partkey").alias("p")
+    ).first()
+    n = 64
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    write_range_sorted(li, lin, ["l_orderkey"], n_files=n)
+    write_zorder(li, zo, ["l_orderkey", "l_partkey"], n_files=n)
+
+    # rewrites are lossless
+    assert (
+        spark.read.parquet(zo).count()
+        == spark.read.parquet(lin).count()
+        == li.count()
+    )
+
+    # narrow l_partkey slice, unconstrained l_orderkey: the 1-D layout
+    # cannot prune at all, the z-curve opens at most half
+    s_slice = {
+        "l_partkey": ((55 * mx.p) // 100, (65 * mx.p) // 100),
+        "l_orderkey": (0, mx.o),
+    }
+    lin_slice, zo_slice = _box_hits(lin, s_slice), _box_hits(zo, s_slice)
+    assert lin_slice == n
+    assert zo_slice <= n // 2, f"z-order opened {zo_slice}/{n}"
+
+    # selective 2-D box: z-order must not lose to linear
+    box = {
+        "l_orderkey": ((40 * mx.o) // 100, (60 * mx.o) // 100),
+        "l_partkey": ((55 * mx.p) // 100, (65 * mx.p) // 100),
+    }
+    lin_box, zo_box = _box_hits(lin, box), _box_hits(zo, box)
+    assert zo_box <= lin_box + 1, (lin_box, zo_box)
+    assert zo_box < n
