@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import cosine, mean6, mean6_sql
+from parquet_demo_spark.functions import cosine, mean6, mean6_sql, micro6_sql
 from parquet_demo_spark.registry import register
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
@@ -1069,3 +1069,270 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_cand = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
     return rec.crossJoin(F.broadcast(n_cand))
+
+
+# --- q137: product quantization (PQ) with ADC scoring, measured -----------
+#
+# The third leg of the scale-ANN tripod: IVF restricts WHICH vectors a
+# probe scores (q52/q132), LSH buckets do the same by random projection
+# (q69/q127), PQ compresses HOW each score is computed — a 64-dim f32
+# vector becomes M=4 one-byte codes (64× smaller), and a probe's
+# distance to any vector is a sum of M table lookups instead of 64
+# multiplies (asymmetric distance computation, ADC). At 100 TB the
+# codes for ten billion vectors fit in cluster memory where the raw
+# vectors never could; production systems compose IVF×PQ (restrict,
+# then score compressed). Public design: Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011.
+
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+_PQ_SUB_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17), "
+    "i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i]))), (acc, v) -> acc + v)"
+)
+
+_PQ_FULL_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> (c.e[i] - q.qe[i]) * (c.e[i] - q.qe[i]))), (acc, v) -> acc + v)"
+)
+
+
+def _pq_assign_sql(cent: str) -> str:
+    return f"""
+  SELECT vec_id, m, cid, sub, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT s.vec_id, s.m, c.cid, s.sub, {_PQ_SUB_D2} AS d2
+    FROM subs s JOIN {cent} c ON s.m = c.m)
+"""
+
+
+_Q137_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes0 AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe
+      FROM base WHERE vec_id < 5
+    ),
+    planted AS (
+      SELECT CAST(1000000 + p.qid * 10 + s.p AS BIGINT) AS vec_id,
+             p.qlabel AS label,
+             {_PROBE_PERTURB_SQL} AS e
+      FROM probes0 p CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted
+    ),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    subs AS (
+      SELECT vec_id, m,
+             list_transform(range(1, 17), i -> e[m * 16 + i]) AS sub
+      FROM corpus CROSS JOIN ms
+    ),
+    cent0 AS (
+      SELECT m, vec_id AS cid,
+             list_transform(range(1, 17), i -> e[m * 16 + i]) AS c
+      FROM base CROSS JOIN ms WHERE vec_id < {_PQ_K}
+    ),
+    a1 AS ({_pq_assign_sql('cent0')}),
+    cent1 AS (
+      SELECT m, cid, list(cval ORDER BY pos) AS c FROM (
+        SELECT m, cid, j AS pos, {{mean6}} AS cval
+        FROM (SELECT m, cid, sub FROM a1 WHERE rn = 1)
+        CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY m, cid, j)
+      GROUP BY m, cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code
+      FROM ({_pq_assign_sql('cent1')}) WHERE rn = 1
+    ),
+    qsubs AS (
+      SELECT qid, m,
+             list_transform(range(1, 17), i -> qe[m * 16 + i]) AS sub
+      FROM probes0 CROSS JOIN ms
+    ),
+    dist_tab AS (
+      SELECT s.qid, s.m, c.cid,
+             {micro6_sql(_PQ_SUB_D2)} AS dmicro
+      FROM qsubs s JOIN cent1 c ON s.m = c.m
+    ),
+    adc AS (
+      SELECT d.qid, k.vec_id, SUM(d.dmicro) AS adist
+      FROM codes k JOIN dist_tab d ON k.m = d.m AND k.code = d.cid
+      WHERE k.vec_id <> d.qid
+      GROUP BY d.qid, k.vec_id
+    ),
+    topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist, vec_id) AS rn FROM adc)
+      WHERE rn <= 3
+    ),
+    scored_truth AS (
+      SELECT q.qid, c.vec_id, {_PQ_FULL_D2} AS d2
+      FROM corpus c CROSS JOIN probes0 q WHERE c.vec_id <> q.qid
+    ),
+    top_truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY d2, vec_id) AS rn FROM scored_truth)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN topk m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT 'pq_adc_m4x8' AS method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_encoded
+    FROM per_q
+    """
+
+
+def _pq_subspaces(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
+    """Explode a 64-dim vector into (id..., m, sub[16]) subvector rows."""
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col), m * _PQ_SUB + 1, _PQ_SUB)
+            for m in range(_PQ_M)
+        ]
+    )
+    return df.select(
+        *id_cols, F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def _pq_sub_d2():
+    return F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-(vec_id, m) nearest sub-centroid: struct-min argmin, ties on
+    cid — the same determinism recipe as _km_assign."""
+    scored = subs.join(F.broadcast(cent), "m").withColumn(
+        "d2", _pq_sub_d2()
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"), F.col("sub"))).alias(
+                "a"
+            )
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("a.cid").alias("cid"),
+            F.col("a.sub").alias("sub"),
+        )
+    )
+
+
+@register(
+    "q137_ann_pq_adc",
+    oracle=_Q137_ORACLE.format(mean6=mean6_sql("sub[j + 1]")),
+    doc="Product quantization with ADC scoring, hash-checked end-to-end "
+    "(Jégou et al. 2011, the compression leg of scale ANN alongside "
+    "IVF q132 and multi-table LSH q127): 64-dim vectors split into "
+    "M=4 16-dim subspaces, one deterministic Lloyd iteration per "
+    "subspace (K=8, init = 8 lowest vec_ids — q103's recipe), corpus "
+    "encoded to 4 one-byte codes (64x smaller than f32), probe "
+    "distances computed as SUM of M lookup-table entries (micro-unit "
+    "BIGINTs, so the ADC sum is exact and order-free in both engines), "
+    "recall@3 vs exact-L2 truth on the planted protocol. Scale: "
+    "codebooks are K x M rows broadcast both directions; the ADC scan "
+    "is one broadcast join over the code table + a (qid, vec_id) sum — "
+    "linear, shuffle-light, and the code table is what fits in memory "
+    "at 10^10 vectors. Compose with q132's IVF cells to restrict the "
+    "scan before ADC-scoring it (IVF-PQ).",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.functions import micro6
+
+    base, probes0, planted = _planted_sets(spark, sf)
+    corpus = (
+        base.select("vec_id", "e")
+        .unionByName(planted.select("vec_id", "e"))
+        .localCheckpoint()
+    )
+    subs = _pq_subspaces(corpus, "e", ["vec_id"]).localCheckpoint()
+    cent0 = _pq_subspaces(
+        base.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), "e"
+        ),
+        "e",
+        ["cid"],
+    ).select("m", "cid", F.col("sub").alias("c"))
+    a1 = _pq_assign(subs, cent0)
+    # per-(m, cid, pos) mean6 partials -> rebuilt 16-dim sub-centroids
+    ex = a1.select("m", "cid", F.posexplode("sub").alias("pos", "val"))
+    dims = ex.groupBy("m", "cid", "pos").agg(mean6("val").alias("cval"))
+    cent1 = dims.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+    codes = _pq_assign(subs, cent1).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    qsubs = _pq_subspaces(
+        probes0.select("qid", F.col("qe").alias("e")), "e", ["qid"]
+    )
+    dist_tab = (
+        qsubs.join(F.broadcast(cent1), "m")
+        .withColumn("dmicro", micro6(_pq_sub_d2()))
+        .select("qid", "m", "cid", "dmicro")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dist_tab.withColumnRenamed("cid", "code")),
+            ["m", "code"],
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dmicro").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    full_d2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored_truth = (
+        corpus.crossJoin(F.broadcast(probes0.select("qid", "qe")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d2", full_d2)
+    )
+    wt = W.partitionBy("qid").orderBy("d2", "vec_id")
+    truth = (
+        scored_truth.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(truth, top, "planted", "pq_adc_m4x8").drop("protocol")
+    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
+    return rec.crossJoin(F.broadcast(n_enc))
