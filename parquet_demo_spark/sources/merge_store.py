@@ -423,6 +423,57 @@ class ParquetMergeStore:
         self._commit(new_version, bucket_paths, columns, stats)
         return new_version
 
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Bucket-count evolution: rewrite the snapshot under a new B.
+
+        The rewrite granularity that was right at 1 TB (a bucket ≈ a
+        few GB) is wrong at 100 TB — every upsert would rewrite
+        multi-TB buckets. ``rebucket`` is the online answer (the
+        Iceberg partition-evolution idea applied to hash bucketing):
+        one range-free full rewrite committed as a normal version, so
+        it is snapshot-isolated, time travel across the boundary keeps
+        working, vacuum can reclaim the old layout, and a crash leaves
+        only unreferenced files. Subsequent merges route by the new B
+        (the manifest records it; reopening with the stale B raises).
+
+        CDC across the boundary stays silent: ``changes_between``
+        compares ROWS by PK, not bucket ids, so a pure rebucket emits
+        no changes — consumers don't re-process a layout change.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError("cannot rebucket an empty store")
+        new_b = int(new_num_buckets)
+        if new_b < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_b}")
+        if new_b == self.num_buckets:
+            return cur
+        snapshot = self.read(spark, cur)
+        cols = self._read_manifest(cur)["columns"]
+        old_b = self.num_buckets
+        self.num_buckets = new_b
+        try:
+            batch = snapshot.withColumn(_BUCKET, self._bucket_expr())
+            new_version = cur + 1
+            rel_data = os.path.join("data", f"v{new_version:05d}")
+            out_dir = os.path.join(self.root, rel_data)
+            batch.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+                out_dir
+            )
+            bucket_paths, stats = {}, {}
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith(f"{_BUCKET}="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                rel = os.path.join(rel_data, d)
+                bucket_paths[b] = rel
+                stats[b] = self._dir_column_stats(rel)
+            self._commit(new_version, bucket_paths, cols, stats)
+        except BaseException:
+            self.num_buckets = old_b
+            raise
+        return new_version
+
     def compact(self, spark: SparkSession, min_files: int = 2) -> int | None:
         """Rewrite fragmented bucket dirs into one file each, as a new
         snapshot version (atomic pointer swap — same isolation as merge).
@@ -615,10 +666,22 @@ def changes_between(
         raise ValueError(f"bad version range: {v_from}..{v_to}")
     old_paths = store._bucket_paths(v_from)
     new_paths = store._bucket_paths(v_to)
+    # the two sides are pruned INDEPENDENTLY: after a rebucket the same
+    # id names a different key set in each version, so "changed" must
+    # mean "this version's dir is not referenced by the other version",
+    # per side — comparing ids across versions would drop the old rows
+    # of keys that moved buckets and mis-tag them as inserts
     changed = sorted(
         b for b, p in new_paths.items() if old_paths.get(b) != p
     )
+    changed_old = sorted(
+        b for b, p in old_paths.items() if new_paths.get(b) != p
+    )
     if where:
+        # stats pruning applies to the NEW side only (post-images
+        # qualify the pair); old dirs must stay readable for the
+        # pre-images of qualifying keys, whose old bucket id is
+        # unknowable after a bucket-count change
         surviving = store._pruned_bucket_paths(v_to, where)
         changed = [b for b in changed if b in surviving]
     cols = store._read_manifest(v_to)["columns"]
@@ -645,7 +708,7 @@ def changes_between(
         return spark.read.option("mergeSchema", "true").parquet(*present)
 
     new = _read(new_paths, changed)
-    old = _read(old_paths, changed)
+    old = _read(old_paths, changed_old)
     keys = list(store.keys)
     if old is None:
         return _residual(

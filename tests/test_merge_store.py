@@ -611,3 +611,95 @@ def test_stream_restart_replays_uncommitted_batch_idempotently(
         (2, 1, "b"),
         (3, 1, "c"),
     ]
+
+
+def test_rebucket_preserves_rows_time_travel_and_cdc_silence(
+    spark, tmp_path
+):
+    """Bucket-count evolution: rows identical before/after, old
+    versions still readable, and a pure rebucket emits ZERO CDC rows
+    in both grow and shrink directions (changes are rows, not layout).
+    """
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(64)]
+        )
+    )
+    before = _rows(st.read(spark))
+
+    v_grow = st.rebucket(spark, 16)
+    assert v_grow == 1 and st.num_buckets == 16
+    assert _rows(st.read(spark)) == before
+    assert _rows(st.read(spark, version=0)) == before  # time travel
+    assert changes_between(st, spark, 0, v_grow).count() == 0
+
+    v_shrink = st.rebucket(spark, 2)
+    assert v_shrink == 2 and st.num_buckets == 2
+    assert _rows(st.read(spark)) == before
+    assert changes_between(st, spark, v_grow, v_shrink).count() == 0
+    # and across the whole chain
+    assert changes_between(st, spark, 0, v_shrink).count() == 0
+
+
+def test_merge_after_rebucket_routes_by_new_buckets(spark, tmp_path):
+    """Post-rebucket merges rewrite a new-B-sized fraction: an upsert
+    touching one key rewrites exactly one of the 16 new buckets."""
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(64)]
+        )
+    )
+    st.rebucket(spark, 16)
+    paths_before = st._bucket_paths(st.current_version())
+    st.merge(spark.createDataFrame([Row(k=7, v=2, payload="seven-b")]))
+    paths_after = st._bucket_paths(st.current_version())
+    rewritten = [
+        b for b in paths_after if paths_after[b] != paths_before.get(b)
+    ]
+    assert len(rewritten) == 1
+    got = {(r.k, r.v, r.payload) for r in st.read(spark).collect()}
+    assert (7, 2, "seven-b") in got and len(got) == 64
+
+
+def test_rebucket_cdc_still_sees_real_changes(spark, tmp_path):
+    """An update applied AFTER a rebucket is reported across the
+    boundary; the moved-but-identical rows stay silent."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(32)]
+        )
+    )
+    st.rebucket(spark, 8)
+    st.merge(spark.createDataFrame([Row(k=3, v=2, payload="three-b")]))
+    ch = changes_between(st, spark, 0, st.current_version())
+    got = sorted((r.k, r.payload, r._change_type) for r in ch.collect())
+    assert got == [(3, "three-b", "update_postimage")]
+
+
+def test_rebucket_guards(spark, tmp_path):
+    st = _store(tmp_path, num_buckets=4)
+    with pytest.raises(ValueError, match="empty"):
+        st.rebucket(spark, 8)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    assert st.rebucket(spark, 4) == 0  # no-op keeps the version
+    with pytest.raises(ValueError, match=">= 1"):
+        st.rebucket(spark, 0)
+
+
+def test_reopen_after_rebucket_requires_new_bucket_count(
+    spark, tmp_path
+):
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.rebucket(spark, 16)
+    with pytest.raises(ValueError, match="different"):
+        _store(tmp_path, num_buckets=4)
+    re = _store(tmp_path, num_buckets=16)
+    assert _rows(re.read(spark)) == [(1, 1, "a")]
