@@ -62,3 +62,94 @@ def q59b(spark: SparkSession, sf: str) -> DataFrame:
         q.getItem(2).cast("double").alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+# --- q138: heavy hitters — mergeable sketch candidates + exact verify -----
+
+
+def _mg_candidates(tok: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries (≤ ``capacity`` counters).
+
+    The MG guarantee makes this a SOUND candidate generator: any token
+    whose global frequency exceeds N/(capacity+1) must, by pigeonhole,
+    exceed N_p/(capacity+1) in at least one partition, and a
+    per-partition MG sketch with ``capacity`` counters retains every
+    such local heavy hitter. So the union of partition summaries is a
+    guaranteed superset of the true heavy hitters — while each
+    partition emits at most ``capacity`` rows regardless of how many
+    billions of tokens it scanned. Arrow-batched (mapInPandas), state
+    carried across batches within the partition.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return tok.mapInPandas(mg, "token string")
+
+
+@register(
+    "q138_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''))
+             AS token
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, n
+    GROUP BY token, n.total
+    HAVING COUNT(*) * 400 >= n.total
+    ORDER BY cnt DESC, token
+    """,
+    doc="Exact heavy hitters (tokens with frequency >= N/400) via the "
+    "two-pass sketch-then-verify pattern: pass 1 runs a per-partition "
+    "Misra-Gries summary (capacity 400, mapInPandas, <= 400 rows out "
+    "per partition no matter the input size) whose union is a PROVEN "
+    "superset of the true heavy hitters; pass 2 exact-counts only the "
+    "candidate tokens (broadcast semi-join) and applies the integer "
+    "threshold. The final answer is exact — hash-checked against a "
+    "plain GROUP BY / HAVING oracle — but the full-corpus shuffle of "
+    "pass-2 moves only candidate-matched rows, and nothing anywhere "
+    "holds more than capacity counters: the 100 TB shape for 'top "
+    "boilerplate tokens across the corpus'. The sketch's content is "
+    "partition-order-dependent; the verified output is not.",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.functions import tokens
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(tokens("text"), lambda t: t != "")
+        ).alias("token")
+    )
+    total = tok.agg(F.count("*").alias("total"))
+    cands = _mg_candidates(tok, 400).distinct()
+    return (
+        tok.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 400 >= F.col("total"))
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )

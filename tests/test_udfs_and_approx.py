@@ -92,3 +92,53 @@ def test_q84b_approx_fences_bounded_vs_exact(spark, sf_dir):
         assert abs(a.lo_fence - e.lo_fence) <= 0.005 * abs(e.lo_fence) + 1
         assert abs(a.hi_fence - e.hi_fence) <= 0.005 * abs(e.hi_fence) + 1
         assert abs(a.n_outliers - e.n_outliers) <= max(0.02 * e.n_rows, 5)
+
+
+def test_misra_gries_verified_output_is_partitioning_invariant(spark):
+    """q138's law: the MG summaries vary with partitioning, but the
+    sketch-then-verify output is exact — identical across partition
+    counts and equal to the plain GROUP BY / HAVING answer, on skewed
+    synthetic data where most tokens are near the threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.operators.approx import _mg_candidates
+
+    # 40 "hot" tokens at ~200 occurrences, 2000 cold tokens at 1-3
+    rows = []
+    for h in range(40):
+        rows += [f"hot{h:02d}"] * (180 + h)
+    for c in range(2000):
+        rows += [f"cold{c:04d}"] * (1 + c % 3)
+    data = spark.createDataFrame(pd.DataFrame({"token": rows}))
+    n = len(rows)
+    cap = 400
+
+    def verified(tok):
+        total = tok.agg(F.count("*").alias("total"))
+        cands = _mg_candidates(tok, cap).distinct()
+        return sorted(
+            (r.token, r.cnt)
+            for r in tok.join(F.broadcast(cands), "token")
+            .groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * cap >= F.col("total"))
+            .select("token", "cnt")
+            .collect()
+        )
+
+    exact = sorted(
+        (r.token, r.cnt)
+        for r in data.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * cap >= n)
+        .collect()
+    )
+    assert exact, "fixture must produce at least one heavy hitter"
+    for parts in (1, 7, 32):
+        got = verified(data.repartition(parts, "token"))
+        assert got == exact, f"parts={parts}"
+    # adversarial: round-robin partitioning splits every token's mass
+    got = verified(data.repartition(13))
+    assert got == exact
