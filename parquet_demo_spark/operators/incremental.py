@@ -225,3 +225,37 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return _mv_agg(store.read(spark)).orderBy("event_type")
+
+
+@register(
+    "q139_change_feed_refresh",
+    oracle=_MV_ORACLE,
+    doc="q134's refresh law served from the STORED change feed: the "
+    "second merge runs with write_change_feed=True, so the commit "
+    "itself materializes its insert/pre/post rows (Delta CDF design) "
+    "from the ranked frame the merge already computed — and the view "
+    "refresh reads changes/v1 directly, an O(Δ) read that touches no "
+    "data bucket at all. Same full-recompute oracle as q134: the hash "
+    "match proves the written feed carries exactly the information "
+    "the snapshot diff would reconstruct. At 100 TB this is the "
+    "difference that matters most in the CDC story: changes_between "
+    "re-reads every REWRITTEN bucket (hash-bucketing scatters even a "
+    "small key set across many buckets), while the stored feed costs "
+    "what the changes weigh.",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    root = _scratch_root("q139", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    mv0 = _mv_agg(store.read(spark, version=0))
+    store.merge(
+        ev.filter(F.col("event_id") % 2 == 1), write_change_feed=True
+    )
+    feed = store.change_feed(spark, 1)
+    return refresh_incremental(mv0, feed).orderBy("event_type")

@@ -113,6 +113,7 @@ class ParquetMergeStore:
         bucket_paths: dict[int, str],
         columns: list[str],
         stats: dict[int, dict] | None = None,
+        change_feed: str | None = None,
     ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -121,6 +122,9 @@ class ParquetMergeStore:
             "keys": list(self.keys),
             "version_cols": list(self.version_cols),
             "num_buckets": self.num_buckets,
+            # relative dir of this commit's stored change rows (Delta
+            # CDF-style), or None when the merge didn't write a feed
+            "change_feed": change_feed,
             # the table schema (column names, stable order): bucket dirs
             # from different versions may carry different physical
             # schemas after an evolution — this is the authoritative set
@@ -289,6 +293,7 @@ class ParquetMergeStore:
         upserts: DataFrame,
         allow_schema_evolution: bool = False,
         conditional: bool = False,
+        write_change_feed: bool = False,
     ) -> int:
         """Replace-by-PK merge; returns the committed version number.
 
@@ -318,6 +323,18 @@ class ParquetMergeStore:
         ingest (foreachBatch re-delivery after a crash) converge to the
         same snapshot. Null version values sort last (lose). The extra
         cost is nothing: the same PK window, one more sort key.
+
+        ``write_change_feed=True`` additionally materializes this
+        commit's change rows (insert / update_preimage /
+        update_postimage, Delta CDF naming) under ``changes/v{N}`` and
+        records the path in the manifest. The rows are derived from
+        the SAME ranked frame the merge already computes — one extra
+        filter-join over the touched buckets, no second table scan —
+        and :meth:`change_feed` then serves incremental consumers in
+        O(Δ) reads. ``changes_between`` (snapshot diffing) remains the
+        fallback for commits written without a feed; at 100 TB the
+        stored feed is the difference between "read the day's changes"
+        and "re-read every bucket the day touched".
         """
         from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
@@ -389,20 +406,34 @@ class ParquetMergeStore:
                 # version order — ReplaceOne is an unconditional replace
                 order = [F.col(_FROM_UPSERT).desc()]
             w = Window.partitionBy(*self.keys).orderBy(*order)
-            combined = (
-                combined.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", _FROM_UPSERT)
+            ranked = combined.withColumn("__rn", F.row_number().over(w))
+            if write_change_feed:
+                # the feed write and the data write both consume the
+                # ranked frame; cache it so the PK window's shuffle
+                # runs once, not twice
+                ranked = ranked.persist()
+            combined = ranked.filter(F.col("__rn") == 1).drop(
+                "__rn", _FROM_UPSERT
             )
         else:
+            ranked = None
             combined = batch
 
         new_version = 0 if cur_version is None else cur_version + 1
+        rel_changes = None
+        if write_change_feed:
+            feed = self._derive_changes(ranked, batch, columns)
+            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.root, rel_changes)
+            )
         rel_data = os.path.join("data", f"v{new_version:05d}")
         out_dir = os.path.join(self.root, rel_data)
         # one partition-parallel write; bucket dirs appear as partition
         # subdirectories (__bucket=K) we then reference individually
         combined.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
+        if ranked is not None and write_change_feed:
+            ranked.unpersist()
 
         bucket_paths = dict(prior)
         prior_stats = (
@@ -420,8 +451,95 @@ class ParquetMergeStore:
             rel = os.path.join(rel_data, f"{_BUCKET}={b}")
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
-        self._commit(new_version, bucket_paths, columns, stats)
+        self._commit(
+            new_version, bucket_paths, columns, stats, change_feed=rel_changes
+        )
         return new_version
+
+    def _derive_changes(
+        self, ranked: DataFrame | None, batch: DataFrame, cols: list[str]
+    ) -> DataFrame:
+        """This commit's change rows from the merge's own ranked frame.
+
+        ``ranked`` is the per-PK window over (batch ∪ stored touched
+        rows) the merge already built — the survivor is ``__rn = 1``,
+        the stored row is ``_FROM_UPSERT = 0``. A change exists iff the
+        survivor came from the batch AND (no stored row → insert, or
+        any non-key column differs → update pre+post). A conditional
+        merge whose stored row won, or a replacement identical to the
+        stored row, emits nothing — the feed reports state changes,
+        not write attempts. ``ranked is None`` means no touched bucket
+        existed: every (collapsed) batch row is an insert.
+        """
+
+        def _with_cols(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).alias(c)
+                    for c in cols
+                ]
+            )
+
+        if ranked is None:
+            return _with_cols(batch).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        surv = ranked.filter(
+            (F.col("__rn") == 1) & (F.col(_FROM_UPSERT) == 1)
+        )
+        surv = _with_cols(surv)
+        old = ranked.filter(F.col(_FROM_UPSERT) == 0)
+        old_tagged = _with_cols(old).select(
+            *[F.col(c).alias(f"__old_{c}") for c in cols]
+        )
+        cond = [
+            F.col(k).eqNullSafe(F.col(f"__old_{k}")) for k in self.keys
+        ]
+        joined = surv.join(old_tagged, cond, "left")
+        non_keys = [c for c in cols if c not in self.keys]
+        differs = F.lit(False)
+        for c in non_keys:
+            differs = differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        is_insert = F.col(f"__old_{self.keys[0]}").isNull()
+        changed = joined.filter(is_insert | differs)
+        post = changed.withColumn(
+            "_change_type",
+            F.when(is_insert, F.lit("insert")).otherwise(
+                F.lit("update_postimage")
+            ),
+        ).select(*cols, "_change_type")
+        pre = (
+            changed.filter(~is_insert)
+            .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        return post.unionByName(pre)
+
+    def change_feed(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The stored change rows of one commit — an O(Δ) read.
+
+        Raises if that commit was written without
+        ``write_change_feed=True`` (use :func:`changes_between` to
+        diff snapshots instead). Concatenating feeds v+1..w IS the CDF
+        stream between v and w (per-commit granularity, like Delta's
+        table_changes); ``changes_between(v, w)`` gives the collapsed
+        net diff.
+        """
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty merge store: {self.root}")
+        m = self._read_manifest(v)
+        rel = m.get("change_feed")
+        if rel is None:
+            raise ValueError(
+                f"version {v} has no stored change feed; merge with "
+                "write_change_feed=True or diff snapshots with "
+                "changes_between"
+            )
+        df = spark.read.parquet(os.path.join(self.root, rel))
+        return df.select(*m["columns"], "_change_type")
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Bucket-count evolution: rewrite the snapshot under a new B.
@@ -576,6 +694,20 @@ class ParquetMergeStore:
                 rel = os.path.join("data", d)
                 if rel not in live:
                     shutil.rmtree(os.path.join(data_root, d))
+                    removed.append(rel)
+        # change feeds are per-version artifacts: live iff their
+        # version's manifest is kept (committed feeds only — an orphan
+        # version's dir was removed with its manifest above)
+        live_feeds = {
+            self._read_manifest(v).get("change_feed")
+            for v in keep_versions
+        }
+        changes_root = os.path.join(self.root, "changes")
+        if os.path.isdir(changes_root):
+            for d in sorted(os.listdir(changes_root)):
+                rel = os.path.join("changes", d)
+                if rel not in live_feeds:
+                    shutil.rmtree(os.path.join(changes_root, d))
                     removed.append(rel)
         return removed
 

@@ -236,3 +236,103 @@ def test_streaming_conditional_ingest_replay_converges(spark, tmp_path):
         q.awaitTermination()
     got = _rows(st.read(spark))
     assert got == [(i, 15 + i, f"p{15 + i}") for i in range(5)]
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_change_feed_matches_snapshot_diff(spark, tmp_path):
+    """The stored feed must be row-identical to the after-the-fact
+    snapshot diff (insert + update pre/post, identical rewrites
+    silent) — same law, O(delta) read."""
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(16)]
+        ),
+        write_change_feed=True,
+    )
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="one-b"),
+                Row(k=2, v=1, payload="2"),  # identical rewrite
+                Row(k=99, v=1, payload="ninety-nine"),
+            ]
+        ),
+        write_change_feed=True,
+    )
+    feed0 = st.change_feed(spark, 0)
+    assert set(r._change_type for r in feed0.collect()) == {"insert"}
+    assert feed0.count() == 16
+    feed1 = st.change_feed(spark, 1)
+    diff = changes_between(st, spark, 0, 1, include_preimages=True)
+    assert _canon(feed1) == _canon(diff)
+
+
+def test_change_feed_conditional_stale_batch_is_silent(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=5, payload="new")]),
+        write_change_feed=True,
+    )
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=3, payload="stale")]),
+        conditional=True,
+        write_change_feed=True,
+    )
+    assert st.change_feed(spark, 1).count() == 0
+    # and a real change still reports
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=9, payload="newer")]),
+        conditional=True,
+        write_change_feed=True,
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in st.change_feed(spark, 2).collect()
+    )
+    assert got == [(1, 5, "update_preimage"), (1, 9, "update_postimage")]
+
+
+def test_change_feed_absent_raises_and_vacuum_reclaims(spark, tmp_path):
+    import os
+
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")]),
+        write_change_feed=True,
+    )
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="b")]))
+    with pytest.raises(ValueError, match="no stored change feed"):
+        st.change_feed(spark, 1)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=3, payload="c")]),
+        write_change_feed=True,
+    )
+    removed = st.vacuum(keep_last=1)
+    assert os.path.join("changes", "v00000") in removed
+    # the kept version's feed still reads
+    assert st.change_feed(spark, 2).count() == 2  # pre + post
+
+
+def test_change_feed_with_schema_evolution(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")]),
+        write_change_feed=True,
+    )
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=2, payload="a2", extra=7)]),
+        allow_schema_evolution=True,
+        write_change_feed=True,
+    )
+    got = sorted(
+        (r.k, r.v, r.payload, r.extra, r._change_type)
+        for r in st.change_feed(spark, 1).collect()
+    )
+    assert got == [
+        (1, 1, "a", None, "update_preimage"),
+        (1, 2, "a2", 7, "update_postimage"),
+    ]
