@@ -82,14 +82,15 @@ def refresh_incremental(mv: DataFrame, cdc: DataFrame) -> DataFrame:
 
     ``cdc`` must carry pre-images (``include_preimages=True``): each
     group's delta is Σ over {insert: +row, update_postimage: +row,
-    update_preimage: −row}, so an updated key nets (0 keys,
-    Δevent_id, Δcents) and an inserted key nets (+1, +event_id,
-    +cents). Full-outer join handles groups born (or emptied) by the
+    update_preimage: −row, delete: −row}, so an updated key nets
+    (0 keys, Δevent_id, Δcents), an inserted key nets (+1, +event_id,
+    +cents), and a deleted key retracts itself (−1, −event_id,
+    −cents). Full-outer join handles groups born (or emptied) by the
     delta. Cost: one aggregate over the CDC rows + a join on the
     (tiny) group dimension — never touches the base table.
     """
     sign = F.when(
-        F.col("_change_type") == "update_preimage", F.lit(-1)
+        F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
     ).otherwise(F.lit(1))
     delta = cdc.groupBy("event_type").agg(
         F.sum(sign).cast("bigint").alias("d_keys"),

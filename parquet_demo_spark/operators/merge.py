@@ -161,3 +161,92 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "_change_type")
     )
+
+
+@register(
+    "q140_merge_delete_where",
+    oracle="""
+    WITH collapsed AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT *, (event_type <> 'error' AND value < 30.0) AS del
+      FROM collapsed
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(SUM(CASE WHEN NOT del THEN event_id END) AS BIGINT)
+             AS sum_live_event_id,
+           CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(SUM(CASE WHEN del THEN event_id END) AS BIGINT)
+             AS sum_deleted_event_id
+    FROM flagged
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Delta-style DELETE WHERE executed against the real mutable "
+    "store, end-to-end: events merged (LWW collapse per "
+    "(user_id, event_type)), then `delete(event_type <> 'error' AND "
+    "value < 30.0, write_change_feed=True)` rewrites ONLY the buckets "
+    "holding a match and records the removed rows as "
+    "_change_type='delete' (Delta CDF naming). The result joins the "
+    "post-delete snapshot aggregate with the delete feed's aggregate "
+    "per event_type, so the driver's hash check covers the predicate "
+    "split (NULL-keeps semantics included), the bucket-pruned rewrite, "
+    "the commit, AND the stored delete feed in one row set. 'error' "
+    "rows are untouched by design — their group exercises the "
+    "no-deletes side of the full-outer join. Scale: phase 1 collects "
+    "only matching bucket IDs (≤ num_buckets ints); phase 2 rewrites "
+    "matching buckets only — a selective delete on a 100 TB store "
+    "rewrites the buckets its rows live in, not the table.",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    root = _scratch_root("q140", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev)
+    v = store.delete(
+        spark,
+        "event_type <> 'error' AND value < 30.0",
+        write_change_feed=True,
+    )
+    live = (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_live"),
+            F.sum("event_id").cast("bigint").alias("sum_live_event_id"),
+        )
+    )
+    deleted = (
+        store.change_feed(spark, v)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_deleted"),
+            F.sum("event_id").cast("bigint").alias("sum_deleted_event_id"),
+        )
+    )
+    return (
+        live.join(deleted, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_live"), F.lit(0)).cast("bigint")
+            .alias("n_live"),
+            F.col("sum_live_event_id").cast("bigint"),
+            F.coalesce(F.col("n_deleted"), F.lit(0)).cast("bigint")
+            .alias("n_deleted"),
+            F.col("sum_deleted_event_id").cast("bigint"),
+        )
+        .orderBy("event_type")
+    )

@@ -456,6 +456,131 @@ class ParquetMergeStore:
         )
         return new_version
 
+    def delete(
+        self,
+        spark: SparkSession,
+        condition=None,
+        where: dict[str, tuple] | None = None,
+        write_change_feed: bool = False,
+    ) -> int | None:
+        """Delta-style ``DELETE WHERE``: drop matching rows, rewriting
+        only the buckets that actually hold one.
+
+        The full predicate is (``where`` ranges AND ``condition``) —
+        the same contract as :meth:`read`: ``where`` (column →
+        (lo, hi) closed range) prunes bucket dirs via manifest min/max
+        stats AND filters rows, ``condition`` (Column or SQL string) is
+        the arbitrary residual. SQL DELETE null semantics: a row whose
+        predicate evaluates NULL is KEPT.
+
+        Two-phase, like Delta's DELETE: (1) a metadata+scan pass finds
+        the buckets containing ≥1 matching row (an aggregate collecting
+        ≤ num_buckets ids, not data); (2) only those buckets rewrite
+        without their matching rows, everything else re-references its
+        existing dir. Committed as a normal snapshot version (atomic
+        pointer), so time travel shows the pre-delete state, vacuum
+        reclaims it, and a crash leaves only unreferenced files.
+
+        ``write_change_feed=True`` materializes the deleted rows as
+        ``_change_type='delete'`` under ``changes/v{N}`` (Delta CDF
+        naming) — an incremental consumer retracts exactly those rows.
+
+        Returns the committed version, or None when no row matched
+        (a no-op burns no version and writes nothing).
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"empty merge store: {self.root}")
+        if condition is None and not where:
+            raise ValueError(
+                "refusing an unconditional delete: pass condition and/or "
+                "where (to truncate, pass condition=F.lit(True))"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cols = self._read_manifest(cur)["columns"]
+        prior = self._bucket_paths(cur)
+        candidates = self._pruned_bucket_paths(cur, where)
+        if not candidates:
+            return None
+
+        pred = F.lit(True) if cond is None else cond.cast("boolean")
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+        # NULL predicate → row kept (SQL DELETE)
+        match = F.coalesce(pred, F.lit(False))
+
+        cand = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(
+                *[os.path.join(self.root, p) for p in candidates.values()]
+            )
+            .select(*[F.col(c) if c in cols else F.lit(None).alias(c)
+                      for c in cols])
+        )
+        # phase 1: which buckets hold a match? ≤ num_buckets ints
+        touched = sorted(
+            r[0]
+            for r in cand.filter(match)
+            .select(self._bucket_expr().alias(_BUCKET))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return None
+
+        # phase 2: rewrite only the touched dirs
+        tdf = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.root, prior[b]) for b in touched])
+            .select(*[F.col(c) if c in cols else F.lit(None).alias(c)
+                      for c in cols])
+        )
+        new_version = cur + 1
+        rel_changes = None
+        if write_change_feed:
+            feed = tdf.filter(match).select(*cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.root, rel_changes)
+            )
+        keep = tdf.filter(~match).withColumn(_BUCKET, self._bucket_expr())
+        rel_data = os.path.join("data", f"v{new_version:05d}")
+        out_dir = os.path.join(self.root, rel_data)
+        keep.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
+
+        bucket_paths = {b: p for b, p in prior.items() if b not in touched}
+        prior_stats = {
+            int(k): v
+            for k, v in self._read_manifest(cur).get("stats", {}).items()
+        }
+        stats = {b: s for b, s in prior_stats.items() if b not in touched}
+        # an emptied bucket writes no partition dir and simply drops out
+        # of the manifest; only dirs that actually materialized re-enter
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith(f"{_BUCKET}="):
+                continue
+            b = int(d.split("=", 1)[1])
+            rel = os.path.join(rel_data, d)
+            bucket_paths[b] = rel
+            stats[b] = self._dir_column_stats(rel)
+        if not bucket_paths:
+            # the delete emptied the table: keep it readable by
+            # committing one empty (schema-bearing) dir
+            keep.drop(_BUCKET).coalesce(1).write.mode("overwrite").parquet(
+                out_dir
+            )
+            bucket_paths = {0: rel_data}
+            stats = {}
+        self._commit(
+            new_version, bucket_paths, cols, stats, change_feed=rel_changes
+        )
+        return new_version
+
     def _derive_changes(
         self, ranked: DataFrame | None, batch: DataFrame, cols: list[str]
     ) -> DataFrame:
@@ -773,11 +898,11 @@ def changes_between(
     - key absent in old  → ``insert``
     - key present, any non-key column differs → ``update_postimage``
       (the replacement row, Delta CDF naming)
+    - key present in old, absent at ``v_to`` → ``delete`` (the old
+      row; only :meth:`ParquetMergeStore.delete` commits can produce
+      these — merges never remove a key)
     - unchanged rows are dropped (a rewrite that re-wrote an identical
       row is not a change).
-
-    Deletes can't occur (ReplaceOne has no delete op), so none are
-    emitted.
 
     ``include_preimages=True`` additionally emits the OLD row for every
     updated key as ``update_preimage`` (Delta CDF naming). Pre-images
@@ -826,7 +951,7 @@ def changes_between(
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
-    if not changed:
+    if not changed and not changed_old:
         return store.read(spark, v_to).select(*cols).limit(0).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -839,20 +964,53 @@ def changes_between(
             return None
         return spark.read.option("mergeSchema", "true").parquet(*present)
 
+    def _align(df: DataFrame) -> DataFrame:
+        # evolved schemas: columns missing from these footers read null
+        return df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in cols
+            ]
+        )
+
     new = _read(new_paths, changed)
     old = _read(old_paths, changed_old)
     keys = list(store.keys)
     if old is None:
         return _residual(
-            new.select(*cols).withColumn("_change_type", F.lit("insert"))
+            _align(new).withColumn("_change_type", F.lit("insert"))
         )
+    old = _align(old)
 
-    # align evolved schemas: missing columns read as null on either side
-    for c in cols:
-        if c not in new.columns:
-            new = new.withColumn(c, F.lit(None))
-        if c not in old.columns:
-            old = old.withColumn(c, F.lit(None))
+    # deletes: keys live at v_from whose row is GONE at v_to — only a
+    # DELETE commit produces them. A key's bucket id under v_to may
+    # differ from its v_from id (rebucket inside the span), so presence
+    # is checked against the v_to dirs the old keys actually map to
+    # under v_to's bucketing (an id set ≤ num_buckets, collected from
+    # an aggregate). Deletes qualify a `where` range by their only
+    # image — the old row.
+    n_to = store._read_manifest(v_to).get("num_buckets", store.num_buckets)
+    to_bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_to))
+    target_ids = sorted(
+        r[0] for r in old.select(to_bucket.alias("__b")).distinct().collect()
+    )
+    presence = _read(new_paths, target_ids)
+    if presence is None:
+        gone = old
+    else:
+        pres_keys = _align(presence).select(
+            *[F.col(k).alias(f"__new_{k}") for k in keys]
+        )
+        gone = old.join(
+            pres_keys,
+            [F.col(k).eqNullSafe(F.col(f"__new_{k}")) for k in keys],
+            "left_anti",
+        )
+    deletes = _residual(gone).withColumn("_change_type", F.lit("delete"))
+
+    if new is None:
+        return deletes
+    new = _align(new)
     old_tagged = old.select(
         *[F.col(c).alias(f"__old_{c}") for c in cols]
     )
@@ -873,10 +1031,10 @@ def changes_between(
         ),
     ).select(*cols, "_change_type")
     if not include_preimages:
-        return post
+        return post.unionByName(deletes)
     pre = (
         changed.filter(~is_insert)
         .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
         .withColumn("_change_type", F.lit("update_preimage"))
     )
-    return post.unionByName(pre)
+    return post.unionByName(pre).unionByName(deletes)

@@ -703,3 +703,220 @@ def test_reopen_after_rebucket_requires_new_bucket_count(
         _store(tmp_path, num_buckets=4)
     re = _store(tmp_path, num_buckets=16)
     assert _rows(re.read(spark)) == [(1, 1, "a")]
+
+
+# -- DELETE WHERE ------------------------------------------------------
+
+
+def test_delete_where_basic_and_bucket_pruning(spark, tmp_path):
+    """DELETE drops exactly the matching rows, rewrites only the
+    buckets holding one, and commits a normal time-travelable version."""
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=("x" if i % 3 == 0 else "y"))
+             for i in range(24)]
+        )
+    )
+    before = st._bucket_paths(0)
+    v = st.delete(spark, F.col("payload") == "x")
+    assert v == 1
+    got = _rows(st.read(spark))
+    assert got == [(i, 1, "y") for i in range(24) if i % 3 != 0]
+    # time travel still shows the pre-delete state
+    assert len(_rows(st.read(spark, version=0))) == 24
+    # untouched buckets re-reference their old dirs verbatim
+    after = st._bucket_paths(1)
+    survivors_by_bucket = {}
+    untouched = [b for b in before if before[b] == after.get(b)]
+    assert untouched, "expected at least one bucket with no 'x' row"
+
+
+def test_delete_noop_burns_no_version(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    assert st.delete(spark, F.col("payload") == "zzz") is None
+    assert st.current_version() == 0
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: predicate NULL → row kept."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload=None), Row(k=2, v=1, payload="drop")]
+        )
+    )
+    st.delete(spark, "payload = 'drop'")
+    assert _rows(st.read(spark)) == [(1, 1, None)]
+
+
+def test_delete_unconditional_refused(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    with pytest.raises(ValueError, match="unconditional"):
+        st.delete(spark)
+
+
+def test_delete_all_keeps_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )
+    st.delete(spark, F.lit(True))
+    out = st.read(spark)
+    assert out.count() == 0
+    assert out.columns == ["k", "v", "payload"]
+    # and the table accepts new merges afterwards
+    st.merge(spark.createDataFrame([Row(k=9, v=1, payload="z")]))
+    assert _rows(st.read(spark)) == [(9, 1, "z")]
+
+
+def test_delete_where_ranges_prune_and_filter(spark, tmp_path):
+    """`where` is both a stats-pruning hint and part of the predicate —
+    identical contract to read(where=...)."""
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=i, payload=str(i)) for i in range(20)]
+        )
+    )
+    v = st.delete(spark, "k % 2 = 0", where={"v": (10, 14)})
+    assert v == 1
+    kept = [k for k, _, _ in _rows(st.read(spark))]
+    assert kept == [k for k in range(20) if not (10 <= k <= 14 and k % 2 == 0)]
+
+
+def test_delete_change_feed_and_changes_between(spark, tmp_path):
+    """A delete commit is visible both via its stored feed and via
+    snapshot diffing — as _change_type='delete' rows."""
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(16)]
+        )
+    )
+    st.delete(spark, F.col("k") < 3, write_change_feed=True)
+    feed = st.change_feed(spark, 1)
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+        (0, "delete"), (1, "delete"), (2, "delete"),
+    ]
+    diff = changes_between(st, spark, 0, 1)
+    assert sorted((r.k, r._change_type) for r in diff.collect()) == [
+        (0, "delete"), (1, "delete"), (2, "delete"),
+    ]
+    # identically-rewritten survivors in the touched buckets stay silent
+    assert diff.filter(F.col("_change_type") != "delete").count() == 0
+
+
+def test_changes_between_mixed_merge_and_delete_span(spark, tmp_path):
+    """A span covering an update, an insert AND a delete nets all three
+    change kinds; the deleted key's pre-image is the v_from row."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(8)]
+        )
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=0, v=2, payload="zero-b"), Row(k=50, v=1, payload="new")]
+        )
+    )
+    st.delete(spark, "k = 3")
+    ch = changes_between(st, spark, 0, 2)  # 0 → current
+    got = sorted((r.k, r.payload, r._change_type) for r in ch.collect())
+    assert got == [
+        (0, "zero-b", "update_postimage"),
+        (3, "3", "delete"),
+        (50, "new", "insert"),
+    ]
+    # preimages mode adds the old row of the updated key only
+    chp = changes_between(st, spark, 0, 2, include_preimages=True)
+    gotp = sorted((r.k, r.payload, r._change_type) for r in chp.collect())
+    assert gotp == [
+        (0, "0", "update_preimage"),
+        (0, "zero-b", "update_postimage"),
+        (3, "3", "delete"),
+        (50, "new", "insert"),
+    ]
+
+
+def test_delete_then_reinsert_nets_update(spark, tmp_path):
+    """Across a delete+reinsert span the key is PRESENT on both ends:
+    the net diff is an update (new payload), not delete+insert."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.delete(spark, "k = 1")
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="a2")]))
+    ch = changes_between(st, spark, 0, 2)
+    assert sorted((r.k, r.payload, r._change_type) for r in ch.collect()) == [
+        (1, "a2", "update_postimage"),
+    ]
+
+
+def test_delete_after_rebucket_and_cdc_across_both(spark, tmp_path):
+    """Delete routed by the NEW bucket count after a rebucket; a diff
+    spanning rebucket+delete emits only the delete."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=2)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=str(i)) for i in range(12)]
+        )
+    )
+    st.rebucket(spark, 8)
+    st.delete(spark, "k = 5")
+    assert len(_rows(st.read(spark))) == 11
+    ch = changes_between(st, spark, 0, 2)
+    assert sorted((r.k, r._change_type) for r in ch.collect()) == [
+        (5, "delete"),
+    ]
+
+
+def test_refresh_incremental_applies_deletes(spark, tmp_path):
+    """The maintained MV stays equal to a full recompute across a span
+    that includes delete retractions."""
+    from parquet_demo_spark.operators.incremental import (
+        _mv_agg,
+        refresh_incremental,
+    )
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = ParquetMergeStore(
+        str(tmp_path / "mvstore"),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    rows = [
+        Row(user_id=u, event_type=t, event_id=u * 10 + i, ts=i, value=1.5 * u)
+        for u in range(6)
+        for i, t in enumerate(["click", "view"])
+    ]
+    st.merge(spark.createDataFrame(rows))
+    mv0 = _mv_agg(st.read(spark, version=0)).localCheckpoint()
+    st.delete(spark, "user_id IN (1, 4) AND event_type = 'click'")
+    cdc = changes_between(st, spark, 0, 1, include_preimages=True)
+    inc = refresh_incremental(mv0, cdc)
+    full = _mv_agg(st.read(spark, version=1))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
