@@ -250,3 +250,73 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q141_bloom_point_lookup",
+    oracle="""
+    WITH collapsed AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+    FROM collapsed WHERE event_id IN (
+      SELECT MIN(event_id) FROM collapsed
+      UNION SELECT MAX(event_id) FROM collapsed
+      UNION SELECT MIN(event_id) FROM collapsed
+        WHERE event_type = 'purchase'
+    )
+    ORDER BY event_id
+    """,
+    doc="Point lookups against the mutable store through manifest BLOOM "
+    "skipping: the store is keyed (user_id, event_type), so a lookup on "
+    "event_id can never bucket-prune by PK hash, and — event_ids being "
+    "hash-scattered — every bucket's min/max spans ~the full domain, so "
+    "range stats never skip either. Per-bucket blooms (Parquet/Iceberg-"
+    "style split-block design, Kirsch-Mitzenmacher double hashing, "
+    "16 bits/value, k=5) let read(where={'event_id': (p, p)}) open only "
+    "the buckets whose bloom admits p (~1 of 8 here; FPR < 1%). The "
+    "probe ids are data-derived (min/max survivor + min 'purchase' "
+    "survivor) because the LWW collapse supersedes different ids at "
+    "each sf; the oracle derives the same probes from the same "
+    "collapse, so the hash check covers bloom build AND "
+    "never-wrong-prune with guaranteed non-empty rows. At "
+    "100 TB this is the needle-in-haystack path: a point read touches "
+    "O(1) bucket dirs, not the table.",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    root = _scratch_root("q141", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+        bloom_cols=("event_id",),
+    )
+    store.merge(ev)
+    # deterministic data-derived probes: no fixed id survives the LWW
+    # collapse at every sf (later events supersede earlier keys)
+    snap = store.read(spark)
+    lo, hi = snap.agg(F.min("event_id"), F.max("event_id")).first()
+    (pmin,) = snap.filter(F.col("event_type") == "purchase").agg(
+        F.min("event_id")
+    ).first()
+    probes = sorted({lo, hi, pmin})
+    parts = [store.read(spark, where={"event_id": (p, p)}) for p in probes]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    ).orderBy("event_id")

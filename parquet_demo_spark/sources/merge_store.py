@@ -45,6 +45,79 @@ _BUCKET = "__bucket"
 _FROM_UPSERT = "__from_upsert"
 
 
+# -- per-bucket bloom filters (point-lookup data skipping) --------------
+#
+# Min/max stats prune RANGE predicates, but a hash-scattered
+# high-cardinality column (user_id in a store keyed on a composite PK)
+# has every bucket spanning nearly the full value range — min/max can
+# never skip a point lookup on it. Parquet/Iceberg solve this with
+# per-file bloom filters (a public design: Parquet's split-block blooms,
+# Iceberg's bloom write properties); here the bloom lives next to the
+# min/max entry in the manifest. Classic double hashing (Kirsch-
+# Mitzenmacher): k positions (h1 + i*h2) mod m from one MD5 — MD5 is
+# process- and platform-stable, which the build/probe symmetry needs.
+# Sizing: m = 16 bits/value (capped), k = 5 → FPR well under 1%.
+
+_BLOOM_MAX_BITS = 1 << 17  # 16 KiB of bits per (bucket, column) cap
+_BLOOM_K = 5
+
+
+def _bloom_bytes(v) -> bytes:
+    """Canonical byte encoding for bloom hashing (int/str/bytes only —
+    float equality lookups are a bug upstream, not a skipping target)."""
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, bool):  # before int: True would alias 1
+        return b"\x01" if v else b"\x00"
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, str):
+        return v.encode()
+    raise TypeError(f"unsupported bloom key type: {type(v).__name__}")
+
+
+def _bloom_positions(v, m: int, k: int):
+    import hashlib
+
+    h = hashlib.md5(_bloom_bytes(v)).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:16], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m: int | None = None, k: int = _BLOOM_K):
+    """Bloom dict {m, k, bits(b64)} over ``values`` (nulls skipped), or
+    None when no value is hashable (all-null or unsupported type)."""
+    import base64
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    try:
+        if m is None:
+            m = min(_BLOOM_MAX_BITS, max(64, 16 * len(set(vals))))
+        bits = bytearray((m + 7) // 8)
+        for v in vals:
+            for pos in _bloom_positions(v, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+    except TypeError:
+        return None
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe_contains(bloom: dict, v) -> bool:
+    """False ⇒ definitely absent; True ⇒ possibly present (or the probe
+    value isn't bloom-hashable, in which case we must not prune)."""
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    try:
+        positions = _bloom_positions(v, bloom["m"], bloom["k"])
+    except TypeError:
+        return True
+    return all((bits[p >> 3] >> (p & 7)) & 1 for p in positions)
+
+
 class ParquetMergeStore:
     """Single-writer, lock-free-reader MERGE store over parquet files."""
 
@@ -54,6 +127,7 @@ class ParquetMergeStore:
         keys: tuple[str, ...],
         version_cols: tuple[str, ...] = (),
         num_buckets: int = 8,
+        bloom_cols: tuple[str, ...] = (),
     ) -> None:
         if not keys:
             raise ValueError("MERGE requires at least one PK column")
@@ -61,6 +135,12 @@ class ParquetMergeStore:
         self.keys = tuple(keys)
         self.version_cols = tuple(version_cols)
         self.num_buckets = int(num_buckets)
+        # columns to build per-bucket bloom filters for at write time
+        # (point-lookup skipping where min/max can't prune). Purely an
+        # optimization — not validated on reopen: buckets written
+        # before/without a bloom simply never skip, and the pruning
+        # check is per-(bucket, column) presence.
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(root, exist_ok=True)
         # reopening an existing store with different bucketing/key config
         # would silently route the same PK to a different bucket: the old
@@ -114,6 +194,7 @@ class ParquetMergeStore:
         columns: list[str],
         stats: dict[int, dict] | None = None,
         change_feed: str | None = None,
+        blooms: dict[int, dict] | None = None,
     ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -135,6 +216,9 @@ class ParquetMergeStore:
             # types only) — Iceberg-style data skipping for reads with
             # value predicates; absence of a column means "can't prune"
             "stats": {str(k): v for k, v in (stats or {}).items()},
+            # per-bucket per-column bloom filters (point-lookup
+            # skipping; see _bloom_build) — optional, like stats
+            "blooms": {str(k): v for k, v in (blooms or {}).items() if v},
         }
         with open(self._manifest_path(version), "w") as fh:
             json.dump(manifest, fh, indent=1)
@@ -198,6 +282,37 @@ class ParquetMergeStore:
                     )
         return {name: [mins[name], maxs[name]] for name in mins}
 
+    def _dir_blooms(self, rel_dir: str) -> dict[str, dict]:
+        """Per-column bloom filters over one bucket dir's values.
+
+        Reads ONLY ``bloom_cols`` (column-pruned pyarrow read of the
+        just-written bucket — same locality as the footer-stats pass;
+        in a distributed writer this folds into the write task, as
+        Parquet's own split-block blooms do). Columns that end up
+        unhashable or all-null are simply absent — absence means
+        "can't prune", never "wrong prune".
+        """
+        if not self.bloom_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        abs_dir = os.path.join(self.root, rel_dir)
+        try:
+            tbl = pq.read_table(
+                abs_dir,
+                columns=[c for c in self.bloom_cols],
+            )
+        except Exception:
+            return {}
+        out = {}
+        for c in self.bloom_cols:
+            if c not in tbl.column_names:
+                continue
+            bloom = _bloom_build(tbl.column(c).to_pylist())
+            if bloom is not None:
+                out[c] = bloom
+        return out
+
     def _pruned_bucket_paths(
         self, version: int, where: dict[str, tuple] | None
     ) -> dict[int, str]:
@@ -211,20 +326,30 @@ class ParquetMergeStore:
         paths = self._bucket_paths(version)
         if not where:
             return paths
-        stats = {
-            int(k): v
-            for k, v in self._read_manifest(version).get("stats", {}).items()
-        }
+        manifest = self._read_manifest(version)
+        stats = {int(k): v for k, v in manifest.get("stats", {}).items()}
+        blooms = {int(k): v for k, v in manifest.get("blooms", {}).items()}
         out = {}
         for b, p in paths.items():
             bstats = stats.get(b, {})
+            bblooms = blooms.get(b, {})
             keep = True
             for col, (lo, hi) in where.items():
-                if col not in bstats:
-                    continue
-                mn, mx = bstats[col]
-                if (hi is not None and mn > hi) or (
-                    lo is not None and mx < lo
+                if col in bstats:
+                    mn, mx = bstats[col]
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        keep = False
+                        break
+                # a point lookup (lo == hi) additionally consults the
+                # bucket's bloom — the min/max of a hash-scattered
+                # column spans ~the full domain and never prunes it
+                if (
+                    lo is not None
+                    and lo == hi
+                    and col in bblooms
+                    and not _bloom_maybe_contains(bblooms[col], lo)
                 ):
                     keep = False
                     break
@@ -447,12 +572,29 @@ class ParquetMergeStore:
             }
         )
         stats = {b: s for b, s in prior_stats.items() if b not in touched}
+        prior_blooms = (
+            {}
+            if cur_version is None
+            else {
+                int(k): v
+                for k, v in self._read_manifest(cur_version)
+                .get("blooms", {})
+                .items()
+            }
+        )
+        blooms = {b: s for b, s in prior_blooms.items() if b not in touched}
         for b in touched:
             rel = os.path.join(rel_data, f"{_BUCKET}={b}")
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
+            blooms[b] = self._dir_blooms(rel)
         self._commit(
-            new_version, bucket_paths, columns, stats, change_feed=rel_changes
+            new_version,
+            bucket_paths,
+            columns,
+            stats,
+            change_feed=rel_changes,
+            blooms=blooms,
         )
         return new_version
 
@@ -559,6 +701,11 @@ class ParquetMergeStore:
             for k, v in self._read_manifest(cur).get("stats", {}).items()
         }
         stats = {b: s for b, s in prior_stats.items() if b not in touched}
+        prior_blooms = {
+            int(k): v
+            for k, v in self._read_manifest(cur).get("blooms", {}).items()
+        }
+        blooms = {b: s for b, s in prior_blooms.items() if b not in touched}
         # an emptied bucket writes no partition dir and simply drops out
         # of the manifest; only dirs that actually materialized re-enter
         for d in sorted(os.listdir(out_dir)):
@@ -568,6 +715,7 @@ class ParquetMergeStore:
             rel = os.path.join(rel_data, d)
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
+            blooms[b] = self._dir_blooms(rel)
         if not bucket_paths:
             # the delete emptied the table: keep it readable by
             # committing one empty (schema-bearing) dir
@@ -576,8 +724,14 @@ class ParquetMergeStore:
             )
             bucket_paths = {0: rel_data}
             stats = {}
+            blooms = {}
         self._commit(
-            new_version, bucket_paths, cols, stats, change_feed=rel_changes
+            new_version,
+            bucket_paths,
+            cols,
+            stats,
+            change_feed=rel_changes,
+            blooms=blooms,
         )
         return new_version
 
@@ -703,7 +857,7 @@ class ParquetMergeStore:
             batch.write.mode("overwrite").partitionBy(_BUCKET).parquet(
                 out_dir
             )
-            bucket_paths, stats = {}, {}
+            bucket_paths, stats, blooms = {}, {}, {}
             for d in sorted(os.listdir(out_dir)):
                 if not d.startswith(f"{_BUCKET}="):
                     continue
@@ -711,7 +865,10 @@ class ParquetMergeStore:
                 rel = os.path.join(rel_data, d)
                 bucket_paths[b] = rel
                 stats[b] = self._dir_column_stats(rel)
-            self._commit(new_version, bucket_paths, cols, stats)
+                blooms[b] = self._dir_blooms(rel)
+            self._commit(
+                new_version, bucket_paths, cols, stats, blooms=blooms
+            )
         except BaseException:
             self.num_buckets = old_b
             raise
@@ -770,11 +927,13 @@ class ParquetMergeStore:
         stats = {
             int(k): v for k, v in m.get("stats", {}).items()
         }
+        blooms = {int(k): v for k, v in m.get("blooms", {}).items()}
         for b in fragmented:
             rel = os.path.join(rel_data, f"{_BUCKET}={b}")
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
-        self._commit(new_version, bucket_paths, cols, stats)
+            blooms[b] = self._dir_blooms(rel)
+        self._commit(new_version, bucket_paths, cols, stats, blooms=blooms)
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

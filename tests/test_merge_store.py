@@ -920,3 +920,110 @@ def test_refresh_incremental_applies_deletes(spark, tmp_path):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+# -- bloom point-lookup skipping ---------------------------------------
+
+
+def test_bloom_skipping_prunes_point_lookups(spark, tmp_path):
+    """A point lookup on a non-leading, hash-scattered column skips
+    buckets via the manifest blooms where min/max provably cannot."""
+    st = ParquetMergeStore(
+        str(tmp_path / "bloomstore"),
+        keys=("k", "tag"),
+        version_cols=("v",),
+        num_buckets=8,
+        bloom_cols=("tag",),
+    )
+    # tags are few and interleaved: every bucket's [min,max] spans the
+    # whole tag domain, so min/max alone prunes NOTHING
+    rows = [
+        Row(k=i, tag=f"tag{i % 50:02d}", v=1, payload=str(i))
+        for i in range(400)
+    ]
+    st.merge(spark.createDataFrame(rows))
+    all_b = st._bucket_paths(0)
+    assert len(all_b) == 8
+    # a tag present in few buckets: bloom pruning must open fewer dirs
+    probe = "tag07"
+    holding = {
+        r[0]
+        for r in spark.createDataFrame(rows)
+        .filter(f"tag = '{probe}'")
+        .select(st._bucket_expr().alias("b"))
+        .distinct()
+        .collect()
+    }
+    pruned = st._pruned_bucket_paths(0, {"tag": (probe, probe)})
+    assert set(pruned) >= holding  # never wrong-prunes a holding bucket
+    got = _rows_ktag(st.read(spark, where={"tag": (probe, probe)}))
+    want = sorted((r.k, r.tag) for r in rows if r.tag == probe)
+    assert got == want
+    # an absent value prunes (almost surely) everything
+    miss = st._pruned_bucket_paths(0, {"tag": ("nope", "nope")})
+    assert len(miss) < len(all_b)
+    assert st.read(spark, where={"tag": ("nope", "nope")}).count() == 0
+
+
+def _rows_ktag(df):
+    return sorted((r.k, r.tag) for r in df.collect())
+
+
+def test_bloom_carried_forward_and_rebuilt_on_touch(spark, tmp_path):
+    """Untouched buckets keep their bloom entry; a rewritten bucket's
+    bloom reflects its new contents (a vanished value becomes
+    prunable)."""
+    st = ParquetMergeStore(
+        str(tmp_path / "bloomstore2"),
+        keys=("k",),
+        version_cols=("v",),
+        num_buckets=4,
+        bloom_cols=("payload",),
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(16)]
+        )
+    )
+    m0 = st._read_manifest(0)["blooms"]
+    assert set(m0) and all("payload" in b for b in m0.values())
+    # rewrite only k=3's bucket, replacing its payload
+    st.merge(spark.createDataFrame([Row(k=3, v=2, payload="replaced")]))
+    m1 = st._read_manifest(1)["blooms"]
+    assert set(m1) == set(m0)
+    # the new value is findable, via fewer-than-all buckets
+    got = st.read(spark, where={"payload": ("replaced", "replaced")})
+    assert [r.k for r in got.collect()] == [3]
+    # the store without bloom_cols never writes blooms (zero overhead)
+    st2 = ParquetMergeStore(
+        str(tmp_path / "noblooms"), keys=("k",), version_cols=("v",)
+    )
+    st2.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    assert st2._read_manifest(0).get("blooms") == {}
+
+
+def test_bloom_survives_delete_and_compact(spark, tmp_path):
+    st = ParquetMergeStore(
+        str(tmp_path / "bloomstore3"),
+        keys=("k",),
+        version_cols=("v",),
+        num_buckets=4,
+        bloom_cols=("payload",),
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(16)]
+        )
+    )
+    st.merge(spark.createDataFrame([Row(k=0, v=2, payload="p0b")]))
+    v = st.compact(spark)
+    if v is not None:
+        assert st._read_manifest(v)["blooms"]
+    st.delete(spark, "k = 5", write_change_feed=True)
+    cur = st.current_version()
+    # p5 is gone: its bucket's rebuilt bloom may now prune the probe,
+    # and the read must be empty either way
+    assert st.read(
+        spark, where={"payload": ("p5", "p5")}
+    ).count() == 0
+    assert st._read_manifest(cur)["blooms"]
