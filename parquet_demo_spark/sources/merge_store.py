@@ -45,6 +45,18 @@ _BUCKET = "__bucket"
 _FROM_UPSERT = "__from_upsert"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer claimed the version this commit targeted.
+
+    Delta-style optimistic concurrency: the exclusive creation of
+    ``v{N}/manifest.json`` is the compare-and-swap. The loser's data
+    dirs are unreferenced (vacuum reclaims them); the caller should
+    re-read the table and retry its merge on top of the winner. If NO
+    other writer is active, the blocking manifest is a crashed commit's
+    orphan — remove it with :meth:`ParquetMergeStore.clean_orphans`.
+    """
+
+
 # -- per-bucket bloom filters (point-lookup data skipping) --------------
 #
 # Min/max stats prune RANGE predicates, but a hash-scattered
@@ -220,7 +232,26 @@ class ParquetMergeStore:
             # skipping; see _bloom_build) — optional, like stats
             "blooms": {str(k): v for k, v in (blooms or {}).items() if v},
         }
-        with open(self._manifest_path(version), "w") as fh:
+        # optimistic concurrency: O_EXCL manifest creation is the CAS.
+        # Two writers that both read version N-1 both target N; exactly
+        # one creates N's manifest, the other gets a clean conflict
+        # instead of silently stealing the pointer (lost update).
+        try:
+            fh = open(self._manifest_path(version), "x")
+        except FileExistsError:
+            committed = self.current_version()
+            raise ConcurrentWriteConflict(
+                f"version {version} already has a manifest (committed "
+                f"pointer: {committed}): "
+                + (
+                    "another writer won this commit — re-read and retry"
+                    if committed is not None and committed >= version
+                    else "a concurrent writer is mid-commit, or a "
+                    "crashed commit left an orphan (clean_orphans() "
+                    "removes it if no writer is active)"
+                )
+            ) from None
+        with fh:
             json.dump(manifest, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
@@ -935,6 +966,27 @@ class ParquetMergeStore:
             blooms[b] = self._dir_blooms(rel)
         self._commit(new_version, bucket_paths, cols, stats, blooms=blooms)
         return new_version
+
+    def clean_orphans(self) -> list[int]:
+        """Remove crashed commits' manifests (versions above the
+        committed pointer) so their version numbers become claimable
+        again.
+
+        A commit writes its manifest BEFORE the atomic pointer swap, so
+        a crash in between leaves an orphan manifest that blocks the
+        next writer's O_EXCL creation of that version. Calling this
+        requires the same contract as Delta's FSCK: the caller asserts
+        no writer is currently mid-commit. Data dirs stay (vacuum
+        reclaims them); only the unreferenced manifests go. Returns the
+        removed version numbers.
+        """
+        committed = self.current_version()
+        removed = []
+        for v in self.history():
+            if committed is None or v > committed:
+                os.remove(self._manifest_path(v))
+                removed.append(v)
+        return removed
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data dirs unreferenced by the newest ``keep_last``

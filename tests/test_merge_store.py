@@ -1027,3 +1027,58 @@ def test_bloom_survives_delete_and_compact(spark, tmp_path):
         spark, where={"payload": ("p5", "p5")}
     ).count() == 0
     assert st._read_manifest(cur)["blooms"]
+
+
+# -- optimistic concurrency --------------------------------------------
+
+
+def test_concurrent_commit_conflict_raises_not_lost_update(
+    spark, tmp_path
+):
+    """Two writers targeting the same version: exactly one wins; the
+    loser gets ConcurrentWriteConflict, never a silent pointer steal."""
+    import json
+
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    # simulate a racing writer that already claimed v1's manifest
+    rival = st._manifest_path(1)
+    os.makedirs(os.path.dirname(rival), exist_ok=True)
+    with open(rival, "x") as fh:
+        json.dump({"version": 1}, fh)
+    with pytest.raises(ConcurrentWriteConflict, match="version 1"):
+        st.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    # the committed snapshot is untouched by the failed merge
+    assert st.current_version() == 0
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+
+
+def test_clean_orphans_unblocks_after_crash(spark, tmp_path):
+    """A crashed commit's orphan manifest blocks its version number;
+    clean_orphans removes exactly the above-pointer manifests and the
+    next merge succeeds."""
+    import json
+
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    orphan = st._manifest_path(1)
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "x") as fh:
+        json.dump({"version": 1}, fh)
+    with pytest.raises(ConcurrentWriteConflict):
+        st.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    assert st.clean_orphans() == [1]
+    st.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    assert st.current_version() == 1
+    assert len(_rows(st.read(spark))) == 2
+    # committed manifests are never touched
+    assert st.clean_orphans() == []
+    assert st.history() == [0, 1]
