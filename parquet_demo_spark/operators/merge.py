@@ -320,3 +320,111 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
     ).orderBy("event_id")
+
+
+@register(
+    "q142_merge_into_clauses",
+    oracle="""
+    WITH even AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ),
+    odd AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT
+        COALESCE(e.user_id, o.user_id) AS user_id,
+        COALESCE(e.event_type, o.event_type) AS event_type,
+        CASE
+          WHEN e.user_id IS NULL THEN 'insert'
+          WHEN o.user_id IS NULL THEN 'keep'
+          WHEN o.value < 5 THEN 'delete'
+          WHEN o.ts >= e.ts THEN 'update'
+          ELSE 'keep'
+        END AS action,
+        e.event_id AS e_event_id, e.value AS e_value,
+        o.event_id AS o_event_id, o.value AS o_value,
+        o.event_type AS o_event_type
+      FROM even e
+      FULL OUTER JOIN odd o
+        ON e.user_id = o.user_id AND e.event_type = o.event_type
+    ),
+    final AS (
+      SELECT user_id, event_type,
+             CASE WHEN action = 'update' OR action = 'insert'
+                  THEN o_event_id ELSE e_event_id END AS event_id,
+             CASE WHEN action = 'update' THEN GREATEST(o_value, e_value)
+                  WHEN action = 'insert' THEN o_value
+                  ELSE e_value END AS value
+      FROM merged
+      WHERE action <> 'delete'
+        AND NOT (action = 'insert' AND o_event_type = 'error')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM final
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Full MERGE INTO clause semantics executed against the real "
+    "mutable store: even-event_id rows seed the table, then the odd "
+    "rows merge with ORDERED clauses — WHEN MATCHED AND s.value < 5 "
+    "THEN DELETE, WHEN MATCHED AND s.ts >= t.ts THEN UPDATE SET "
+    "value = greatest(s.value, t.value) (other columns take the source "
+    "row), WHEN NOT MATCHED AND s.event_type <> 'error' THEN INSERT. "
+    "First-true-clause-wins, expression SET over s/t aliases, "
+    "conditional insert — the Delta MERGE surface (public design), on "
+    "the same bucket-pruned rewrite as ReplaceOne merges. The oracle "
+    "replays the clause law over the two LWW-collapsed batches with a "
+    "full outer join; the returned per-event_type aggregate of the "
+    "committed snapshot hash-checks collapse, clause order, SET "
+    "expressions, insert gating, bucket routing, and the commit in one "
+    "row set. Scale: identical to merge — only buckets the batch "
+    "touches rewrite; clause evaluation is a projection on the joined "
+    "touched-bucket frame.",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q142", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    store.merge_into(
+        ev.filter(F.col("event_id") % 2 == 1),
+        matched=[
+            ("delete", "s.value < 5"),
+            ("update", "s.ts >= t.ts"),
+        ],
+        update_set={"value": "greatest(s.value, t.value)"},
+        not_matched_insert="s.event_type <> 'error'",
+    )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

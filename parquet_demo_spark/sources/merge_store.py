@@ -629,6 +629,305 @@ class ParquetMergeStore:
         )
         return new_version
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        matched: list[tuple[str, str | None]] | None = None,
+        not_matched_insert: str | bool = True,
+        update_set: dict[str, str] | None = None,
+        write_change_feed: bool = False,
+    ) -> int:
+        """Full MERGE INTO clause semantics (Delta/ANSI-style), on the
+        same bucket-pruned rewrite as :meth:`merge`.
+
+        ``matched`` is an ORDERED list of ``("update", cond)`` /
+        ``("delete", cond)`` clauses; for each source row matching a
+        stored row by PK, the FIRST clause whose condition holds
+        applies (``cond=None`` ⇒ always) — exactly Delta's
+        first-match-wins clause evaluation. A matched pair no clause
+        accepts keeps the stored row untouched. ``not_matched_insert``
+        gates source rows with no stored PK (``True`` ⇒ always insert,
+        ``False`` ⇒ never, or a condition). Stored rows with no source
+        match are untouched — MERGE never scans them out.
+
+        Conditions are SQL strings over aliases ``s`` (source row) and
+        ``t`` (stored/target row): ``"s.ts >= t.ts"``, ``"s.value <
+        10"``. ``update_set`` maps column → SQL expression over the
+        same aliases (``{"value": "s.value + t.value"}``); unmapped
+        columns take the source row's value, so the default is
+        whole-row replace (ReplaceOne). Key columns cannot be SET
+        (their value defines the match — Delta raises too).
+
+        Scale: identical to :meth:`merge` — the batch collapses per PK
+        (one shuffle), routes to PK-hash buckets, and ONLY touched
+        buckets rewrite; clause evaluation is a projection on the
+        joined frame, and every result row rehashes into the touched
+        set (inserts come from the batch, updates keep their PK), so
+        untouched buckets re-reference their dirs. A merge touching 1%
+        of keys rewrites ~1% of a 100 TB table regardless of clause
+        complexity.
+        """
+        from parquet_demo_spark.sources.mongo import collapse_for_upsert
+
+        matched = list(matched or [])
+        for kind, _ in matched:
+            if kind not in ("update", "delete"):
+                raise ValueError(f"unknown matched clause kind: {kind!r}")
+        update_set = dict(update_set or {})
+        bad = sorted(set(update_set) & set(self.keys))
+        if bad:
+            raise ValueError(f"cannot SET key columns: {bad}")
+
+        missing = [
+            c
+            for c in (*self.keys, *self.version_cols)
+            if c not in source.columns
+        ]
+        if missing:
+            raise ValueError(f"source batch lacks key/version cols {missing}")
+        spark = source.sparkSession
+        batch = collapse_for_upsert(source, self.keys, self.version_cols)
+
+        cur_version = self.current_version()
+        if cur_version is None:
+            cols = list(batch.columns)
+        else:
+            cols = self._read_manifest(cur_version)["columns"]
+            if set(batch.columns) != set(cols):
+                raise ValueError(
+                    "merge_into requires the source schema to match the "
+                    f"store's ({sorted(set(batch.columns) ^ set(cols))} "
+                    "differ); evolve via merge(allow_schema_evolution=True)"
+                )
+        unknown = sorted(set(update_set) - set(cols))
+        if unknown:
+            raise ValueError(f"update_set names unknown columns: {unknown}")
+
+        batch = batch.withColumn(_BUCKET, self._bucket_expr())
+        touched = sorted(
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        )
+        prior = {} if cur_version is None else self._bucket_paths(cur_version)
+
+        # two one-struct-column frames joined null-safely on the PK: the
+        # structs give clause/SET expressions their s.* / t.* namespaces
+        s_frame = batch.select(
+            *[F.col(k).alias(f"__sk_{k}") for k in self.keys],
+            F.struct(*[F.col(c).alias(c) for c in cols]).alias("s"),
+        )
+        existing_touched = [
+            os.path.join(self.root, prior[b]) for b in touched if b in prior
+        ]
+        if existing_touched:
+            current = spark.read.parquet(*existing_touched)
+            t_frame = current.select(
+                *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
+                F.struct(*[F.col(c).alias(c) for c in cols]).alias("t"),
+            )
+            joined = s_frame.join(
+                t_frame,
+                [
+                    F.col(f"__sk_{k}").eqNullSafe(F.col(f"__tk_{k}"))
+                    for k in self.keys
+                ],
+                "full_outer",
+            )
+        else:
+            joined = s_frame.withColumn(
+                "t", F.lit(None).cast(s_frame.schema["s"].dataType)
+            )
+
+        has_s = F.col("s").isNotNull()
+        has_t = F.col("t").isNotNull()
+
+        def _cond(c: str | None):
+            return F.lit(True) if c is None else F.coalesce(
+                F.expr(c).cast("boolean"), F.lit(False)
+            )
+
+        # first-match-wins over the ordered clause list; 'keep' for an
+        # unmatched-by-any-clause pair, and for target-only rows
+        action = F.lit("keep")
+        for kind, c in reversed(matched):
+            action = F.when(_cond(c), F.lit(kind)).otherwise(action)
+        if not_matched_insert is True:
+            ins = F.lit("insert")
+        elif not_matched_insert is False:
+            ins = F.lit("drop")
+        else:
+            ins = F.when(
+                _cond(not_matched_insert), F.lit("insert")
+            ).otherwise(F.lit("drop"))
+        action = (
+            F.when(has_s & has_t, action)
+            .when(has_s, ins)
+            .otherwise(F.lit("keep"))
+        )
+        tagged = joined.withColumn("__action", action)
+
+        def _updated(c: str):
+            return F.expr(update_set.get(c, f"s.{c}")).alias(c)
+
+        survivors = tagged.filter(F.col("__action") != "delete").filter(
+            F.col("__action") != "drop"
+        )
+        out = survivors.select(
+            *[
+                F.when(
+                    F.col("__action") == "update", _updated(c)
+                )
+                .when(F.col("__action") == "insert", F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+
+        new_version = 0 if cur_version is None else cur_version + 1
+        rel_changes = None
+        if write_change_feed:
+            upd = tagged.filter(F.col("__action") == "update")
+            post = upd.select(*[_updated(c) for c in cols])
+            pre = upd.select(*[F.col(f"t.{c}").alias(c) for c in cols])
+            # identical-rewrite updates are not changes (same law as
+            # _derive_changes / changes_between)
+            changed_pairs = (
+                upd.select(
+                    *[_updated(c) for c in cols],
+                    F.struct(*[F.col(f"t.{c}").alias(c) for c in cols]).alias(
+                        "__pre"
+                    ),
+                )
+                .filter(
+                    ~F.struct(*[F.col(c) for c in cols]).eqNullSafe(
+                        F.col("__pre")
+                    )
+                )
+            )
+            post = changed_pairs.select(*cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            pre = changed_pairs.select(
+                *[F.col("__pre")[c].alias(c) for c in cols]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            inserts = (
+                tagged.filter(F.col("__action") == "insert")
+                .select(*[F.col(f"s.{c}").alias(c) for c in cols])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            deletes = (
+                tagged.filter(F.col("__action") == "delete")
+                .select(*[F.col(f"t.{c}").alias(c) for c in cols])
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            feed = post.unionByName(pre).unionByName(inserts).unionByName(
+                deletes
+            )
+            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.root, rel_changes)
+            )
+
+        rel_data = os.path.join("data", f"v{new_version:05d}")
+        out_dir = os.path.join(self.root, rel_data)
+        out.withColumn(_BUCKET, self._bucket_expr()).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET).parquet(out_dir)
+
+        bucket_paths = {b: p for b, p in prior.items() if b not in touched}
+        prior_stats = (
+            {}
+            if cur_version is None
+            else {
+                int(k): v
+                for k, v in self._read_manifest(cur_version)
+                .get("stats", {})
+                .items()
+            }
+        )
+        stats = {b: s for b, s in prior_stats.items() if b not in touched}
+        prior_blooms = (
+            {}
+            if cur_version is None
+            else {
+                int(k): v
+                for k, v in self._read_manifest(cur_version)
+                .get("blooms", {})
+                .items()
+            }
+        )
+        blooms = {b: s for b, s in prior_blooms.items() if b not in touched}
+        # a touched bucket whose every row was deleted writes no dir and
+        # drops out of the manifest; only materialized dirs re-enter
+        wrote_any = False
+        if os.path.isdir(out_dir):
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith(f"{_BUCKET}="):
+                    continue
+                wrote_any = True
+                b = int(d.split("=", 1)[1])
+                rel = os.path.join(rel_data, d)
+                bucket_paths[b] = rel
+                stats[b] = self._dir_column_stats(rel)
+                blooms[b] = self._dir_blooms(rel)
+        if not bucket_paths:
+            # the merge emptied the table: commit one schema-bearing dir
+            out.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            bucket_paths = {0: rel_data}
+            stats = {}
+            blooms = {}
+        elif not wrote_any and not touched:
+            # empty batch: nothing touched, nothing written — still a
+            # legal commit referencing only prior dirs
+            pass
+        self._commit(
+            new_version,
+            bucket_paths,
+            cols,
+            stats,
+            change_feed=rel_changes,
+            blooms=blooms,
+        )
+        return new_version
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        write_change_feed: bool = False,
+    ) -> int | None:
+        """Drop the rows whose PK appears in ``keys_df`` — the
+        join-shaped DELETE (vs :meth:`delete`'s predicate shape).
+
+        This is what a CDC *consumer* needs to apply an upstream
+        delete feed: the keys arrive as data, not as a predicate.
+        Implemented as ``merge_into(matched=[("delete", None)],
+        not_matched_insert=False)``: keys route to PK-hash buckets, only
+        those buckets rewrite, unknown keys are no-ops. Returns the
+        committed version (a commit happens even when every key was
+        unknown — the version records the applied batch, which is what
+        an idempotent replication consumer wants).
+        """
+        spark = keys_df.sparkSession
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"empty merge store: {self.root}")
+        cols = self._read_manifest(cur)["columns"]
+        # widen the key frame to the table schema (collapse needs
+        # version cols; the values are irrelevant — every matched row
+        # deletes, no inserts happen)
+        widened = keys_df.select(
+            *[
+                F.col(c) if c in keys_df.columns else F.lit(None).alias(c)
+                for c in cols
+            ]
+        )
+        return self.merge_into(
+            widened,
+            matched=[("delete", None)],
+            not_matched_insert=False,
+            write_change_feed=write_change_feed,
+        )
+
     def delete(
         self,
         spark: SparkSession,

@@ -1082,3 +1082,170 @@ def test_clean_orphans_unblocks_after_crash(spark, tmp_path):
     # committed manifests are never touched
     assert st.clean_orphans() == []
     assert st.history() == [0, 1]
+
+
+# -- merge_into: full MERGE clause semantics ---------------------------------
+
+
+def test_merge_into_clause_order_first_match_wins(spark, tmp_path):
+    """Ordered WHEN MATCHED clauses: the FIRST true condition applies.
+
+    Clauses: (delete if s.v < 0) then (update if s.v >= t.v). A source
+    row with v=-1 matches both shapes textually but must DELETE; a
+    stale source row (s.v < t.v) matches neither and keeps the stored
+    row; a fresh one updates."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=5, payload="keep-me"),
+                Row(k=2, v=5, payload="update-me"),
+                Row(k=3, v=5, payload="delete-me"),
+            ]
+        )
+    )
+    st.merge_into(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=1, payload="stale"),       # no clause fires
+                Row(k=2, v=9, payload="fresh"),       # update
+                Row(k=3, v=-1, payload="tombstone"),  # delete
+                Row(k=4, v=7, payload="new"),         # insert
+            ]
+        ),
+        matched=[("delete", "s.v < 0"), ("update", "s.v >= t.v")],
+    )
+    assert _rows(st.read(spark)) == [
+        (1, 5, "keep-me"),
+        (2, 9, "fresh"),
+        (4, 7, "new"),
+    ]
+
+
+def test_merge_into_update_set_expressions(spark, tmp_path):
+    """update_set evaluates SQL over s/t aliases; unmapped columns take
+    the source value; key columns cannot be SET."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=10, payload="x")]))
+    st.merge_into(
+        spark.createDataFrame([Row(k=1, v=32, payload="y")]),
+        matched=[("update", None)],
+        update_set={"v": "s.v + t.v"},
+    )
+    assert _rows(st.read(spark)) == [(1, 42, "y")]
+    with pytest.raises(ValueError, match="key columns"):
+        st.merge_into(
+            spark.createDataFrame([Row(k=1, v=1, payload="z")]),
+            update_set={"k": "s.k + 1"},
+        )
+
+
+def test_merge_into_conditional_insert_and_untouched_rows(spark, tmp_path):
+    """not_matched_insert condition filters inserts; stored rows with no
+    source match are untouched (their bucket dirs re-referenced)."""
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(8)]
+        )
+    )
+    before = st._bucket_paths(st.current_version())
+    st.merge_into(
+        spark.createDataFrame(
+            [Row(k=100, v=1, payload="in"), Row(k=101, v=1, payload="out")]
+        ),
+        not_matched_insert="s.payload <> 'out'",
+    )
+    rows = _rows(st.read(spark))
+    assert (100, 1, "in") in rows
+    assert all(r[0] != 101 for r in rows)
+    assert len(rows) == 9
+    after = st._bucket_paths(st.current_version())
+    untouched = [b for b in before if before[b] == after.get(b)]
+    # only the bucket(s) k=100 routes to rewrote
+    assert len(untouched) >= len(before) - 2
+
+
+def test_merge_into_change_feed_all_types(spark, tmp_path):
+    """The MERGE feed carries insert/update pre+post/delete, and an
+    identical-value update emits nothing."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=1, payload="same"),
+                Row(k=2, v=1, payload="old"),
+                Row(k=3, v=1, payload="doomed"),
+            ]
+        )
+    )
+    v = st.merge_into(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=1, payload="same"),    # identical → no change row
+                Row(k=2, v=2, payload="new"),     # update
+                Row(k=3, v=9, payload="kill"),    # delete
+                Row(k=4, v=1, payload="born"),    # insert
+            ]
+        ),
+        matched=[("delete", "s.payload = 'kill'"), ("update", None)],
+        write_change_feed=True,
+    )
+    feed = sorted(
+        (r.k, r._change_type) for r in st.change_feed(spark, v).collect()
+    )
+    assert feed == [
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "delete"),
+        (4, "insert"),
+    ]
+
+
+def test_merge_into_empty_store_inserts_only(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge_into(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        ),
+        matched=[("update", None)],
+        not_matched_insert="s.k = 1",
+    )
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+
+
+def test_delete_keys_join_shaped_delete(spark, tmp_path):
+    """delete_keys drops exactly the listed PKs; unknown keys are
+    no-ops; the feed records the deletes."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(5)]
+        )
+    )
+    v = st.delete_keys(
+        spark.createDataFrame([Row(k=1), Row(k=3), Row(k=99)]),
+        write_change_feed=True,
+    )
+    assert _rows(st.read(spark)) == [
+        (0, 1, "p0"),
+        (2, 1, "p2"),
+        (4, 1, "p4"),
+    ]
+    feed = sorted(
+        (r.k, r._change_type) for r in st.change_feed(spark, v).collect()
+    )
+    assert feed == [(1, "delete"), (3, "delete")]
+
+
+def test_merge_into_time_travel_spans_clauses(spark, tmp_path):
+    """Time travel across a merge_into shows the pre-merge snapshot."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.merge_into(
+        spark.createDataFrame([Row(k=1, v=2, payload="b")]),
+        matched=[("delete", None)],
+    )
+    assert _rows(st.read(spark, version=0)) == [(1, 1, "a")]
+    # the delete emptied the only row; current snapshot is empty
+    assert st.read(spark).count() == 0
