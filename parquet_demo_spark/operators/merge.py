@@ -428,3 +428,80 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q143_store_replication",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (event_id % 2) DESC, ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    final AS (
+      SELECT * FROM ranked
+      WHERE rn = 1
+        AND NOT (event_type <> 'error' AND value < 30.0)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM final
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="CDC store replication, consumer side: a source store commits "
+    "three feed-bearing versions (merge even event_ids, merge odd — "
+    "unconditional replace, so odd beats even per PK — then DELETE "
+    "WHERE value < 30 outside 'error'), and replay_change_feed applies "
+    "the three feeds IN ORDER to an initially-empty replica: "
+    "insert/update_postimage rows as unconditional upserts, delete rows "
+    "as keyed deletes. The returned aggregate reads the REPLICA, so the "
+    "driver's hash check proves feed completeness (every state change "
+    "was captured) and replay fidelity (applying only feeds reproduces "
+    "the source snapshot). The oracle computes the source's final state "
+    "directly — replace order (event_id % 2) DESC, then the delete "
+    "predicate. Scale: replication reads O(delta) feed files per "
+    "version, never the source table — shipping a day of changes on a "
+    "100 TB store moves the day's delta.",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    from parquet_demo_spark.sources.merge_store import replay_change_feed
+
+    ev = load(spark, sf, "events")
+    root = _scratch_root("q143", sf)
+    src = ParquetMergeStore(
+        os.path.join(root, "src"),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    src.merge(ev.filter(F.col("event_id") % 2 == 0), write_change_feed=True)
+    src.merge(ev.filter(F.col("event_id") % 2 == 1), write_change_feed=True)
+    src.delete(
+        spark,
+        "event_type <> 'error' AND value < 30.0",
+        write_change_feed=True,
+    )
+    dst = ParquetMergeStore(
+        os.path.join(root, "dst"),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    replay_change_feed(src, dst, spark)
+    return (
+        dst.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1388,6 +1388,50 @@ def stream_merge_into_store(
     )
 
 
+def replay_change_feed(
+    src: ParquetMergeStore,
+    dst: ParquetMergeStore,
+    spark: SparkSession,
+    v_from: int = 0,
+    v_to: int | None = None,
+) -> list[int]:
+    """Replicate ``src`` into ``dst`` by replaying stored change feeds
+    for versions ``v_from..v_to`` (inclusive), in version order.
+
+    The consumer half of CDC: each source commit's feed applies as (1)
+    an unconditional upsert of its insert/update_postimage rows, then
+    (2) a keyed delete of its delete rows — within one commit a PK has
+    exactly one action, so the two phases never conflict. Applying a
+    feed twice converges (replace-by-PK is idempotent; deleting an
+    absent key is a no-op), which is what an at-least-once feed
+    shipper needs. Raises if any version in the range was committed
+    without a stored feed (``changes_between`` can diff those spans
+    instead, at snapshot-scan cost).
+
+    Reads are O(Δ) — only the feed files, never the source table — so
+    replicating a day of changes on a 100 TB store moves the day's
+    delta. Returns the destination versions committed (one or two per
+    source version; feed-less no-change versions commit nothing).
+    """
+    v_to = src.current_version() if v_to is None else v_to
+    if v_to is None:
+        raise ValueError(f"empty source store: {src.root}")
+    committed: list[int] = []
+    for v in range(v_from, v_to + 1):
+        feed = src.change_feed(spark, v)
+        upserts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        if not upserts.isEmpty():
+            committed.append(dst.merge(upserts))
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            *src.keys
+        )
+        if not dels.isEmpty():
+            committed.append(dst.delete_keys(dels))
+    return committed
+
+
 def changes_between(
     store: ParquetMergeStore,
     spark: SparkSession,

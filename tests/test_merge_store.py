@@ -1249,3 +1249,55 @@ def test_merge_into_time_travel_spans_clauses(spark, tmp_path):
     assert _rows(st.read(spark, version=0)) == [(1, 1, "a")]
     # the delete emptied the only row; current snapshot is empty
     assert st.read(spark).count() == 0
+
+
+# -- replay_change_feed: CDC consumer / store replication --------------------
+
+
+def test_replay_change_feed_replicates_store(spark, tmp_path):
+    """Feeds from merges, merge_into clauses, and deletes replay into an
+    identical replica; a second replay converges (idempotent)."""
+    from parquet_demo_spark.sources.merge_store import replay_change_feed
+
+    a = ParquetMergeStore(
+        str(tmp_path / "a"), keys=("k",), version_cols=("v",), num_buckets=4
+    )
+    b = ParquetMergeStore(
+        str(tmp_path / "b"), keys=("k",), version_cols=("v",), num_buckets=4
+    )
+    a.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(6)]
+        ),
+        write_change_feed=True,
+    )
+    a.merge_into(
+        spark.createDataFrame(
+            [
+                Row(k=0, v=2, payload="updated"),
+                Row(k=1, v=2, payload="kill"),
+                Row(k=9, v=1, payload="born"),
+            ]
+        ),
+        matched=[("delete", "s.payload = 'kill'"), ("update", None)],
+        write_change_feed=True,
+    )
+    a.delete(spark, "k >= 4 AND k <= 5", write_change_feed=True)
+
+    replay_change_feed(a, b, spark)
+    assert _rows(b.read(spark)) == _rows(a.read(spark))
+    # idempotent: replaying the same feeds again changes nothing
+    replay_change_feed(a, b, spark)
+    assert _rows(b.read(spark)) == _rows(a.read(spark))
+
+
+def test_replay_change_feed_requires_stored_feeds(spark, tmp_path):
+    from parquet_demo_spark.sources.merge_store import replay_change_feed
+
+    a = ParquetMergeStore(
+        str(tmp_path / "a"), keys=("k",), version_cols=("v",)
+    )
+    b = ParquetMergeStore(str(tmp_path / "b"), keys=("k",), version_cols=("v",))
+    a.merge(spark.createDataFrame([Row(k=1, v=1, payload="x")]))  # no feed
+    with pytest.raises(ValueError, match="no stored change feed"):
+        replay_change_feed(a, b, spark)
