@@ -1301,3 +1301,141 @@ def test_replay_change_feed_requires_stored_feeds(spark, tmp_path):
     a.merge(spark.createDataFrame([Row(k=1, v=1, payload="x")]))  # no feed
     with pytest.raises(ValueError, match="no stored change feed"):
         replay_change_feed(a, b, spark)
+
+
+# --- property-based: full-op sequences equal the dict model ----------------
+
+_OP_BATCH = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # k (collision-prone)
+        st.integers(min_value=0, max_value=5),   # v
+        st.sampled_from(["a", "b", "c"]),        # payload
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+_MATCHED_COND = st.sampled_from([None, "s.v >= t.v", "s.v < t.v"])
+_INSERT_COND = st.sampled_from([True, False, "s.v > 2"])
+
+_OP = st.one_of(
+    st.tuples(st.just("merge"), _OP_BATCH),
+    st.tuples(
+        st.just("merge_into"),
+        st.tuples(
+            _OP_BATCH,
+            _MATCHED_COND,  # delete clause cond (first)
+            _MATCHED_COND,  # update clause cond (second)
+            _INSERT_COND,
+            st.booleans(),  # accumulate v via update_set
+        ),
+    ),
+    st.tuples(st.just("delete_pred"), st.integers(min_value=0, max_value=5)),
+    st.tuples(
+        st.just("delete_keys"),
+        st.lists(
+            st.integers(min_value=0, max_value=9), min_size=1, max_size=3
+        ),
+    ),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("rebucket"), st.integers(min_value=1, max_value=6)),
+)
+
+
+def _collapse(rows):
+    """LWW per key by (v, position) — the store's batch collapse."""
+    best = {}
+    for i, (k, v, p) in enumerate(rows):
+        if k not in best or (v, i) > (best[k][0], best[k][1]):
+            best[k] = (v, i, p)
+    return {k: (v, p) for k, (v, _, p) in best.items()}
+
+
+def _eval_cond(cond, sv, sp, tv):
+    if cond is None:
+        return True
+    if cond == "s.v >= t.v":
+        return sv >= tv
+    if cond == "s.v < t.v":
+        return sv < tv
+    if cond == "s.v > 2":
+        return sv > 2
+    raise AssertionError(cond)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=2, max_size=6))
+def test_store_full_op_model_equivalence(spark, tmp_path_factory, ops):
+    """Random interleavings of every mutating store op (plus layout ops
+    compact/rebucket, which must be invisible) end in exactly the dict
+    model's state, with no duplicate PKs — the store is, behaviorally, a
+    replicated dict keyed by PK."""
+    tmp = tmp_path_factory.mktemp("store_model")
+    store = ParquetMergeStore(
+        str(tmp / "s"), keys=("k",), version_cols=("v", "pos"), num_buckets=4
+    )
+    model: dict[int, tuple] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [
+                Row(k=k, v=v, payload=p, pos=i)
+                for i, (k, v, p) in enumerate(rows)
+            ]
+        )
+
+    for kind, arg in ops:
+        empty = store.current_version() is None
+        if kind == "merge":
+            store.merge(df_of(arg))
+            model.update(_collapse(arg))
+        elif kind == "merge_into":
+            rows, del_cond, upd_cond, ins_cond, accumulate = arg
+            update_set = {"v": "s.v + t.v"} if accumulate else None
+            store.merge_into(
+                df_of(rows),
+                matched=[("delete", del_cond), ("update", upd_cond)],
+                not_matched_insert=ins_cond,
+                update_set=update_set,
+            )
+            for k, (sv, sp) in _collapse(rows).items():
+                if k in model:
+                    tv = model[k][0]
+                    if _eval_cond(del_cond, sv, sp, tv):
+                        del model[k]
+                    elif _eval_cond(upd_cond, sv, sp, tv):
+                        model[k] = (sv + tv if accumulate else sv, sp)
+                elif ins_cond is True or (
+                    ins_cond != False and _eval_cond(ins_cond, sv, sp, None)
+                ):
+                    model[k] = (sv, sp)
+        elif kind == "delete_pred":
+            if empty:
+                continue
+            store.delete(spark, f"v >= {arg}")
+            model = {k: t for k, t in model.items() if t[0] < arg}
+        elif kind == "delete_keys":
+            if empty:
+                continue
+            store.delete_keys(spark.createDataFrame([Row(k=k) for k in arg]))
+            for k in arg:
+                model.pop(k, None)
+        elif kind == "compact":
+            if empty:
+                continue
+            store.compact(spark, min_files=1)
+        elif kind == "rebucket":
+            if empty:
+                continue
+            store.rebucket(spark, arg)
+    if store.current_version() is None:
+        assert model == {}
+        return
+    rows = store.read(spark).collect()
+    assert len({r.k for r in rows}) == len(rows)  # PK uniqueness
+    assert {r.k: (r.v, r.payload) for r in rows} == model
