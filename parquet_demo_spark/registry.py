@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        search,
         semistructured,
         similarity,
         skew,

@@ -1,0 +1,137 @@
+"""Inverted-index retrieval: losslessness, storage pruning, phrase
+positions, and incremental maintenance through the merge store."""
+
+from __future__ import annotations
+
+from parquet_demo_spark.plans import has_pushed_filters, physical_plan
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.operators.search import (
+    inverted_index,
+    search_all_terms,
+    search_phrase,
+    search_ranked_tfidf,
+    write_index,
+)
+
+_DOCS = [
+    Row(doc_id=0, text="key value key value store"),
+    Row(doc_id=1, text="value key, VALUE; store!"),
+    Row(doc_id=2, text="unrelated words only"),
+    Row(doc_id=3, text="key alone without the other term"),
+]
+
+
+def test_index_is_lossless_tf_and_positions(spark):
+    idx = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in inverted_index(spark.createDataFrame(_DOCS)).collect()
+    }
+    assert idx[("key", 0)] == (2, [0, 2])
+    assert idx[("value", 0)] == (2, [1, 3])
+    # punctuation splits; case folds
+    assert idx[("value", 1)] == (2, [0, 2])
+    assert ("the", 3) in idx
+
+
+def test_search_all_terms_conjunctive(spark):
+    idx = inverted_index(spark.createDataFrame(_DOCS))
+    got = {
+        r.doc_id: r.tf_total
+        for r in search_all_terms(idx, ["key", "value"]).collect()
+    }
+    assert got == {0: 4, 1: 3}  # doc 3 has 'key' only, doc 2 neither
+
+
+def test_search_phrase_counts_adjacent_only(spark):
+    idx = inverted_index(spark.createDataFrame(_DOCS))
+    got = {
+        r.doc_id: r.n_occ
+        for r in search_phrase(idx, "key", "value").collect()
+    }
+    # doc 0: 'key value' twice; doc 1: 'key, VALUE' once (punctuation
+    # is a token boundary, adjacency survives); docs 2/3 no match
+    assert got == {0: 2, 1: 1}
+    with pytest.raises(ValueError, match="differ"):
+        search_phrase(idx, "key", "key")
+
+
+def test_ranked_tfidf_rare_term_outranks_common(spark):
+    docs = [
+        Row(doc_id=i, text="common words here common") for i in range(9)
+    ] + [Row(doc_id=9, text="rare common")]
+    idx = inverted_index(spark.createDataFrame(docs))
+    top = search_ranked_tfidf(idx, 10, ["rare", "common"], top_k=1).collect()
+    assert top[0].doc_id == 9  # one 'rare' (idf ln10) beats tf=2 of idf≈0
+
+
+def test_stored_index_prunes_to_term_buckets(spark, tmp_path):
+    """A stored index partitioned by term bucket serves a query from
+    the matching bucket dirs only — partition pruning, checked via the
+    files the filtered scan actually references."""
+    docs = spark.createDataFrame(_DOCS)
+    path = str(tmp_path / "idx")
+    write_index(inverted_index(docs, num_buckets=16), path)
+    stored = spark.read.parquet(path)
+    wanted = stored.filter(F.col("term") == "key")
+    buckets = {r.bucket for r in wanted.select("bucket").distinct().collect()}
+    assert len(buckets) == 1
+    b = buckets.pop()
+    pruned = stored.filter(F.col("bucket") == b).filter(
+        F.col("term") == "key"
+    )
+    plan = physical_plan(pruned)
+    # the partition filter on the bucket column reaches the scan (dir
+    # pruning), and the term filter is pushed into the parquet reader
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any(f"= {b})" in ln for ln in pf_lines)
+    assert has_pushed_filters(pruned, "EqualTo(term,key)")
+    # counting rows through the pruned path equals the unpruned filter
+    assert pruned.count() == wanted.count() > 0
+
+
+def test_index_incremental_maintenance_via_merge_store(spark, tmp_path):
+    """Postings are keyed (term, doc_id): a corpus delta upserts its
+    postings into a stored index without a rebuild, and search through
+    the store equals search over a fresh full index."""
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    store = ParquetMergeStore(
+        str(tmp_path / "idx_store"),
+        keys=("term", "doc_id"),
+        num_buckets=8,
+    )
+    v0 = spark.createDataFrame(_DOCS[:2])
+    store.merge(inverted_index(v0).drop("bucket"))
+    # delta: doc 1 re-edited (its postings replace), doc 4 added
+    delta = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="key value rewritten"),
+            Row(doc_id=4, text="key value key"),
+        ]
+    )
+    store.merge(inverted_index(delta).drop("bucket"))
+    # stale postings of doc 1 (terms no longer present) delete by key
+    fresh_terms = inverted_index(delta).select("term", "doc_id")
+    stale = (
+        store.read(spark)
+        .filter(F.col("doc_id") == 1)
+        .select("term", "doc_id")
+        .join(fresh_terms, ["term", "doc_id"], "left_anti")
+    )
+    store.delete_keys(stale)
+    full = inverted_index(
+        spark.createDataFrame([_DOCS[0]]).unionByName(delta)
+    )
+    got = {
+        r.doc_id: r.tf_total
+        for r in search_all_terms(store.read(spark), ["key", "value"]).collect()
+    }
+    want = {
+        r.doc_id: r.tf_total
+        for r in search_all_terms(full, ["key", "value"]).collect()
+    }
+    assert got == want == {0: 4, 1: 2, 4: 3}
