@@ -859,3 +859,175 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(branch("user_id"))
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — gap-fill with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q147_linear_interpolation",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 10 AS bucket,
+             time_bucket(INTERVAL '15 minutes', ts) AS hr,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM ev),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTES)) AS hr
+      FROM b
+    ),
+    cells AS (
+      SELECT g.hr, r.range AS bucket FROM grid g CROSS JOIN range(10) r
+    ),
+    vals AS (
+      SELECT bucket, hr, SUM(cents) AS v FROM ev GROUP BY bucket, hr
+    ),
+    joined AS (
+      SELECT cells.bucket, cells.hr, vals.v,
+             ROW_NUMBER() OVER (PARTITION BY cells.bucket
+                                ORDER BY cells.hr) AS idx
+      FROM cells LEFT JOIN vals
+        ON cells.bucket = vals.bucket AND cells.hr = vals.hr
+    ),
+    fenced AS (
+      SELECT bucket, hr, v, idx,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER w_prev AS pi,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER w_next AS ni
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY bucket ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY bucket ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+      SELECT bucket,
+             v IS NOT NULL AS known,
+             v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS gap,
+             CASE WHEN v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+               THEN ROUND(
+                 CAST(pv AS DOUBLE)
+                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                   * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)),
+                 4)
+             END AS iv
+      FROM fenced
+    )
+    SELECT bucket,
+           CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_known,
+           CAST(SUM(CASE WHEN gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gap,
+           CAST(SUM(CASE WHEN NOT known AND NOT gap THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_edge,
+           CAST(COALESCE(SUM(CAST(iv AS DECIMAL(18,9))), 0) AS DOUBLE)
+             AS interp_sum
+    FROM interp
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Gap-fill with LINEAR INTERPOLATION: a 15-minute grid per "
+    "user bucket (fine enough to leave real gaps at every fixture "
+    "SF), where missing cells take the straight line between "
+    "their nearest known neighbors — pandas.interpolate('linear') "
+    "semantics as pure window algebra. The neighbor search is two "
+    "ignore-nulls running windows (last known value/index up to the "
+    "row, first known after), so the whole fill is one partitioned "
+    "window pass — no self-join, no UDF, nothing quadratic in the "
+    "grid. Cell values are exact integer cents (deterministic), the "
+    "interpolated value rounds to 4 decimals and accumulates in "
+    "decimal, so the driver hash-checks the fill math itself. Edge "
+    "cells (no neighbor on one side) stay null and are counted, not "
+    "invented. Scale: windows partition by series key — a 100 TB "
+    "store of a million series interpolates as a million independent "
+    "partitions; the grid rows are hours × series, never events².",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events").select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.window("ts", "15 minutes")["start"].alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("hr")
+    )
+    buckets = ev.sparkSession.range(10).select(F.col("id").alias("bucket"))
+    cells = grid.crossJoin(F.broadcast(buckets))
+    vals = ev.groupBy("bucket", "hr").agg(F.sum("cents").alias("v"))
+    w_ord = W.partitionBy("bucket").orderBy("hr")
+    joined = (
+        cells.join(vals, ["bucket", "hr"], "left")
+        .withColumn("idx", F.row_number().over(w_ord))
+    )
+    w_prev = W.partitionBy("bucket").orderBy("idx").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_next = W.partitionBy("bucket").orderBy("idx").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    known_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    fenced = joined.select(
+        "bucket",
+        "v",
+        "idx",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_idx, ignorenulls=True).over(w_prev).alias("pi"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_idx, ignorenulls=True).over(w_next).alias("ni"),
+    )
+    is_gap = (
+        F.col("v").isNull()
+        & F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+    )
+    iv = F.when(
+        is_gap,
+        F.round(
+            F.col("pv").cast("double")
+            + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+            * (
+                (F.col("idx") - F.col("pi")).cast("double")
+                / (F.col("ni") - F.col("pi")).cast("double")
+            ),
+            4,
+        ),
+    )
+    return (
+        fenced.select(
+            "bucket",
+            F.col("v").isNotNull().alias("known"),
+            is_gap.alias("gap"),
+            iv.alias("iv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("known"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_known"),
+            F.sum(F.when(F.col("gap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gap"),
+            F.sum(
+                F.when(~F.col("known") & ~F.col("gap"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_edge"),
+            F.coalesce(
+                F.sum(F.col("iv").cast("decimal(18,9)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("interp_sum"),
+        )
+        .orderBy("bucket")
+    )
