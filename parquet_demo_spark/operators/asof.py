@@ -42,35 +42,80 @@ def asof_join(
     right_time: str,
     value_col: str,
     out_col: str = "asof_value",
+    direction: str = "backward",
+    tolerance=None,
+    matched_time_col: str | None = None,
 ) -> DataFrame:
-    """Left as-of join: latest right ``value_col`` with right_time <=
-    left_time per key. Right must be unique per (key, right_time)."""
+    """Left as-of join: nearest right ``value_col`` per key —
+    ``backward`` (latest right_time <= left_time, the default) or
+    ``forward`` (earliest right_time >= left_time). Right must be
+    unique per (key, right_time).
+
+    ``tolerance`` (a Column interval/numeric delta, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) nulls the match when the matched
+    right time is farther than the bound from the left time — pandas
+    ``merge_asof(tolerance=...)`` semantics: out-of-tolerance rows
+    keep the left row with a null value, they don't disappear.
+    ``matched_time_col`` additionally emits the matched right time.
+
+    Both directions are the same one-shuffle union+window plan; forward
+    just flips the window frame (first following instead of last
+    preceding) and the tie order (left rows sort before right rows at
+    equal time, so an equal-time right row is still eligible).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    back = direction == "backward"
+    # ties: the right row must fall INSIDE the left row's window frame
+    # at equal _t — before it when looking back, after it when forward
+    l_tag, r_tag = (1, 0) if back else (0, 1)
     lt = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
-        F.lit(1).alias("_tag"),
+        F.lit(l_tag).alias("_tag"),
         F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
         F.struct(*left.columns).alias("_row"),
     )
     rt = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(0).alias("_tag"),
+        F.lit(r_tag).alias("_tag"),
         F.col(value_col).alias("_v"),
         F.lit(None)
         .cast(lt.schema["_row"].dataType)
         .alias("_row"),
     )
-    w = (
-        W.partitionBy("_k")
-        .orderBy("_t", "_tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = W.partitionBy("_k").orderBy("_t", "_tag")
+    if back:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick_v = F.last("_v", ignorenulls=True).over(w)
+        pick_t = F.last(
+            F.when(F.col("_tag") == r_tag, F.col("_t")), ignorenulls=True
+        ).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick_v = F.first("_v", ignorenulls=True).over(w)
+        pick_t = F.first(
+            F.when(F.col("_tag") == r_tag, F.col("_t")), ignorenulls=True
+        ).over(w)
+    merged = lt.unionByName(rt).select(
+        "*", pick_v.alias("__mv"), pick_t.alias("__mt")
     )
-    merged = lt.unionByName(rt).withColumn(
-        out_col, F.last("_v", ignorenulls=True).over(w)
-    )
-    out = merged.filter(F.col("_tag") == 1).select("_row.*", out_col)
-    return out
+    if tolerance is not None:
+        delta = (
+            F.col("_t") - F.col("__mt") if back else F.col("__mt") - F.col("_t")
+        )
+        within = F.col("__mt").isNotNull() & (delta <= tolerance)
+        merged = merged.select(
+            "_tag",
+            "_row",
+            F.when(within, F.col("__mv")).alias("__mv"),
+            F.when(within, F.col("__mt")).alias("__mt"),
+        )
+    outs = [F.col("__mv").alias(out_col)]
+    if matched_time_col is not None:
+        outs.append(F.col("__mt").alias(matched_time_col))
+    return merged.filter(F.col("_tag") == l_tag).select("_row.*", *outs)
 
 
 @register(
@@ -132,4 +177,89 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.coalesce(F.col("v_cents"), F.lit(0)))
         .cast("bigint")
         .alias("sum_matched_cents"),
+    )
+
+
+@register(
+    "q148_asof_forward_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, ts,
+             MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT p.user_id, p.ts, e.ts AS mts, e.cents
+      FROM p ASOF LEFT JOIN e
+        ON p.user_id = e.user_id AND e.ts >= p.ts
+    ),
+    t AS (
+      SELECT user_id,
+             mts IS NOT NULL AND mts - ts <= INTERVAL 1 HOUR AS hit,
+             cents
+      FROM j
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN hit THEN cents END) AS BIGINT)
+             AS matched_cents
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+    doc="FORWARD as-of join with a tolerance bound: for each purchase, "
+    "the user's NEXT error event (earliest error ts >= purchase ts), "
+    "kept only when it lands within 1 hour — the does-X-cause-Y-soon "
+    "shape (pandas merge_asof(direction='forward', tolerance=...)). "
+    "Same one-shuffle union+window plan as the backward as-of (q33), "
+    "with the frame flipped to first-following and equal-time rights "
+    "still eligible; out-of-tolerance matches null out rather than "
+    "dropping the left row. The oracle is DuckDB's NATIVE forward "
+    "ASOF LEFT JOIN (e.ts >= p.ts) — an independent implementation "
+    "of the same semantics, so the hash check cross-validates engines, "
+    "not a shared formula. Right side pre-aggregates to unique "
+    "(user, ts) (MIN cents) for tie determinism on both sides.",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_col="cents",
+        out_col="next_error_cents",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        joined.groupBy(
+            (F.col("user_id") % 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(
+                F.when(F.col("next_error_cents").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum("next_error_cents").cast("bigint").alias("matched_cents"),
+        )
+        .orderBy("bucket")
     )
