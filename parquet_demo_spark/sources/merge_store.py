@@ -1266,6 +1266,74 @@ class ParquetMergeStore:
         self._commit(new_version, bucket_paths, cols, stats, blooms=blooms)
         return new_version
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact snapshot row count from parquet footers — metadata
+        speed, no Spark job, no data scan.
+
+        Every parquet footer records its row count; summing them over
+        the snapshot's live bucket dirs is the same trick Delta/Iceberg
+        use to answer ``COUNT(*)`` from stats. O(#files) footer reads
+        regardless of table size.
+        """
+        import pyarrow.parquet as pq
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty merge store: {self.root}")
+        total = 0
+        for rel in set(self._bucket_paths(v).values()):
+            abs_dir = os.path.join(self.root, rel)
+            for fname in os.listdir(abs_dir):
+                if fname.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(abs_dir, fname)
+                    ).metadata.num_rows
+        return total
+
+    def shallow_clone(self, dst_root: str) -> "ParquetMergeStore":
+        """Zero-copy clone (Delta SHALLOW CLONE, a public design): a new
+        store whose v0 manifest references THIS store's current data
+        dirs by absolute path — no data moves.
+
+        The clone is immediately readable and independently writable:
+        its merges/deletes rewrite touched buckets into its OWN data
+        dir (copy-on-write), untouched buckets keep referencing the
+        source files. The source is never modified through the clone.
+        Caveat (same as Delta's): ``vacuum`` on the SOURCE can remove
+        files a shallow clone still references — vacuum on the clone
+        itself never crosses into the source (liveness is computed
+        against the clone's own data dir).
+
+        The dev-branch workflow this enables at 100 TB: clone the
+        production table in O(metadata), experiment destructively,
+        throw the clone away.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"cannot clone an empty store: {self.root}")
+        m = self._read_manifest(cur)
+        clone = ParquetMergeStore(
+            dst_root,
+            keys=tuple(m["keys"]),
+            version_cols=tuple(m["version_cols"]),
+            num_buckets=m["num_buckets"],
+            bloom_cols=self.bloom_cols,
+        )
+        if clone.current_version() is not None:
+            raise ValueError(f"clone target not empty: {dst_root}")
+        abs_paths = {
+            b: p if os.path.isabs(p) else os.path.join(self.root, p)
+            for b, p in self._bucket_paths(cur).items()
+        }
+        clone._commit(
+            0,
+            abs_paths,
+            m["columns"],
+            stats={int(k): v for k, v in m.get("stats", {}).items()},
+            blooms={int(k): v for k, v in m.get("blooms", {}).items()},
+        )
+        return clone
+
     def clean_orphans(self) -> list[int]:
         """Remove crashed commits' manifests (versions above the
         committed pointer) so their version numbers become claimable

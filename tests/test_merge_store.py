@@ -1439,3 +1439,53 @@ def test_store_full_op_model_equivalence(spark, tmp_path_factory, ops):
     rows = store.read(spark).collect()
     assert len({r.k for r in rows}) == len(rows)  # PK uniqueness
     assert {r.k: (r.v, r.payload) for r in rows} == model
+
+
+# -- shallow clone + metadata count -----------------------------------------
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(23)]
+        )
+    )
+    assert st.count_rows() == 23
+    st.delete(spark, "k < 3")
+    assert st.count_rows() == 20
+    assert st.count_rows(version=0) == 23  # time-traveled count
+
+
+def test_shallow_clone_zero_copy_then_cow(spark, tmp_path):
+    """A shallow clone reads the source's files in place; writing to the
+    clone rewrites only touched buckets into the clone's own tree and
+    never mutates the source."""
+    src = _store(tmp_path, num_buckets=4)
+    src.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(16)]
+        )
+    )
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    assert _rows(clone.read(spark)) == _rows(src.read(spark))
+    # v0 of the clone references the source's dirs (no data copied)
+    assert all(
+        p.startswith(str(tmp_path / "store"))
+        for p in clone._bucket_paths(0).values()
+    )
+    # copy-on-write: a clone merge leaves the source untouched and
+    # keeps sharing the unmodified buckets
+    clone.merge(spark.createDataFrame([Row(k=1, v=9, payload="clone-own")]))
+    assert (1, 1, "p1") in _rows(src.read(spark))
+    assert (1, 9, "clone-own") in _rows(clone.read(spark))
+    shared = [
+        p
+        for p in clone._bucket_paths(clone.current_version()).values()
+        if p.startswith(str(tmp_path / "store"))
+    ]
+    assert len(shared) == 3  # 4 buckets, 1 rewritten locally
+    # and the clone's metadata count matches through the mixed layout
+    assert clone.count_rows() == 16
+    with pytest.raises(ValueError, match="not empty"):
+        src.shallow_clone(str(tmp_path / "clone"))
