@@ -1456,6 +1456,50 @@ def stream_merge_into_store(
     )
 
 
+def stream_change_feed(
+    spark: SparkSession,
+    store: ParquetMergeStore,
+    max_files_per_trigger: int | None = None,
+):
+    """The store's stored change feeds as a STRUCTURED STREAM — the
+    Delta "CDF streaming read" shape on this store.
+
+    A file-source stream over ``changes/*``: every commit with
+    ``write_change_feed=True`` drops new files under a new version dir,
+    and the stream's next micro-batch picks exactly those up (the file
+    source tracks processed files in the checkpoint, so a restart
+    resumes after the last consumed commit — at-least-once per file,
+    exactly-once with an idempotent sink such as
+    ``replay_change_feed``'s upsert/delete pair or foreachBatch into a
+    second store). Requires at least one stored feed to exist: the
+    file source needs a static schema, which is read from the feeds on
+    disk.
+
+    Downstream gets (table columns…, _change_type) rows in commit
+    order per micro-batch — the O(Δ) signal an always-on incremental
+    consumer (MV maintenance, replication, cache invalidation) tails
+    instead of diffing snapshots.
+    """
+    changes_root = os.path.join(store.root, "changes")
+    versions = (
+        sorted(os.listdir(changes_root))
+        if os.path.isdir(changes_root)
+        else []
+    )
+    if not versions:
+        raise ValueError(
+            f"no stored change feeds under {changes_root}; merge with "
+            "write_change_feed=True first"
+        )
+    schema = spark.read.parquet(
+        os.path.join(changes_root, versions[0])
+    ).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(os.path.join(changes_root, "*"))
+
+
 def replay_change_feed(
     src: ParquetMergeStore,
     dst: ParquetMergeStore,

@@ -1489,3 +1489,56 @@ def test_shallow_clone_zero_copy_then_cow(spark, tmp_path):
     assert clone.count_rows() == 16
     with pytest.raises(ValueError, match="not empty"):
         src.shallow_clone(str(tmp_path / "clone"))
+
+
+def test_stream_change_feed_tails_commits(spark, tmp_path):
+    """The stored feeds replay as a structured stream; a checkpointed
+    restart consumes ONLY commits that landed after the first run."""
+    from parquet_demo_spark.sources.merge_store import stream_change_feed
+
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        ),
+        write_change_feed=True,
+    )
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=2, payload="a2")]),
+        write_change_feed=True,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_change_feed(spark, st)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    got = sorted(
+        (r.k, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "insert"),
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "insert"),
+    ]
+    # a new feed-bearing commit, then a restarted stream: only the new
+    # commit's rows arrive (checkpoint excludes consumed files)
+    st.merge(
+        spark.createDataFrame([Row(k=3, v=1, payload="c")]),
+        write_change_feed=True,
+    )
+    drain()
+    got2 = sorted(
+        (r.k, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == got + [(3, "insert")]
