@@ -140,6 +140,7 @@ class ParquetMergeStore:
         version_cols: tuple[str, ...] = (),
         num_buckets: int = 8,
         bloom_cols: tuple[str, ...] = (),
+        constraints: dict[str, str] | None = None,
     ) -> None:
         if not keys:
             raise ValueError("MERGE requires at least one PK column")
@@ -153,6 +154,11 @@ class ParquetMergeStore:
         # before/without a bloom simply never skip, and the pruning
         # check is per-(bucket, column) presence.
         self.bloom_cols = tuple(bloom_cols)
+        # CHECK constraints (name -> SQL boolean over table columns),
+        # validated against every batch of rows a write materializes
+        # and persisted in the manifest so a reopened store keeps its
+        # invariants. Constructor entries merge over the manifest's.
+        self.constraints: dict[str, str] = dict(constraints or {})
         os.makedirs(root, exist_ok=True)
         # reopening an existing store with different bucketing/key config
         # would silently route the same PK to a different bucket: the old
@@ -162,6 +168,10 @@ class ParquetMergeStore:
         committed = self.current_version()
         if committed is not None:
             m = self._read_manifest(committed)
+            self.constraints = {
+                **m.get("constraints", {}),
+                **self.constraints,
+            }
             mismatches = {
                 field: (getattr(self, field), m[field])
                 for field, got in (
@@ -231,6 +241,8 @@ class ParquetMergeStore:
             # per-bucket per-column bloom filters (point-lookup
             # skipping; see _bloom_build) — optional, like stats
             "blooms": {str(k): v for k, v in (blooms or {}).items() if v},
+            # CHECK constraints the table carries (validated per write)
+            "constraints": self.constraints,
         }
         # optimistic concurrency: O_EXCL manifest creation is the CAS.
         # Two writers that both read version N-1 both target N; exactly
@@ -585,6 +597,10 @@ class ParquetMergeStore:
             )
         rel_data = os.path.join("data", f"v{new_version:05d}")
         out_dir = os.path.join(self.root, rel_data)
+        # invariant holds inductively: untouched buckets passed this
+        # check when they were written, so validating only the rows
+        # being materialized now covers the whole table
+        self._validate_constraints(combined.drop(_BUCKET), "merge")
         # one partition-parallel write; bucket dirs appear as partition
         # subdirectories (__bucket=K) we then reference individually
         combined.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
@@ -830,6 +846,7 @@ class ParquetMergeStore:
 
         rel_data = os.path.join("data", f"v{new_version:05d}")
         out_dir = os.path.join(self.root, rel_data)
+        self._validate_constraints(out, "merge_into")
         out.withColumn(_BUCKET, self._bucket_expr()).write.mode(
             "overwrite"
         ).partitionBy(_BUCKET).parquet(out_dir)
@@ -1265,6 +1282,61 @@ class ParquetMergeStore:
             blooms[b] = self._dir_blooms(rel)
         self._commit(new_version, bucket_paths, cols, stats, blooms=blooms)
         return new_version
+
+    # -- CHECK constraints (Delta-style, validated at write time) -------
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> None:
+        """Register a CHECK constraint (SQL boolean over table columns).
+
+        The EXISTING snapshot is validated first (Delta's ADD
+        CONSTRAINT does the same scan) — adding a constraint the
+        current data violates raises and registers nothing. A NULL
+        predicate counts as satisfied (SQL CHECK semantics). The
+        constraint reaches the manifest at the next commit and is
+        re-loaded on reopen, so the table carries its own invariants.
+        """
+        if not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier: {name}")
+        probe = {name: expr}
+        if self.current_version() is not None:
+            saved, self.constraints = self.constraints, probe
+            try:
+                self._validate_constraints(
+                    self.read(spark), f"add_constraint({name})"
+                )
+            finally:
+                self.constraints = saved
+        self.constraints = {**self.constraints, **probe}
+
+    def _validate_constraints(self, df: DataFrame, context: str) -> None:
+        """Raise if any row of ``df`` violates any registered CHECK.
+
+        One aggregate over the rows being written (never the whole
+        table): per-constraint violation counts in a single pass. SQL
+        CHECK null semantics — a NULL predicate does not violate.
+        """
+        if not self.constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), 1
+                ).otherwise(0)
+            ).alias(n)
+            for n, e in self.constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: row[n] for n in self.constraints if row[n]}
+        if bad:
+            raise ValueError(
+                f"CHECK constraint violation in {context}: "
+                + ", ".join(
+                    f"{n} ({self.constraints[n]!r}): {c} rows"
+                    for n, c in sorted(bad.items())
+                )
+            )
 
     def count_rows(self, version: int | None = None) -> int:
         """Exact snapshot row count from parquet footers — metadata

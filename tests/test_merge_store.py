@@ -1542,3 +1542,60 @@ def test_stream_change_feed_tails_commits(spark, tmp_path):
         (r.k, r._change_type) for r in spark.read.parquet(out).collect()
     )
     assert got2 == got + [(3, "insert")]
+
+
+# -- CHECK constraints -------------------------------------------------------
+
+
+def test_check_constraint_rejects_bad_batch_atomically(spark, tmp_path):
+    """A violating merge raises BEFORE the commit: no version burned,
+    snapshot unchanged; NULL predicates satisfy (SQL CHECK)."""
+    st = _store(tmp_path, constraints={"v_nonneg": "v >= 0"})
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    with pytest.raises(ValueError, match="v_nonneg"):
+        st.merge(
+            spark.createDataFrame(
+                [Row(k=2, v=-5, payload="bad"), Row(k=3, v=2, payload="ok")]
+            )
+        )
+    assert st.current_version() == 0
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+    # NULL predicate = satisfied
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=4, v=None, payload="nullv")],
+            schema="k bigint, v bigint, payload string",
+        )
+    )
+    assert (4, None, "nullv") in _rows(st.read(spark))
+
+
+def test_check_constraint_persists_and_guards_merge_into(spark, tmp_path):
+    """Constraints survive reopen via the manifest and apply to
+    merge_into SET results too (the update's OUTPUT is what must
+    satisfy the check)."""
+    st = _store(tmp_path, constraints={"v_cap": "v <= 100"})
+    st.merge(spark.createDataFrame([Row(k=1, v=60, payload="a")]))
+    reopened = ParquetMergeStore(
+        str(tmp_path / "store"), keys=("k",), version_cols=("v",),
+        num_buckets=4,
+    )
+    assert reopened.constraints == {"v_cap": "v <= 100"}
+    with pytest.raises(ValueError, match="v_cap"):
+        reopened.merge_into(
+            spark.createDataFrame([Row(k=1, v=60, payload="b")]),
+            matched=[("update", None)],
+            update_set={"v": "s.v + t.v"},  # 120 > cap
+        )
+    assert reopened.current_version() == 0
+
+
+def test_add_constraint_validates_existing_snapshot(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=5, payload="a")]))
+    with pytest.raises(ValueError, match="add_constraint"):
+        st.add_constraint(spark, "v_big", "v >= 10")
+    assert st.constraints == {}
+    st.add_constraint(spark, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        st.merge(spark.createDataFrame([Row(k=2, v=0, payload="z")]))
