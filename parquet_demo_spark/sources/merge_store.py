@@ -217,6 +217,8 @@ class ParquetMergeStore:
         stats: dict[int, dict] | None = None,
         change_feed: str | None = None,
         blooms: dict[int, dict] | None = None,
+        operation: str = "merge",
+        op_params: dict | None = None,
     ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -243,6 +245,11 @@ class ParquetMergeStore:
             "blooms": {str(k): v for k, v in (blooms or {}).items() if v},
             # CHECK constraints the table carries (validated per write)
             "constraints": self.constraints,
+            # commit provenance (DESCRIBE HISTORY): what wrote this
+            # version, with what parameters, when (wall clock, UTC s)
+            "operation": operation,
+            "op_params": op_params or {},
+            "committed_at": __import__("time").time(),
         }
         # optimistic concurrency: O_EXCL manifest creation is the CAS.
         # Two writers that both read version N-1 both target N; exactly
@@ -642,6 +649,12 @@ class ParquetMergeStore:
             stats,
             change_feed=rel_changes,
             blooms=blooms,
+            operation="merge",
+            op_params={
+                "conditional": conditional,
+                "schema_evolution": allow_schema_evolution,
+                "touched_buckets": len(touched),
+            },
         )
         return new_version
 
@@ -904,6 +917,13 @@ class ParquetMergeStore:
             stats,
             change_feed=rel_changes,
             blooms=blooms,
+            operation="merge_into",
+            op_params={
+                "matched": [list(c) for c in matched],
+                "not_matched_insert": str(not_matched_insert),
+                "update_set": update_set,
+                "touched_buckets": len(touched),
+            },
         )
         return new_version
 
@@ -1079,6 +1099,14 @@ class ParquetMergeStore:
             stats,
             change_feed=rel_changes,
             blooms=blooms,
+            operation="delete",
+            op_params={
+                "condition": condition
+                if isinstance(condition, str)
+                else (None if condition is None else "<Column>"),
+                "where": {c: list(r) for c, r in (where or {}).items()},
+                "touched_buckets": len(touched),
+            },
         )
         return new_version
 
@@ -1214,7 +1242,13 @@ class ParquetMergeStore:
                 stats[b] = self._dir_column_stats(rel)
                 blooms[b] = self._dir_blooms(rel)
             self._commit(
-                new_version, bucket_paths, cols, stats, blooms=blooms
+                new_version,
+                bucket_paths,
+                cols,
+                stats,
+                blooms=blooms,
+                operation="rebucket",
+                op_params={"from": old_b, "to": new_b},
             )
         except BaseException:
             self.num_buckets = old_b
@@ -1280,7 +1314,15 @@ class ParquetMergeStore:
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
             blooms[b] = self._dir_blooms(rel)
-        self._commit(new_version, bucket_paths, cols, stats, blooms=blooms)
+        self._commit(
+            new_version,
+            bucket_paths,
+            cols,
+            stats,
+            blooms=blooms,
+            operation="compact",
+            op_params={"buckets": len(fragmented)},
+        )
         return new_version
 
     # -- CHECK constraints (Delta-style, validated at write time) -------
@@ -1403,8 +1445,52 @@ class ParquetMergeStore:
             m["columns"],
             stats={int(k): v for k, v in m.get("stats", {}).items()},
             blooms={int(k): v for k, v in m.get("blooms", {}).items()},
+            operation="clone",
+            op_params={"source": self.root, "source_version": cur},
         )
         return clone
+
+    def describe_history(self) -> list[dict]:
+        """Commit log of the COMMITTED versions, oldest first — Delta's
+        DESCRIBE HISTORY: operation name, its parameters, wall-clock
+        commit time, bucket/feed footprint. Orphan manifests (above the
+        pointer) are excluded; pre-provenance manifests report
+        operation 'unknown'."""
+        current = self.current_version()
+        if current is None:
+            return []
+        out = []
+        for v in self.history():
+            if v > current:
+                continue
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation", "unknown"),
+                    "op_params": m.get("op_params", {}),
+                    "committed_at": m.get("committed_at"),
+                    "n_buckets": len(m.get("bucket_paths", {})),
+                    "change_feed": m.get("change_feed"),
+                }
+            )
+        return out
+
+    def version_at(self, timestamp: float) -> int:
+        """Largest committed version with committed_at <= ``timestamp``
+        (epoch seconds) — timestamp-based time travel:
+        ``store.read(spark, version=store.version_at(ts))``. Raises if
+        the store has no commit at or before the timestamp."""
+        best = None
+        for row in self.describe_history():
+            at = row["committed_at"]
+            if at is not None and at <= timestamp:
+                best = row["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {timestamp} in {self.root}"
+            )
+        return best
 
     def clean_orphans(self) -> list[int]:
         """Remove crashed commits' manifests (versions above the

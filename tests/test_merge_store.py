@@ -1599,3 +1599,42 @@ def test_add_constraint_validates_existing_snapshot(spark, tmp_path):
     st.add_constraint(spark, "v_pos", "v > 0")
     with pytest.raises(ValueError, match="v_pos"):
         st.merge(spark.createDataFrame([Row(k=2, v=0, payload="z")]))
+
+
+# -- commit provenance: DESCRIBE HISTORY + timestamp time travel -------------
+
+
+def test_describe_history_records_operations(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.merge_into(
+        spark.createDataFrame([Row(k=1, v=2, payload="b")]),
+        matched=[("update", None)],
+    )
+    st.delete(spark, "k = 1", write_change_feed=True)
+    hist = st.describe_history()
+    assert [h["operation"] for h in hist] == ["merge", "merge_into", "delete"]
+    assert hist[0]["op_params"]["touched_buckets"] == 1
+    assert hist[2]["change_feed"] is not None
+    assert all(h["committed_at"] is not None for h in hist)
+    # strictly ordered commit times
+    times = [h["committed_at"] for h in hist]
+    assert times == sorted(times)
+
+
+def test_version_at_timestamp_time_travel(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    t_between = st.describe_history()[-1]["committed_at"] + 0.001
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="b")]))
+    assert st.version_at(t_between) == 0
+    assert _rows(st.read(spark, version=st.version_at(t_between))) == [
+        (1, 1, "a")
+    ]
+    with pytest.raises(ValueError, match="no commit"):
+        st.version_at(0.0)
+    # clone provenance
+    clone = st.shallow_clone(str(tmp_path / "c"))
+    ch = clone.describe_history()
+    assert ch[0]["operation"] == "clone"
+    assert ch[0]["op_params"]["source_version"] == 1
