@@ -1325,6 +1325,79 @@ class ParquetMergeStore:
         )
         return new_version
 
+    def restore(self, target_version: int) -> int:
+        """Delta-style RESTORE: re-commit an earlier snapshot's state as
+        a NEW version. Metadata-only — bucket dirs are immutable and
+        shared across manifests, so no data moves; the commit is one
+        manifest write + the atomic pointer swap, regardless of table
+        size (the 100 TB posture: reverting a bad merge costs O(1), not
+        a rewrite).
+
+        History is preserved, not rewritten: the rolled-back versions
+        stay readable via time travel until vacuumed, and readers switch
+        atomically. The FULL table state is restored — bucket paths,
+        columns, stats, blooms, and the bucket count (a restore across a
+        ``rebucket`` boundary reverts the layout; subsequent merges
+        route by the restored B). CHECK constraints are table
+        properties, not snapshot state, and survive the restore (Delta
+        semantics); the restore itself writes no change feed, but
+        ``changes_between(bad, restored)`` shows consumers the net
+        revert as ordinary row diffs.
+
+        No-op (returns the current version, creates nothing) when the
+        target IS the current version. Raises if the target doesn't
+        exist, is newer than the pointer (orphans aren't restorable),
+        or was vacuumed — liveness is re-checked against the actual data
+        dirs, because vacuum keeps all manifests <= pointer while
+        dropping unreferenced dirs.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"cannot restore an empty store: {self.root}")
+        target_version = int(target_version)
+        if target_version == cur:
+            return cur
+        if target_version > cur or target_version < 0:
+            raise ValueError(
+                f"cannot restore to v{target_version}: committed "
+                f"versions are 0..{cur}"
+            )
+        try:
+            m = self._read_manifest(target_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {target_version} does not exist in {self.root}"
+            ) from None
+        bucket_paths = {int(k): v for k, v in m["bucket_paths"].items()}
+        missing = sorted(
+            rel
+            for rel in bucket_paths.values()
+            if not os.path.isdir(os.path.join(self.root, rel))
+        )
+        if missing:
+            raise ValueError(
+                f"version {target_version} was vacuumed: data dirs "
+                f"{missing[:3]} no longer exist"
+            )
+        old_b = self.num_buckets
+        self.num_buckets = int(m["num_buckets"])
+        try:
+            self._commit(
+                cur + 1,
+                bucket_paths,
+                m["columns"],
+                stats={int(k): v for k, v in m.get("stats", {}).items()},
+                blooms={
+                    int(k): v for k, v in m.get("blooms", {}).items()
+                },
+                operation="restore",
+                op_params={"to_version": target_version},
+            )
+        except BaseException:
+            self.num_buckets = old_b
+            raise
+        return cur + 1
+
     # -- CHECK constraints (Delta-style, validated at write time) -------
 
     def add_constraint(

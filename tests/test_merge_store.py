@@ -1638,3 +1638,78 @@ def test_version_at_timestamp_time_travel(spark, tmp_path):
     ch = clone.describe_history()
     assert ch[0]["operation"] == "clone"
     assert ch[0]["op_params"]["source_version"] == 1
+
+
+# -- RESTORE: metadata-only rollback to an earlier snapshot ------------------
+
+
+def test_restore_reverts_state_and_preserves_history(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))  # v0
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=2, payload="a2"), Row(k=2, v=1, payload="b")]
+        )
+    )  # v1
+    st.delete(spark, "k = 1")  # v2
+    v = st.restore(0)
+    assert v == 3
+    assert st.current_version() == 3
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+    # rolled-back versions stay time-travelable
+    assert _rows(st.read(spark, version=2)) == [(2, 1, "b")]
+    hist = st.describe_history()
+    assert hist[-1]["operation"] == "restore"
+    assert hist[-1]["op_params"]["to_version"] == 0
+    # CDC across the restore is the net revert, as plain row diffs
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    ch = changes_between(st, spark, 2, 3)
+    got = sorted(
+        (r.k, r.v, r.payload, r._change_type) for r in ch.collect()
+    )
+    assert got == [(1, 1, "a", "insert"), (2, 1, "b", "delete")]
+    # no-op: restoring to the current version creates nothing
+    assert st.restore(3) == 3
+    assert st.current_version() == 3
+    # a reopened store sees the restored state
+    st2 = _store(tmp_path)
+    assert _rows(st2.read(spark)) == [(1, 1, "a")]
+
+
+def test_restore_error_cases(spark, tmp_path):
+    st = _store(tmp_path)
+    with pytest.raises(ValueError, match="empty"):
+        st.restore(0)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))  # v0
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="a2")]))  # v1
+    with pytest.raises(ValueError, match="0..1"):
+        st.restore(5)
+    # v0's only bucket was rewritten by v1 (same PK), so keep_last=1
+    # vacuum drops v0's data dir; restore must refuse, not half-commit
+    st.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        st.restore(0)
+    assert st.current_version() == 1  # nothing was committed
+
+
+def test_restore_across_rebucket_reverts_layout(spark, tmp_path):
+    st = _store(tmp_path, num_buckets=2)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(8)]
+        )
+    )  # v0, B=2
+    st.rebucket(spark, 8)  # v1, B=8
+    v = st.restore(0)
+    assert v == 2
+    assert st.num_buckets == 2
+    assert _rows(st.read(spark)) == [(i, 1, f"p{i}") for i in range(8)]
+    # subsequent merges route by the restored B and reads stay exact
+    st.merge(spark.createDataFrame([Row(k=3, v=2, payload="q3")]))
+    rows = _rows(st.read(spark))
+    assert rows[3] == (3, 2, "q3") and len(rows) == 8
+    # reopening with the restored layout works; the stale one raises
+    assert _store(tmp_path, num_buckets=2).current_version() == 3
+    with pytest.raises(ValueError, match="different"):
+        _store(tmp_path, num_buckets=8)
