@@ -414,16 +414,26 @@ class ParquetMergeStore:
         spark: SparkSession,
         version: int | None = None,
         where: dict[str, tuple] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Snapshot read (optionally time-traveled to an older version).
 
-        ``where`` (column → (lo, hi) closed range) both prunes bucket
-        dirs via the manifest's min/max stats — files whose stats prove
+        Time travel addresses a snapshot by ``version`` or by
+        ``timestamp`` (epoch seconds — the newest commit at or before
+        it, Delta's timestampAsOf), mutually exclusive. ``where``
+        (column → (lo, hi) closed range) both prunes bucket dirs via
+        the manifest's min/max stats — files whose stats prove
         emptiness are never opened — and applies the residual range
         filter to the returned rows, so the result is exactly the
         filtered snapshot. Raises on an empty store (no schema to
         synthesize).
         """
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass either version or timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty merge store: {self.root}")

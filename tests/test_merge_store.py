@@ -1713,3 +1713,14 @@ def test_restore_across_rebucket_reverts_layout(spark, tmp_path):
     assert _store(tmp_path, num_buckets=2).current_version() == 3
     with pytest.raises(ValueError, match="different"):
         _store(tmp_path, num_buckets=8)
+
+
+def test_read_timestamp_as_of(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))  # v0
+    t = st.describe_history()[-1]["committed_at"] + 0.001
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="b")]))  # v1
+    assert _rows(st.read(spark, timestamp=t)) == [(1, 1, "a")]
+    assert _rows(st.read(spark)) == [(1, 2, "b")]
+    with pytest.raises(ValueError, match="not both"):
+        st.read(spark, version=0, timestamp=t)
