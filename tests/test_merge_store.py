@@ -1339,6 +1339,7 @@ _OP = st.one_of(
     ),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("rebucket"), st.integers(min_value=1, max_value=6)),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=9)),
 )
 
 
@@ -1380,6 +1381,8 @@ def test_store_full_op_model_equivalence(spark, tmp_path_factory, ops):
         str(tmp / "s"), keys=("k",), version_cols=("v", "pos"), num_buckets=4
     )
     model: dict[int, tuple] = {}
+    # model state as of each committed version — what restore rolls to
+    snapshots: dict[int, dict[int, tuple]] = {}
 
     def df_of(rows):
         return spark.createDataFrame(
@@ -1433,6 +1436,15 @@ def test_store_full_op_model_equivalence(spark, tmp_path_factory, ops):
             if empty:
                 continue
             store.rebucket(spark, arg)
+        elif kind == "restore":
+            if empty:
+                continue
+            target = arg % (store.current_version() + 1)
+            store.restore(target)
+            model = dict(snapshots[target])
+        cur = store.current_version()
+        if cur is not None and cur not in snapshots:
+            snapshots[cur] = dict(model)
     if store.current_version() is None:
         assert model == {}
         return
