@@ -505,3 +505,59 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q149_restore_rollback",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(2 AS INTEGER) AS v_final
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Metadata-only RESTORE, hash-checked end-to-end: merge all "
+    "events (v0), run a destructive DELETE of every 'click' key (v1), "
+    "then restore(0) — an O(1) rollback that re-commits v0's manifest "
+    "as v2 without touching data files. The returned aggregate reads "
+    "the CURRENT snapshot plus the committed version as v_final, so "
+    "the hash check proves three things at once: the delete committed "
+    "(v advanced to 2, not 1), the restore rolled the visible state "
+    "back to exactly the v0 LWW collapse ('click' keys are present "
+    "again), and history stayed linear. The oracle is the plain "
+    "single-batch collapse of events with the literal final version. "
+    "At 100 TB this is the operational story for a bad merge: revert "
+    "in one manifest write, not a table rewrite.",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    root = _scratch_root("q149", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev)  # v0
+    store.delete(spark, "event_type = 'click'")  # v1: the bad delete
+    store.restore(0)  # v2: metadata-only rollback
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        .withColumn(
+            "v_final", F.lit(int(store.current_version())).cast("int")
+        )
+        .orderBy("event_type")
+    )
