@@ -69,37 +69,48 @@ def asof_join(
     # ties: the right row must fall INSIDE the left row's window frame
     # at equal _t — before it when looking back, after it when forward
     l_tag, r_tag = (1, 0) if back else (0, 1)
-    lt = left.select(
-        F.col(key).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(l_tag).alias("_tag"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
-        F.struct(*left.columns).alias("_row"),
-    )
+    # ONE struct per right row carrying (matched time, value) — value and
+    # matched-time must come from the SAME row. Tracking them in separate
+    # ignorenulls windows would let a NULL-valued nearest right row leak a
+    # FARTHER row's value attributed to the nearest row's time (and check
+    # tolerance against the wrong row); pandas merge_asof returns null for
+    # that case. The struct itself is non-null for every right row (a
+    # struct with a null field is still a non-null struct), so ignorenulls
+    # skips exactly the left rows.
     rt = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(r_tag).alias("_tag"),
-        F.col(value_col).alias("_v"),
-        F.lit(None)
-        .cast(lt.schema["_row"].dataType)
-        .alias("_row"),
+        F.struct(
+            F.col(right_time).alias("_mt"), F.col(value_col).alias("_mv")
+        ).alias("_rv"),
+        F.lit(None).alias("_row"),
+    )
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(l_tag).alias("_tag"),
+        F.lit(None).cast(rt.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    rt = rt.withColumn(
+        "_row", F.lit(None).cast(lt.schema["_row"].dataType)
     )
     base = W.partitionBy("_k").orderBy("_t", "_tag")
     if back:
         w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
-        pick_v = F.last("_v", ignorenulls=True).over(w)
-        pick_t = F.last(
-            F.when(F.col("_tag") == r_tag, F.col("_t")), ignorenulls=True
-        ).over(w)
+        pick = F.last("_rv", ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
-        pick_v = F.first("_v", ignorenulls=True).over(w)
-        pick_t = F.first(
-            F.when(F.col("_tag") == r_tag, F.col("_t")), ignorenulls=True
-        ).over(w)
-    merged = lt.unionByName(rt).select(
-        "*", pick_v.alias("__mv"), pick_t.alias("__mt")
+        pick = F.first("_rv", ignorenulls=True).over(w)
+    merged = (
+        lt.unionByName(rt)
+        .select("*", pick.alias("__m"))
+        .select(
+            "*",
+            F.col("__m._mv").alias("__mv"),
+            F.col("__m._mt").alias("__mt"),
+        )
     )
     if tolerance is not None:
         delta = (

@@ -561,3 +561,120 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q150_merge_not_matched_by_source",
+    oracle="""
+    WITH even AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ),
+    odd AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT
+        COALESCE(e.user_id, o.user_id) AS user_id,
+        COALESCE(e.event_type, o.event_type) AS event_type,
+        CASE
+          WHEN e.user_id IS NULL THEN 'insert'
+          WHEN o.user_id IS NULL AND e.value < 30.0 THEN 'nmbs_delete'
+          WHEN o.user_id IS NULL AND e.event_type = 'click'
+            THEN 'nmbs_update'
+          WHEN o.user_id IS NULL THEN 'keep'
+          WHEN o.ts >= e.ts THEN 'update'
+          ELSE 'keep'
+        END AS action,
+        e.event_id AS e_event_id, e.value AS e_value,
+        o.event_id AS o_event_id, o.value AS o_value
+      FROM even e
+      FULL OUTER JOIN odd o
+        ON e.user_id = o.user_id AND e.event_type = o.event_type
+    ),
+    final AS (
+      SELECT user_id, event_type,
+             CASE WHEN action IN ('update', 'insert')
+                  THEN o_event_id ELSE e_event_id END AS event_id,
+             CASE WHEN action IN ('update', 'insert') THEN o_value
+                  WHEN action = 'nmbs_update' THEN e_value + 1000.0
+                  ELSE e_value END AS value
+      FROM merged
+      WHERE action <> 'nmbs_delete'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM final
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="MERGE INTO with WHEN NOT MATCHED BY SOURCE clauses (Delta / "
+    "SQL:2003, VERDICT r6 #2) against the real mutable store: even "
+    "event_ids seed the table, the odd batch merges with WHEN MATCHED "
+    "AND s.ts >= t.ts THEN UPDATE (whole-row replace), WHEN NOT MATCHED "
+    "THEN INSERT, and — the new surface — WHEN NOT MATCHED BY SOURCE "
+    "AND t.value < 30 THEN DELETE, WHEN NOT MATCHED BY SOURCE AND "
+    "t.event_type = 'click' THEN UPDATE SET value = t.value + 1000 "
+    "(first-match-wins, per-clause SET, conditions over the t alias "
+    "only — there is no source row). This is the sync-to-source / "
+    "soft-expire shape: stored keys the batch no longer carries are "
+    "dropped or flagged in the SAME commit as the upserts. The oracle "
+    "replays the full clause law over the two LWW-collapsed batches "
+    "with a full outer join. Scale: a phase-1 anti-join pre-scan "
+    "(delete()'s trick) collects the ≤ num_buckets bucket ids holding "
+    "an affected target-only row, so the rewrite stays proportional to "
+    "affected rows — expiring 1%% of keys on a 100 TB store rewrites "
+    "~1%% of buckets, though the absence check itself necessarily reads "
+    "every stored key once. merge_store.py merge_into "
+    "not_matched_by_source; unit + property coverage in "
+    "tests/test_merge_store.py (dict-model interleavings include the "
+    "nmbs op).",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q150", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    store.merge_into(
+        ev.filter(F.col("event_id") % 2 == 1),
+        matched=[("update", "s.ts >= t.ts")],
+        not_matched_insert=True,
+        not_matched_by_source=[
+            ("delete", "t.value < 30.0"),
+            (
+                "update",
+                "t.event_type = 'click'",
+                {"value": "t.value + 1000.0"},
+            ),
+        ],
+    )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

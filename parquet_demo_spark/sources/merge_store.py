@@ -40,6 +40,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _BUCKET = "__bucket"
 _FROM_UPSERT = "__from_upsert"
@@ -157,8 +158,13 @@ class ParquetMergeStore:
         # CHECK constraints (name -> SQL boolean over table columns),
         # validated against every batch of rows a write materializes
         # and persisted in the manifest so a reopened store keeps its
-        # invariants. Constructor entries merge over the manifest's.
+        # invariants. Constructor entries must NOT silently replace a
+        # persisted constraint (that would weaken the table's invariant
+        # with no error); genuinely-new names are validated against the
+        # existing snapshot on first use (add_constraint's law, deferred
+        # because __init__ has no SparkSession).
         self.constraints: dict[str, str] = dict(constraints or {})
+        self._pending_constraint_validation: dict[str, str] = {}
         os.makedirs(root, exist_ok=True)
         # reopening an existing store with different bucketing/key config
         # would silently route the same PK to a different bucket: the old
@@ -168,8 +174,24 @@ class ParquetMergeStore:
         committed = self.current_version()
         if committed is not None:
             m = self._read_manifest(committed)
+            persisted = m.get("constraints", {})
+            conflicts = {
+                n: (self.constraints[n], persisted[n])
+                for n in self.constraints
+                if n in persisted and persisted[n] != self.constraints[n]
+            }
+            if conflicts:
+                raise ValueError(
+                    f"store at {root} already persists constraints with "
+                    f"different expressions: {conflicts} (constructor "
+                    "value, manifest value); drop the constructor entry "
+                    "or change it via add_constraint"
+                )
+            self._pending_constraint_validation = {
+                n: e for n, e in self.constraints.items() if n not in persisted
+            }
             self.constraints = {
-                **m.get("constraints", {}),
+                **persisted,
                 **self.constraints,
             }
             mismatches = {
@@ -674,6 +696,7 @@ class ParquetMergeStore:
         matched: list[tuple[str, str | None]] | None = None,
         not_matched_insert: str | bool = True,
         update_set: dict[str, str] | None = None,
+        not_matched_by_source: list[tuple] | None = None,
         write_change_feed: bool = False,
     ) -> int:
         """Full MERGE INTO clause semantics (Delta/ANSI-style), on the
@@ -697,6 +720,16 @@ class ParquetMergeStore:
         whole-row replace (ReplaceOne). Key columns cannot be SET
         (their value defines the match — Delta raises too).
 
+        ``not_matched_by_source`` (Delta's ``WHEN NOT MATCHED BY
+        SOURCE``, SQL:2003 MERGE) is an ORDERED list of ``("delete",
+        cond)`` / ``("update", cond, set_dict)`` clauses applied to
+        STORED rows with no source PK match — the sync-to-source /
+        soft-expire shape. Conditions and SET expressions see only the
+        ``t`` alias (there is no source row; an ``s.*`` reference
+        evaluates NULL, so a cond using it never fires). First match
+        wins; a target-only row no clause accepts is kept, and with no
+        clauses the list defaults to today's keep-everything behavior.
+
         Scale: identical to :meth:`merge` — the batch collapses per PK
         (one shuffle), routes to PK-hash buckets, and ONLY touched
         buckets rewrite; clause evaluation is a projection on the
@@ -704,7 +737,14 @@ class ParquetMergeStore:
         set (inserts come from the batch, updates keep their PK), so
         untouched buckets re-reference their dirs. A merge touching 1%
         of keys rewrites ~1% of a 100 TB table regardless of clause
-        complexity.
+        complexity. ``not_matched_by_source`` adds a phase-1 pre-scan
+        (the same trick as :meth:`delete`): an anti-join of stored keys
+        vs batch keys finds the buckets holding ≥1 clause-affected
+        target-only row — an aggregate collecting ≤ num_buckets ids —
+        and only THOSE buckets join the touched set, so a sync that
+        expires 1% of keys still rewrites ~1% of the table, not all of
+        it (the full-scan read is unavoidable — every stored row must
+        be checked for absence — but the rewrite stays proportional).
         """
         from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
@@ -716,6 +756,30 @@ class ParquetMergeStore:
         bad = sorted(set(update_set) & set(self.keys))
         if bad:
             raise ValueError(f"cannot SET key columns: {bad}")
+        nmbs: list[tuple[str, str | None, dict[str, str]]] = []
+        for clause in not_matched_by_source or []:
+            kind, cond = clause[0], clause[1]
+            if kind == "delete":
+                if len(clause) > 2 and clause[2]:
+                    raise ValueError(
+                        "not_matched_by_source delete clause takes no SET"
+                    )
+                nmbs.append(("delete", cond, {}))
+            elif kind == "update":
+                sets = dict(clause[2]) if len(clause) > 2 and clause[2] else {}
+                if not sets:
+                    raise ValueError(
+                        "not_matched_by_source update clause requires a "
+                        "SET dict (there is no source row to default to)"
+                    )
+                bad = sorted(set(sets) & set(self.keys))
+                if bad:
+                    raise ValueError(f"cannot SET key columns: {bad}")
+                nmbs.append(("update", cond, sets))
+            else:
+                raise ValueError(
+                    f"unknown not_matched_by_source clause kind: {kind!r}"
+                )
 
         missing = [
             c
@@ -741,12 +805,74 @@ class ParquetMergeStore:
         unknown = sorted(set(update_set) - set(cols))
         if unknown:
             raise ValueError(f"update_set names unknown columns: {unknown}")
+        for _, _, sets in nmbs:
+            unknown = sorted(set(sets) - set(cols))
+            if unknown:
+                raise ValueError(
+                    "not_matched_by_source SET names unknown columns: "
+                    f"{unknown}"
+                )
 
         batch = batch.withColumn(_BUCKET, self._bucket_expr())
         touched = sorted(
             r[0] for r in batch.select(_BUCKET).distinct().collect()
         )
         prior = {} if cur_version is None else self._bucket_paths(cur_version)
+
+        def _cond(c: str | None):
+            return F.lit(True) if c is None else F.coalesce(
+                F.expr(c).cast("boolean"), F.lit(False)
+            )
+
+        if nmbs and prior:
+            # phase-1 pre-scan (delete()'s trick): which buckets hold a
+            # target-only row some clause actually affects? Collects
+            # ≤ num_buckets ints, so the rewrite stays proportional to
+            # affected rows even though the scan reads every bucket.
+            all_dirs = sorted(
+                os.path.join(self.root, p) for p in set(prior.values())
+            )
+            t_all = spark.read.option("mergeSchema", "true").parquet(
+                *all_dirs
+            ).select(*cols)
+            t_probe = t_all.select(
+                *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
+                F.struct(*[F.col(c).alias(c) for c in cols]).alias("t"),
+            ).withColumn(
+                # typed NULL source struct so clause conds referencing
+                # s.* resolve (to NULL → false) instead of failing
+                "s",
+                F.lit(None).cast(
+                    T.StructType(
+                        [
+                            T.StructField(c, t_all.schema[c].dataType)
+                            for c in cols
+                        ]
+                    )
+                ),
+            )
+            batch_keys = batch.select(
+                *[F.col(k).alias(f"__sk_{k}") for k in self.keys]
+            ).dropDuplicates()
+            target_only = t_probe.join(
+                batch_keys,
+                [
+                    F.col(f"__tk_{k}").eqNullSafe(F.col(f"__sk_{k}"))
+                    for k in self.keys
+                ],
+                "left_anti",
+            )
+            any_clause = F.lit(False)
+            for _, c, _ in nmbs:
+                any_clause = any_clause | _cond(c)
+            affected = target_only.filter(any_clause).select(
+                F.pmod(
+                    F.hash(*[F.col(f"__tk_{k}") for k in self.keys]),
+                    F.lit(self.num_buckets),
+                ).alias("__b")
+            )
+            nmbs_buckets = {r[0] for r in affected.distinct().collect()}
+            touched = sorted(set(touched) | nmbs_buckets)
 
         # two one-struct-column frames joined null-safely on the PK: the
         # structs give clause/SET expressions their s.* / t.* namespaces
@@ -779,13 +905,11 @@ class ParquetMergeStore:
         has_s = F.col("s").isNotNull()
         has_t = F.col("t").isNotNull()
 
-        def _cond(c: str | None):
-            return F.lit(True) if c is None else F.coalesce(
-                F.expr(c).cast("boolean"), F.lit(False)
-            )
-
         # first-match-wins over the ordered clause list; 'keep' for an
-        # unmatched-by-any-clause pair, and for target-only rows
+        # unmatched-by-any-clause pair. Target-only rows run the
+        # not_matched_by_source ladder (index-tagged: each update clause
+        # carries its OWN SET dict, so the projection must know which
+        # clause fired).
         action = F.lit("keep")
         for kind, c in reversed(matched):
             action = F.when(_cond(c), F.lit(kind)).otherwise(action)
@@ -797,42 +921,54 @@ class ParquetMergeStore:
             ins = F.when(
                 _cond(not_matched_insert), F.lit("insert")
             ).otherwise(F.lit("drop"))
+        nmbs_action = F.lit("keep")
+        for i in reversed(range(len(nmbs))):
+            kind, c, _ = nmbs[i]
+            tag = "delete" if kind == "delete" else f"nmbs_update_{i}"
+            nmbs_action = F.when(_cond(c), F.lit(tag)).otherwise(nmbs_action)
         action = (
             F.when(has_s & has_t, action)
             .when(has_s, ins)
-            .otherwise(F.lit("keep"))
+            .otherwise(nmbs_action)
         )
         tagged = joined.withColumn("__action", action)
 
-        def _updated(c: str):
-            return F.expr(update_set.get(c, f"s.{c}")).alias(c)
+        nmbs_update_tags = [
+            f"nmbs_update_{i}"
+            for i, (kind, _, _) in enumerate(nmbs)
+            if kind == "update"
+        ]
+
+        def _post(c: str):
+            """Post-image of column ``c`` for every surviving action."""
+            e = F.when(
+                F.col("__action") == "update",
+                F.expr(update_set.get(c, f"s.{c}")),
+            ).when(F.col("__action") == "insert", F.col(f"s.{c}"))
+            for i, (kind, _, sets) in enumerate(nmbs):
+                if kind == "update":
+                    e = e.when(
+                        F.col("__action") == f"nmbs_update_{i}",
+                        F.expr(sets.get(c, f"t.{c}")),
+                    )
+            return e.otherwise(F.col(f"t.{c}")).alias(c)
 
         survivors = tagged.filter(F.col("__action") != "delete").filter(
             F.col("__action") != "drop"
         )
-        out = survivors.select(
-            *[
-                F.when(
-                    F.col("__action") == "update", _updated(c)
-                )
-                .when(F.col("__action") == "insert", F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in cols
-            ]
-        )
+        out = survivors.select(*[_post(c) for c in cols])
 
         new_version = 0 if cur_version is None else cur_version + 1
         rel_changes = None
         if write_change_feed:
-            upd = tagged.filter(F.col("__action") == "update")
-            post = upd.select(*[_updated(c) for c in cols])
-            pre = upd.select(*[F.col(f"t.{c}").alias(c) for c in cols])
+            upd = tagged.filter(
+                F.col("__action").isin("update", *nmbs_update_tags)
+            )
             # identical-rewrite updates are not changes (same law as
             # _derive_changes / changes_between)
             changed_pairs = (
                 upd.select(
-                    *[_updated(c) for c in cols],
+                    *[_post(c) for c in cols],
                     F.struct(*[F.col(f"t.{c}").alias(c) for c in cols]).alias(
                         "__pre"
                     ),
@@ -932,6 +1068,7 @@ class ParquetMergeStore:
                 "matched": [list(c) for c in matched],
                 "not_matched_insert": str(not_matched_insert),
                 "update_set": update_set,
+                "not_matched_by_source": [list(c) for c in nmbs],
                 "touched_buckets": len(touched),
             },
         )
@@ -961,10 +1098,21 @@ class ParquetMergeStore:
         cols = self._read_manifest(cur)["columns"]
         # widen the key frame to the table schema (collapse needs
         # version cols; the values are irrelevant — every matched row
-        # deletes, no inserts happen)
+        # deletes, no inserts happen). The widened nulls must carry the
+        # store's REAL column types: an untyped F.lit(None) is NullType,
+        # and when every key lands in a bucket absent from the snapshot,
+        # merge_into's no-target branch casts t to the source struct —
+        # NullType columns would then reach the parquet writer, which
+        # rejects void, instead of the documented unknown-keys-are-no-ops
+        # commit. Schema-only read: no data scan.
+        types = {
+            f.name: f.dataType for f in self.read(spark, version=cur).schema
+        }
         widened = keys_df.select(
             *[
-                F.col(c) if c in keys_df.columns else F.lit(None).alias(c)
+                F.col(c)
+                if c in keys_df.columns
+                else F.lit(None).cast(types[c]).alias(c)
                 for c in cols
             ]
         )
@@ -1441,7 +1589,32 @@ class ParquetMergeStore:
         One aggregate over the rows being written (never the whole
         table): per-constraint violation counts in a single pass. SQL
         CHECK null semantics — a NULL predicate does not violate.
+
+        Constructor-added constraints on a reopened store validate the
+        EXISTING snapshot here, on first use (same law as
+        add_constraint, deferred until a SparkSession is available) —
+        a new constraint the current data already violates raises
+        before any write commits.
         """
+        if self._pending_constraint_validation and (
+            self.current_version() is not None
+        ):
+            pending = self._pending_constraint_validation
+            # clear before the recursive call (guards re-entry); restore
+            # on failure so a retry still validates
+            self._pending_constraint_validation = {}
+            saved, self.constraints = self.constraints, dict(pending)
+            try:
+                self._validate_constraints(
+                    self.read(df.sparkSession),
+                    "reopened-store constructor constraints "
+                    "(existing snapshot)",
+                )
+            except Exception:
+                self._pending_constraint_validation = pending
+                raise
+            finally:
+                self.constraints = saved
         if not self.constraints:
             return
         aggs = [
@@ -1518,6 +1691,11 @@ class ParquetMergeStore:
         )
         if clone.current_version() is not None:
             raise ValueError(f"clone target not empty: {dst_root}")
+        # a clone is the same table: it carries the source's CHECK
+        # constraints (Delta's SHALLOW CLONE copies table properties,
+        # constraints included) — without this the clone's v0 commits
+        # empty constraints and silently drops the invariants
+        clone.constraints = dict(m.get("constraints", {}))
         abs_paths = {
             b: p if os.path.isabs(p) else os.path.join(self.root, p)
             for b, p in self._bucket_paths(cur).items()

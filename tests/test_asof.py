@@ -77,3 +77,49 @@ def test_matched_time_col_and_bad_direction(spark):
             value_col="v",
             direction="sideways",
         )
+
+
+def test_null_valued_nearest_right_row_yields_null(spark):
+    """pandas merge_asof parity: when the NEAREST right row's value is
+    NULL, the join returns NULL (and that row's matched time) — it must
+    NOT skip to a farther row's value (ADVICE r6: value and matched
+    time must come from the same right row, or tolerance checks the
+    wrong row)."""
+    left = spark.createDataFrame([Row(k=1, t=20, tag="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, t=5, v=50), Row(k=1, t=18, v=None)]
+    )
+    out = asof_join(
+        left,
+        right,
+        key="k",
+        left_time="t",
+        right_time="t",
+        value_col="v",
+        matched_time_col="mt",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_value is None
+    assert out[0].mt == 18  # nearest row's time, not the farther row's
+
+
+def test_null_valued_nearest_right_row_forward_tolerance(spark):
+    """Tolerance must be measured against the NEAREST right row even
+    when its value is NULL: here the nearest forward row (t=21, null
+    value) is inside tolerance but null-valued, and the farther non-null
+    row (t=40) is outside — the result is null, not 400."""
+    left = spark.createDataFrame([Row(k=1, t=20, tag="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, t=21, v=None), Row(k=1, t=40, v=400)]
+    )
+    out = asof_join(
+        left,
+        right,
+        key="k",
+        left_time="t",
+        right_time="t",
+        value_col="v",
+        direction="forward",
+        tolerance=F.lit(5),
+    ).collect()
+    assert out[0].asof_value is None

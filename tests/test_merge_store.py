@@ -1330,6 +1330,14 @@ _OP = st.one_of(
             st.booleans(),  # accumulate v via update_set
         ),
     ),
+    st.tuples(
+        st.just("merge_into_nmbs"),
+        st.tuples(
+            _OP_BATCH,
+            st.sampled_from([None, "t.v >= 3", "t.v < 2"]),  # nmbs delete
+            st.sampled_from([None, "t.v <= 4"]),  # nmbs update
+        ),
+    ),
     st.tuples(st.just("delete_pred"), st.integers(min_value=0, max_value=5)),
     st.tuples(
         st.just("delete_keys"),
@@ -1361,6 +1369,19 @@ def _eval_cond(cond, sv, sp, tv):
         return sv < tv
     if cond == "s.v > 2":
         return sv > 2
+    raise AssertionError(cond)
+
+
+def _eval_tcond(cond, tv):
+    """not_matched_by_source conds see only the target row."""
+    if cond is None:
+        return True
+    if cond == "t.v >= 3":
+        return tv >= 3
+    if cond == "t.v < 2":
+        return tv < 2
+    if cond == "t.v <= 4":
+        return tv <= 4
     raise AssertionError(cond)
 
 
@@ -1417,6 +1438,27 @@ def test_store_full_op_model_equivalence(spark, tmp_path_factory, ops):
                     ins_cond != False and _eval_cond(ins_cond, sv, sp, None)
                 ):
                     model[k] = (sv, sp)
+        elif kind == "merge_into_nmbs":
+            rows, dcond, ucond = arg
+            store.merge_into(
+                df_of(rows),
+                matched=[("update", None)],
+                not_matched_by_source=[
+                    ("delete", dcond),
+                    ("update", ucond, {"payload": "'expired'"}),
+                ],
+            )
+            src = _collapse(rows)
+            for k, (sv, sp) in src.items():
+                model[k] = (sv, sp)  # matched replace, or insert
+            for k in list(model):
+                if k in src:
+                    continue
+                tv = model[k][0]
+                if _eval_tcond(dcond, tv):
+                    del model[k]
+                elif _eval_tcond(ucond, tv):
+                    model[k] = (tv, "expired")
         elif kind == "delete_pred":
             if empty:
                 continue
@@ -1736,3 +1778,214 @@ def test_read_timestamp_as_of(spark, tmp_path):
     assert _rows(st.read(spark)) == [(1, 2, "b")]
     with pytest.raises(ValueError, match="not both"):
         st.read(spark, version=0, timestamp=t)
+
+
+def test_delete_keys_all_unknown_buckets_commits_noop(spark, tmp_path):
+    """ADVICE r6 (medium): when EVERY key hashes to a bucket absent
+    from the snapshot, merge_into takes the no-target branch — the
+    widened null columns must carry the store's real types (an untyped
+    NullType reached the parquet writer and raised 'void') and the
+    commit must be the documented unknown-keys-are-no-ops version."""
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path, num_buckets=16)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    # k is LongType: compute buckets with the same type the store hashes
+    stored_bucket = spark.range(1).select(
+        F.pmod(F.hash(F.lit(1).cast("bigint")), F.lit(16)).alias("b")
+    ).first().b
+    # pick two keys provably landing in OTHER buckets
+    others = [
+        r.id
+        for r in spark.range(2, 200)
+        .withColumn("b", F.pmod(F.hash(F.col("id")), F.lit(16)))
+        .filter(F.col("b") != stored_bucket)
+        .limit(2)
+        .collect()
+    ]
+    assert len(others) == 2
+    v = st.delete_keys(
+        spark.createDataFrame([Row(k=int(x)) for x in others]),
+        write_change_feed=True,
+    )
+    assert v == 1
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+    assert st.change_feed(spark, v).count() == 0
+
+
+def test_reopen_conflicting_constraint_raises(spark, tmp_path):
+    """ADVICE r6: a constructor constraint that would silently replace
+    a persisted one with a different expression must raise."""
+    st = _store(tmp_path)
+    st.add_constraint(spark, "v_pos", "v > 0")
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    with pytest.raises(ValueError, match="different expressions"):
+        _store(tmp_path, constraints={"v_pos": "v > -100"})
+    # identical expression is a no-op reopen, not a conflict
+    st2 = _store(tmp_path, constraints={"v_pos": "v > 0"})
+    assert st2.constraints == {"v_pos": "v > 0"}
+
+
+def test_reopen_new_constraint_validated_against_snapshot(spark, tmp_path):
+    """A NEW constructor constraint on a reopened store validates the
+    existing snapshot on first use — registering one the current data
+    violates must not silently pass (add_constraint's law)."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=-5, payload="a")]))
+    bad = _store(tmp_path, constraints={"v_pos": "v > 0"})
+    with pytest.raises(ValueError, match="v_pos"):
+        bad.merge(spark.createDataFrame([Row(k=2, v=3, payload="b")]))
+    # the failed write must not have committed anything
+    assert _rows(st.read(spark)) == [(1, -5, "a")]
+    # a satisfied new constraint validates once, then writes proceed
+    ok = _store(tmp_path, constraints={"v_neg": "v < 0"})
+    ok.merge(spark.createDataFrame([Row(k=2, v=-3, payload="b")]))
+    assert _rows(ok.read(spark)) == [(1, -5, "a"), (2, -3, "b")]
+    # and the constraint persisted to the manifest for the next reopen
+    assert _store(tmp_path).constraints == {"v_neg": "v < 0"}
+
+
+def test_shallow_clone_carries_constraints(spark, tmp_path):
+    """ADVICE r6: SHALLOW CLONE carries the table's CHECK constraints
+    (Delta copies table properties) — a violating write into the clone
+    must raise just like on the source."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.add_constraint(spark, "v_pos", "v > 0")
+    st.merge(spark.createDataFrame([Row(k=2, v=2, payload="b")]))
+    clone = st.shallow_clone(str(tmp_path / "clone"))
+    assert clone.constraints == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        clone.merge(spark.createDataFrame([Row(k=3, v=-1, payload="c")]))
+    # reopening the clone still carries it (persisted in clone's v0)
+    reopened = ParquetMergeStore(
+        str(tmp_path / "clone"), keys=("k",), version_cols=("v",),
+        num_buckets=4,
+    )
+    assert reopened.constraints == {"v_pos": "v > 0"}
+
+
+# -- WHEN NOT MATCHED BY SOURCE (Delta/SQL:2003 MERGE, VERDICT r6 #2) --------
+
+
+def test_merge_into_not_matched_by_source_clauses(spark, tmp_path):
+    """Ordered nmbs clause ladder over target-only rows: first match
+    wins, delete drops, update applies ITS OWN SET (other columns keep
+    the target's values), unmatched target-only rows are kept."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=i, payload=f"p{i}") for i in range(5)]
+        )
+    )
+    # source touches k=0 (update) and k=9 (insert); k=1..4 are
+    # not-matched-by-source
+    st.merge_into(
+        spark.createDataFrame(
+            [Row(k=0, v=10, payload="P0"), Row(k=9, v=9, payload="p9")]
+        ),
+        matched=[("update", None)],
+        not_matched_by_source=[
+            ("delete", "t.v = 1"),
+            ("update", "t.v >= 3", {"payload": "concat(t.payload, '!')"}),
+            ("delete", "t.v = 4"),  # shadowed by clause 2 (first wins)
+        ],
+    )
+    assert _rows(st.read(spark)) == [
+        (0, 10, "P0"),
+        (2, 2, "p2"),  # no clause matched: kept
+        (3, 3, "p3!"),
+        (4, 4, "p4!"),  # clause 2 fired first — NOT deleted
+        (9, 9, "p9"),
+    ]
+
+
+def test_merge_into_nmbs_change_feed_all_types(spark, tmp_path):
+    """nmbs deletes/updates land in the change feed with the same
+    Delta CDF types as matched clauses; identical rewrites stay out."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(4)]
+        )
+    )
+    v = st.merge_into(
+        spark.createDataFrame([Row(k=0, v=2, payload="P0")]),
+        matched=[("update", None)],
+        not_matched_by_source=[
+            ("delete", "t.k = 1"),
+            # identical rewrite: SET payload to its current value — must
+            # NOT appear in the feed (same law as matched updates)
+            ("update", "t.k = 2", {"payload": "t.payload"}),
+            ("update", "t.k = 3", {"payload": "'x'"}),
+        ],
+        write_change_feed=True,
+    )
+    feed = sorted(
+        (r.k, r._change_type) for r in st.change_feed(spark, v).collect()
+    )
+    assert feed == [
+        (0, "update_postimage"),
+        (0, "update_preimage"),
+        (1, "delete"),
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+    ]
+
+
+def test_merge_into_nmbs_bucket_pruning_proportional(spark, tmp_path):
+    """The phase-1 pre-scan keeps the rewrite proportional: an nmbs
+    clause affecting rows in ONE bucket must not rewrite the others
+    (their manifest paths stay identical)."""
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path, num_buckets=8)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"p{i}") for i in range(32)]
+        )
+    )
+    before = st._bucket_paths(0)
+    # pick a target key; delete exactly it via an nmbs clause with an
+    # EMPTY-overlap source (a key known absent: 1000)
+    st.merge_into(
+        spark.createDataFrame([Row(k=1000, v=1, payload="z")]),
+        not_matched_by_source=[("delete", "t.k = 7")],
+    )
+    after = st._bucket_paths(1)
+    # k is LongType in the store: hash with the SAME type (int vs bigint
+    # hash differently)
+    b7 = spark.range(1).select(
+        F.pmod(F.hash(F.lit(7).cast("bigint")), F.lit(8)).alias("b")
+    ).first().b
+    b1000 = spark.range(1).select(
+        F.pmod(F.hash(F.lit(1000).cast("bigint")), F.lit(8)).alias("b")
+    ).first().b
+    changed = {b for b in before if after.get(b) != before[b]}
+    assert changed <= {b7, b1000}
+    assert b7 in changed
+    # and the row is actually gone, everything else intact
+    got = {r.k for r in st.read(spark).collect()}
+    assert got == ({i for i in range(32)} - {7}) | {1000}
+
+
+def test_merge_into_nmbs_validation(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    src = spark.createDataFrame([Row(k=2, v=1, payload="b")])
+    with pytest.raises(ValueError, match="requires a SET"):
+        st.merge_into(src, not_matched_by_source=[("update", None)])
+    with pytest.raises(ValueError, match="takes no SET"):
+        st.merge_into(
+            src, not_matched_by_source=[("delete", None, {"v": "1"})]
+        )
+    with pytest.raises(ValueError, match="clause kind"):
+        st.merge_into(src, not_matched_by_source=[("upsert", None)])
+    with pytest.raises(ValueError, match="key columns"):
+        st.merge_into(
+            src, not_matched_by_source=[("update", None, {"k": "t.k + 1"})]
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        st.merge_into(
+            src, not_matched_by_source=[("update", None, {"zz": "1"})]
+        )
