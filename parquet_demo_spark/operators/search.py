@@ -307,3 +307,133 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
         .orderBy("doc_id")
     )
+
+
+def search_ranked_bm25(
+    index: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval, top-k docs (Robertson et al. —
+    public design; k1=1.2, b=0.75 are the standard defaults).
+
+    score(D) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*|D|/avgdl))
+    with the Lucene-smoothed idf(t) = ln((N-df+0.5)/(df+0.5) + 1).
+
+    The doc-length table |D| is ONE small aggregate over the postings
+    (sum of tf per doc — no corpus pass), broadcast back onto the query
+    terms' postings; avgdl is the exact bigint token total divided once
+    (engine-deterministic). Per-term contributions round to 6 decimals
+    and accumulate in decimal (the q146/q104 convention) so the top-k
+    cut is stable across engines. Ties break by doc id.
+    """
+    dl = index.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("__dl")
+    )
+    total_tokens = index.agg(F.sum("tf").cast("bigint")).first()[0] or 0
+    avgdl = total_tokens / n_docs  # exact ints, one IEEE division
+    hits = index.filter(F.col("term").isin(list(terms)))
+    df_per_term = hits.groupBy("term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("__dl").cast("double") / F.lit(avgdl))
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(dl), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6
+            ).alias("__contrib"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__contrib").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_k)
+        .drop("__r")
+    )
+
+
+@register(
+    "q152_ranked_search_bm25",
+    oracle=f"""
+    WITH dls AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_TOKS}, x -> x <> '')) AS BIGINT) AS dl
+      FROM documents),
+    n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dls),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      WHERE term IN ('dup', 'vector', 'stream')
+      GROUP BY doc_id, term),
+    idf AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(ROUND(
+               ln((n.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                     * (dls.dl / n.avgdl))), 6)
+               AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM tf, idf, n, dls
+      WHERE tf.term = idf.term AND tf.doc_id = dls.doc_id
+      GROUP BY tf.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, score
+    FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM scored)
+    WHERE r <= 20
+    ORDER BY doc_id
+    """,
+    doc="BM25 ranked retrieval from the inverted index (VERDICT r6 #5 — "
+    "Robertson/Okapi k1=1.2, b=0.75, Lucene-smoothed idf): what a real "
+    "retrieval stack runs where q146's tf-idf is the teaching baseline. "
+    "Doc lengths are one small postings aggregate (sum of tf per doc — "
+    "no corpus pass) broadcast onto the query terms' postings; avgdl "
+    "is the exact bigint token total divided once, so both engines "
+    "compute the identical double. Per-term contributions follow the "
+    "q146 determinism recipe (round 6, decimal accumulate, ties by "
+    "doc_id). The same query terms as q146 {dup, vector, stream} keep "
+    "the rare-term ('dup') dominance sanity baked into the hash, now "
+    "with BM25's tf saturation and length normalization — a long doc "
+    "stuffed with 'stream' ranks BELOW a short focused one, which is "
+    "the behavioral delta vs q146 the top-20 cut encodes. Scale: "
+    "3 posting buckets + two broadcast-sized side tables; the window "
+    "ranks only the candidate set.",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    idx = inverted_index(docs)
+    n_docs = docs.count()
+    return (
+        search_ranked_bm25(idx, n_docs, ["dup", "vector", "stream"])
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )

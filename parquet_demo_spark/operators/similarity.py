@@ -1107,7 +1107,9 @@ def _pq_assign_sql(cent: str) -> str:
 """
 
 
-_Q137_ORACLE = f"""
+# shared CTE chain through the ADC score table (q137 tops it at 3;
+# q151 additionally re-ranks the top-10 exactly)
+_PQ_ORACLE_CTES = f"""
     WITH base AS (
       SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
@@ -1181,7 +1183,11 @@ _Q137_ORACLE = f"""
         SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY d2, vec_id) AS rn FROM scored_truth)
       WHERE rn <= 3
-    ),
+    )"""
+
+_Q137_ORACLE = (
+    _PQ_ORACLE_CTES
+    + """,
     per_q AS (
       SELECT t.qid,
              SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
@@ -1197,6 +1203,54 @@ _Q137_ORACLE = f"""
            (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_encoded
     FROM per_q
     """
+)
+
+_Q151_RERANK_C = 10
+
+_Q151_ORACLE = (
+    _PQ_ORACLE_CTES
+    + f""",
+    cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist, vec_id) AS rn FROM adc)
+      WHERE rn <= {_Q151_RERANK_C}
+    ),
+    rr AS (
+      SELECT q.qid, c.vec_id, {_PQ_FULL_D2} AS d2
+      FROM cand JOIN corpus c ON cand.vec_id = c.vec_id
+                JOIN probes0 q ON cand.qid = q.qid
+    ),
+    top_rr AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY d2, vec_id) AS rn FROM rr)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT 'pq_adc_m4x8' AS method, 0 AS n_rerank, t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN topk m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+      UNION ALL
+      SELECT 'pq_adc_rerank{_Q151_RERANK_C}' AS method,
+             {_Q151_RERANK_C} AS n_rerank, t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN top_rr m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           CAST(MAX(n_rerank) AS BIGINT) AS n_rerank_candidates
+    FROM per_q GROUP BY method ORDER BY method
+    """
+)
 
 
 def _pq_subspaces(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
@@ -1263,6 +1317,33 @@ def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
     "scan before ADC-scoring it (IVF-PQ).",
 )
 def q137(spark: SparkSession, sf: str) -> DataFrame:
+    corpus, probes0, adc, truth = _pq_adc_frames(spark, sf)
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(truth, top, "planted", "pq_adc_m4x8").drop("protocol")
+    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
+    return rec.crossJoin(F.broadcast(n_enc))
+
+
+def _pq_full_d2():
+    return F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_adc_frames(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared PQ pipeline (q137/q151): returns (corpus, probes0,
+    adc scores per (qid, vec_id), exact-L2 top-3 truth)."""
     from parquet_demo_spark.functions import micro6
 
     base, probes0, planted = _planted_sets(spark, sf)
@@ -1309,23 +1390,10 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.sum("dmicro").alias("adist"))
     )
-    w = W.partitionBy("qid").orderBy("adist", "vec_id")
-    top = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("qid", "vec_id")
-    )
-    full_d2 = F.aggregate(
-        F.zip_with(
-            F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored_truth = (
         corpus.crossJoin(F.broadcast(probes0.select("qid", "qe")))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("d2", full_d2)
+        .withColumn("d2", _pq_full_d2())
     )
     wt = W.partitionBy("qid").orderBy("d2", "vec_id")
     truth = (
@@ -1333,6 +1401,280 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id")
     )
-    rec = _recall_row(truth, top, "planted", "pq_adc_m4x8").drop("protocol")
-    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
-    return rec.crossJoin(F.broadcast(n_enc))
+    return corpus, probes0, adc, truth
+
+
+@register(
+    "q151_ann_pq_rerank",
+    oracle=_Q151_ORACLE.format(mean6=mean6_sql("sub[j + 1]")),
+    doc="PQ/ADC with an exact re-rank stage (VERDICT r6 #4 — Jégou et "
+    "al.'s own production fix for ADC quantization error): the ADC "
+    "pass returns its top-10 candidates per probe, those 10 rows join "
+    "back to the RAW vectors and re-score with exact L2, and the final "
+    "top-3 is taken from the exact scores. Both rows are reported — "
+    "pq_adc_m4x8 (no re-rank, q137's 0.9333 recall) and pq_adc_rerank10 "
+    "— with the candidate budget, so the hash check pins the recall "
+    "improvement itself, not just the winner. Scale: the re-rank is "
+    "candidates x exact, never corpus x corpus — 10 rows per probe join "
+    "the corpus by vec_id (a broadcast-able key join), so at 10^10 "
+    "vectors the exact-scoring cost is O(probes x C), and the corpus "
+    "read is a point-lookup pattern an id-bucketed layout serves "
+    "without a shuffle.",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    corpus, probes0, adc, truth = _pq_adc_frames(spark, sf)
+    adc = adc.localCheckpoint()  # two branches read the ADC scores
+    truth = truth.localCheckpoint()  # two recall rows read the truth
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    ranked = adc.withColumn("rn", F.row_number().over(w))
+    top_plain = ranked.filter(F.col("rn") <= 3).select("qid", "vec_id")
+    cand = ranked.filter(F.col("rn") <= _Q151_RERANK_C).select(
+        "qid", "vec_id"
+    )
+    # exact re-scoring of ONLY the candidates: C rows per probe join the
+    # raw vectors by id — never corpus x corpus
+    rr = (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(probes0.select("qid", "qe")), "qid")
+        .withColumn("d2", _pq_full_d2())
+    )
+    wrr = W.partitionBy("qid").orderBy("d2", "vec_id")
+    top_rr = (
+        rr.withColumn("rn", F.row_number().over(wrr))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec_plain = (
+        _recall_row(truth, top_plain, "planted", "pq_adc_m4x8")
+        .drop("protocol")
+        .withColumn("n_rerank_candidates", F.lit(0).cast("bigint"))
+    )
+    rec_rr = (
+        _recall_row(
+            truth, top_rr, "planted", f"pq_adc_rerank{_Q151_RERANK_C}"
+        )
+        .drop("protocol")
+        .withColumn(
+            "n_rerank_candidates", F.lit(_Q151_RERANK_C).cast("bigint")
+        )
+    )
+    return rec_plain.unionByName(rec_rr).orderBy("method")
+
+
+# --- q153: IVF nprobe sweep on a boundary-planted protocol ------------------
+
+_Q153_D2_EC = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))), (acc, v) -> acc + v)"
+)
+_Q153_D2_QC = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> (p.qe[i] - c.c[i]) * (p.qe[i] - c.c[i]))), (acc, v) -> acc + v)"
+)
+
+_Q153_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes0 AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 5),
+    cent0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, cid, e,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, c.cid, e.e, {_Q153_D2_EC} AS d2
+            FROM base e CROSS JOIN cent0 c)
+    ),
+    cent1 AS (
+      SELECT cid, list(cval ORDER BY pos) AS c FROM (
+        SELECT cid, j AS pos, {mean6_sql('e[j + 1]')} AS cval
+        FROM (SELECT cid, e FROM a1 WHERE rn = 1)
+        CROSS JOIN (SELECT unnest(range(64)) AS j)
+        GROUP BY cid, j)
+      GROUP BY cid
+    ),
+    qrank AS (
+      SELECT qid, qe, cid, c,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+      FROM (SELECT p.qid, p.qe, c.cid, c.c, {_Q153_D2_QC} AS d2
+            FROM probes0 p CROSS JOIN cent1 c)
+    ),
+    planted AS (
+      SELECT CAST(2000000 + qid * 10 + s.p AS BIGINT) AS vec_id,
+             list_transform(range(1, 65), i -> qe[i]
+               + (CAST(0.4 AS DOUBLE) + CAST(0.15 AS DOUBLE) * s.p)
+                 * (c[i] - qe[i])) AS e
+      FROM (SELECT qid, qe, c FROM qrank WHERE rnk = 2)
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted
+    ),
+    a2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, c.cid, {_Q153_D2_EC} AS d2
+            FROM corpus e CROSS JOIN cent1 c)
+    ),
+    cells AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+    scored_truth AS (
+      SELECT q.qid, c.vec_id, ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM corpus c CROSS JOIN probes0 q WHERE c.vec_id <> q.qid
+    ),
+    top_truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored_truth)
+      WHERE rn <= 3
+    ),
+    probed AS (SELECT qid, cid, rnk FROM qrank WHERE rnk <= 3),
+    pairs AS (
+      SELECT n.np, q.qid, cc.vec_id
+      FROM (SELECT unnest([1, 2, 3]) AS np) n
+      JOIN probed q ON q.rnk <= n.np
+      JOIN cells cc ON cc.cid = q.cid
+      WHERE cc.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT p.np, p.qid, p.vec_id,
+             ROUND({_cos_sql('c.e', 'q.qe')}, 4) AS cs
+      FROM pairs p JOIN corpus c ON p.vec_id = c.vec_id
+      JOIN probes0 q ON p.qid = q.qid
+    ),
+    topk AS (
+      SELECT np, qid, vec_id FROM (
+        SELECT np, qid, vec_id, ROW_NUMBER() OVER (PARTITION BY np, qid
+               ORDER BY cs DESC, vec_id) AS rn FROM scored)
+      WHERE rn <= 3
+    ),
+    cand_n AS (SELECT np, COUNT(*) AS n_cand FROM pairs GROUP BY np),
+    per_q AS (
+      SELECT n.np, t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM (SELECT unnest([1, 2, 3]) AS np) n
+      CROSS JOIN top_truth t
+      LEFT JOIN topk m
+        ON m.np = n.np AND t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY n.np, t.qid
+    )
+    SELECT 'ivf_k8_nprobe' || CAST(p.np AS VARCHAR) AS method,
+           CAST(p.np AS BIGINT) AS nprobe,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           CAST(MAX(c.n_cand) AS BIGINT) AS n_candidates
+    FROM per_q p JOIN cand_n c ON p.np = c.np
+    GROUP BY p.np ORDER BY nprobe
+    """
+
+
+@register(
+    "q153_ann_ivf_nprobe",
+    oracle=_Q153_ORACLE,
+    doc="IVF nprobe sweep on a BOUNDARY-planted protocol (VERDICT r6 "
+    "#6): q132's single-cell search is exposed by planting, for each "
+    "probe, three vectors blended toward the probe's SECOND-nearest "
+    "centroid (beta = 0.55/0.70/0.85 along the qe->c2 segment) — all "
+    "three stay in the probe's exact top-3 (cos 0.96/0.88/0.65, far "
+    "above the ~0.42 corpus max), but the far blends cross the Voronoi "
+    "boundary into the rank-2 cell, so nprobe=1 provably misses them. "
+    "The query probes the 1, 2, and 3 nearest centroids and reports "
+    "recall@3 + candidate count per nprobe — the classic recall/cost "
+    "trade, hash-checked (centroids via the q103 mean6 recipe, blends "
+    "and distances as identical sequential double ops in both engines, "
+    "scores rounded before ranking). Scale: probing p cells multiplies "
+    "candidates by ~p, never corpus size; the per-cell join stays an "
+    "equi-join on cid.",
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    base, probes0, _ = _planted_sets(spark, sf)
+    corpus0 = base.select("vec_id", "e")
+    emb0 = corpus0.select("vec_id", F.col("e").alias("embedding"))
+    cent0 = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    a1 = _km_assign(emb0, cent0)
+    cent1 = _km_update(a1.select("cid", "embedding")).localCheckpoint()
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("qid").orderBy("d2", "cid")
+    qr = (
+        probes0.select("qid", "qe")
+        .crossJoin(F.broadcast(cent1))
+        .withColumn("d2", qd2)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .localCheckpoint()  # probed cells + blend source, read per nprobe
+    )
+    second = qr.filter(F.col("rnk") == 2).select(
+        "qid", "qe", F.col("c").alias("c2")
+    )
+    reps = second.select(
+        "qid",
+        "qe",
+        "c2",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("p"),
+    )
+    planted = reps.select(
+        (F.lit(2000000) + F.col("qid") * 10 + F.col("p"))
+        .cast("bigint")
+        .alias("vec_id"),
+        F.zip_with(
+            "qe",
+            "c2",
+            lambda x, y: x
+            + (F.lit(0.4) + F.lit(0.15) * F.col("p")) * (y - x),
+        ).alias("e"),
+    )
+    corpus = corpus0.unionByName(planted).localCheckpoint()
+    cells = _km_assign(
+        corpus.select("vec_id", F.col("e").alias("embedding")), cent1
+    ).select("vec_id", "cid")
+    pc = corpus.join(cells, "vec_id").localCheckpoint()
+    truth = _top3(pc, probes0.select("qid", "qe"), F.lit(True)).localCheckpoint()
+    out = None
+    for np_ in (1, 2, 3):
+        probed = qr.filter(F.col("rnk") <= np_).select("qid", "cid")
+        pairs = (
+            pc.join(F.broadcast(probed), "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+        )
+        scored = (
+            pairs.join(pc.select("vec_id", "e"), "vec_id")
+            .join(F.broadcast(probes0.select("qid", "qe")), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cs"),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+        top = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("qid", "vec_id")
+        )
+        rec = (
+            _recall_row(truth, top, "planted", f"ivf_k8_nprobe{np_}")
+            .drop("protocol")
+            .withColumn("nprobe", F.lit(np_).cast("bigint"))
+        )
+        n_cand = pairs.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        row = rec.crossJoin(F.broadcast(n_cand)).select(
+            "method",
+            "nprobe",
+            "recall_at_3",
+            "hits",
+            "truth_rows",
+            "n_candidates",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

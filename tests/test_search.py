@@ -135,3 +135,59 @@ def test_index_incremental_maintenance_via_merge_store(spark, tmp_path):
         for r in search_all_terms(full, ["key", "value"]).collect()
     }
     assert got == want == {0: 4, 1: 2, 4: 3}
+
+
+def test_bm25_rare_term_and_length_normalization(spark):
+    """BM25 behaviors tf-idf lacks: (a) a rare term outranks a common
+    one at equal tf; (b) LENGTH NORMALIZATION — equal tf of the same
+    term scores lower in a longer doc; (c) tf saturation — doubling tf
+    far less than doubles the contribution (k1 cap)."""
+    from parquet_demo_spark.operators.search import search_ranked_bm25
+
+    docs = [
+        Row(doc_id=0, text="rare common filler"),           # tf(rare)=1, short
+        Row(doc_id=1, text="rare common " + "pad " * 20),   # tf(rare)=1, long
+        Row(doc_id=2, text="common common filler pad"),     # tf(common)=2
+        Row(doc_id=3, text="common filler pad pad"),
+        Row(doc_id=4, text="filler pad pad pad"),
+    ]
+    idx = inverted_index(spark.createDataFrame(docs))
+    got = {
+        r.doc_id: r.score
+        for r in search_ranked_bm25(idx, 5, ["rare", "common"]).collect()
+    }
+    # (a) doc0 (rare+common, short) beats doc2 (common only, tf=2)
+    assert got[0] > got[2]
+    # (b) same terms, same tf: long doc1 scores strictly below short doc0
+    assert got[1] < got[0]
+    # (c) saturation: doc2 has double the common-tf of doc3 but scores
+    # < 2x doc3's score (same-ish length)
+    assert got[2] < 2 * got[3]
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Spot-check one score against the hand-computed Okapi formula."""
+    import math
+
+    from parquet_demo_spark.operators.search import search_ranked_bm25
+
+    docs = [
+        Row(doc_id=0, text="apple banana"),
+        Row(doc_id=1, text="apple apple cherry cherry"),
+        Row(doc_id=2, text="cherry date"),
+    ]
+    idx = inverted_index(spark.createDataFrame(docs))
+    got = {
+        r.doc_id: r.score
+        for r in search_ranked_bm25(idx, 3, ["apple"]).collect()
+    }
+    n, df = 3, 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    avgdl = (2 + 4 + 2) / 3
+    def bm25(tf, dl):
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 6
+        )
+    assert got[0] == pytest.approx(bm25(1, 2), abs=1e-9)
+    assert got[1] == pytest.approx(bm25(2, 4), abs=1e-9)
+    assert 2 not in got
