@@ -1,0 +1,467 @@
+"""Partition columns on the merge store (VERDICT r6 #3).
+
+A 100 TB events table needs date partitions so time-scoped reads and
+deletes prune whole directories and retention is a metadata-only drop —
+PK-hash buckets and min/max/bloom stats alone can't do that (every
+bucket spans every date).
+
+Design: Hive-style partition directories COMPOSED WITH the existing
+single-writer store rather than threaded through it. Each partition
+value owns a child :class:`ParquetMergeStore` at ``root/p=<val>/``
+(bucketed, bloom'd, CDC-capable, time-travelable — everything the child
+already does); a GLOBAL versioned manifest (``root/v{N}/manifest.json``
++ atomic ``_latest`` pointer, the child's own commit protocol) maps
+each committed table version to ``{partition value: child version}``.
+Readers resolve the global manifest first, so child versions committed
+by an in-flight writer are invisible until the global pointer swaps —
+the same snapshot-isolation story as the child store, one level up.
+
+Why composition beats widening the child's bucket key to
+(partition, bucket):
+
+- **Pruning is directory-shaped.** A date-scoped read selects child
+  stores by partition value from the manifest — zero file listings, let
+  alone reads, under non-matching partitions; inside each selected
+  child, the usual bucket/min-max/bloom pruning still applies.
+- **Retention is one manifest write.** ``drop_partition`` commits a new
+  global version without the partition's entry; no data file is
+  touched, and the change feed can still synthesize the delete rows
+  from the dropped child's (still-present) last snapshot.
+- **Per-partition commit independence.** Two ingest jobs landing on
+  different dates commit different child stores and only contend on the
+  cheap global pointer CAS — a single integrated manifest would
+  serialize them through one optimistic-concurrency domain. At 1000
+  executors x daily partitions, that's the difference between parallel
+  and queued ingest.
+
+Constraint: ``partition_col`` must be one of the PK columns. The PK
+then determines the partition, so an upsert routes deterministically
+and a key can never silently move between partitions (which would
+duplicate it — the same invariant reasoning as the child's reopen
+config validation).
+
+Crash story: children commit first, then the global manifest. A crash
+between the two leaves orphan child versions that no global manifest
+references — invisible to readers, converged by the next successful
+retry (child merges are ReplaceOne-idempotent), reclaimable via the
+child's own ``clean_orphans``/``vacuum``.
+
+Reference parity note: the reference's R14 upsert
+(`/root/reference/examples/ingest_parquet_to_mongo_bulk.py:108-116`)
+has no partition concept; this is a charter extension following public
+lakehouse designs (Hive partitioning, Delta partition columns +
+drop-partition retention, Iceberg partition pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.sources.merge_store import (
+    ConcurrentWriteConflict,
+    ParquetMergeStore,
+)
+
+
+def _pdir(val) -> str:
+    """Directory-safe partition value (dates/ints/simple strings)."""
+    s = str(val)
+    if not s or any(c in s for c in "/\\\0\n"):
+        raise ValueError(f"unsupported partition value: {val!r}")
+    return s
+
+
+class PartitionedParquetMergeStore:
+    """Partition-directory composition over :class:`ParquetMergeStore`."""
+
+    def __init__(
+        self,
+        root: str,
+        keys: tuple[str, ...],
+        partition_col: str,
+        version_cols: tuple[str, ...] = (),
+        num_buckets: int = 8,
+        bloom_cols: tuple[str, ...] = (),
+    ) -> None:
+        if partition_col not in keys:
+            raise ValueError(
+                "partition_col must be one of the PK columns (the PK "
+                "determines the partition so upserts route "
+                f"deterministically): {partition_col!r} not in {keys}"
+            )
+        self.root = root
+        self.keys = tuple(keys)
+        self.partition_col = partition_col
+        self.version_cols = tuple(version_cols)
+        self.num_buckets = int(num_buckets)
+        self.bloom_cols = tuple(bloom_cols)
+        os.makedirs(root, exist_ok=True)
+        committed = self.current_version()
+        if committed is not None:
+            m = self._read_manifest(committed)
+            mismatches = {
+                field: (got, m[field])
+                for field, got in (
+                    ("keys", list(self.keys)),
+                    ("partition_col", self.partition_col),
+                    ("version_cols", list(self.version_cols)),
+                    ("num_buckets", self.num_buckets),
+                )
+                if m[field] != got
+            }
+            if mismatches:
+                raise ValueError(
+                    f"partitioned store at {root} was created with "
+                    f"different config: {mismatches} (constructor value, "
+                    "manifest value)"
+                )
+
+    # -- global pointer / manifest (the child's commit protocol, reused) --
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_latest")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:05d}", "manifest.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(
+        self,
+        version: int,
+        parts: dict[str, int],
+        operation: str,
+        op_params: dict | None = None,
+    ) -> None:
+        vdir = os.path.join(self.root, f"v{version:05d}")
+        os.makedirs(vdir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "keys": list(self.keys),
+            "partition_col": self.partition_col,
+            "version_cols": list(self.version_cols),
+            "num_buckets": self.num_buckets,
+            # partition value -> committed CHILD version at this table
+            # version (the whole point: readers pin children through us)
+            "partitions": dict(parts),
+            "operation": operation,
+            "op_params": op_params or {},
+            "committed_at": __import__("time").time(),
+        }
+        try:
+            fh = open(self._manifest_path(version), "x")
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"global version {version} already has a manifest "
+                "(another writer won; re-read and retry)"
+            ) from None
+        with fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_latest.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._pointer)
+
+    def _parts(self, version: int | None = None) -> dict[str, int]:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty partitioned store: {self.root}")
+        return dict(self._read_manifest(v)["partitions"])
+
+    def _child(self, pval: str) -> ParquetMergeStore:
+        return ParquetMergeStore(
+            os.path.join(self.root, f"p={pval}"),
+            keys=self.keys,
+            version_cols=self.version_cols,
+            num_buckets=self.num_buckets,
+            bloom_cols=self.bloom_cols,
+        )
+
+    def partitions(self, version: int | None = None) -> list[str]:
+        """Live partition values at a version (manifest-only)."""
+        return sorted(self._parts(version))
+
+    # -- write side -------------------------------------------------------
+
+    def merge(
+        self, upserts: DataFrame, write_change_feed: bool = False
+    ) -> int:
+        """Route the batch to its partitions' child stores, then commit
+        one global version pinning every child.
+
+        Only TOUCHED partitions' children advance (and inside each, only
+        touched buckets rewrite — the child's law); untouched partitions
+        re-reference their committed child versions. The distinct-
+        partition collect is metadata-sized (# touched partitions).
+        """
+        if self.partition_col not in upserts.columns:
+            raise ValueError(
+                f"batch lacks partition column {self.partition_col!r}"
+            )
+        if upserts.filter(F.col(self.partition_col).isNull()).limit(
+            1
+        ).count():
+            raise ValueError(
+                f"NULL {self.partition_col!r} cannot route to a partition"
+            )
+        pvals = sorted(
+            _pdir(r[0])
+            for r in upserts.select(self.partition_col).distinct().collect()
+        )
+        cur = self.current_version()
+        parts = {} if cur is None else self._parts(cur)
+        for pval in pvals:
+            child = self._child(pval)
+            batch = upserts.filter(
+                F.col(self.partition_col).cast("string") == pval
+            )
+            parts[pval] = child.merge(
+                batch, write_change_feed=write_change_feed
+            )
+        new_version = 0 if cur is None else cur + 1
+        self._commit(
+            new_version,
+            parts,
+            "merge",
+            {"touched_partitions": pvals},
+        )
+        return new_version
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        partitions: tuple | None = None,
+        write_change_feed: bool = False,
+    ) -> int:
+        """DELETE WHERE, pruned to a partition range first.
+
+        ``partitions=(lo, hi)`` (closed, on the stringified value —
+        ISO dates sort correctly) restricts which CHILD STORES even run
+        the delete; within each, the child's two-phase bucket-pruned
+        delete applies. A delete scoped to one day of a 100 TB table
+        opens one partition directory.
+        """
+        cur = self.current_version()
+        parts = self._parts(cur)
+        touched = []
+        for pval in sorted(parts):
+            if partitions is not None:
+                lo, hi = partitions
+                if (lo is not None and pval < str(lo)) or (
+                    hi is not None and pval > str(hi)
+                ):
+                    continue
+            child = self._child(pval)
+            v = child.delete(
+                spark, condition, write_change_feed=write_change_feed
+            )
+            if v is not None:  # None = no match, no child commit burned
+                parts[pval] = v
+                touched.append(pval)
+        new_version = cur + 1
+        self._commit(
+            new_version,
+            parts,
+            "delete_where",
+            {"partitions": list(partitions or ()), "touched": touched},
+        )
+        return new_version
+
+    def drop_partition(self, pval) -> int:
+        """Metadata-only retention: commit a global version WITHOUT the
+        partition. No data file is touched — the drop is one manifest
+        write + pointer swap, O(1) regardless of partition size; the
+        dropped child's files stay on disk (time travel to older global
+        versions still sees them) until :meth:`vacuum`.
+        """
+        pval = _pdir(pval)
+        cur = self.current_version()
+        parts = self._parts(cur)
+        if pval not in parts:
+            raise ValueError(f"no live partition {pval!r}")
+        dropped_child_version = parts.pop(pval)
+        new_version = cur + 1
+        self._commit(
+            new_version,
+            parts,
+            "drop_partition",
+            {"partition": pval, "child_version": dropped_child_version},
+        )
+        return new_version
+
+    # -- read side --------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partitions: tuple | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``partitions=(lo, hi)`` prunes child stores by
+        manifest before any file is listed; ``where`` then applies the
+        child's min/max/bloom pruning inside each survivor."""
+        parts = self._parts(version)
+        if not parts:
+            raise ValueError(
+                "no live partitions (all dropped); time-travel an older "
+                "version to read them"
+            )
+        selected = self._select(parts, partitions)
+        if not selected:
+            # schema from any live child, zero matching rows
+            any_p = sorted(parts)[0]
+            df = self._child(any_p).read(
+                spark, version=parts[any_p], where=where
+            )
+            return df.limit(0)
+        out = None
+        for pval in selected:
+            df = self._child(pval).read(
+                spark, version=parts[pval], where=where
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    @staticmethod
+    def _select(parts: dict[str, int], partitions: tuple | None) -> list:
+        sel = []
+        for pval in sorted(parts):
+            if partitions is not None:
+                lo, hi = partitions
+                if (lo is not None and pval < str(lo)) or (
+                    hi is not None and pval > str(hi)
+                ):
+                    continue
+            sel.append(pval)
+        return sel
+
+    def files_read(
+        self,
+        version: int | None = None,
+        partitions: tuple | None = None,
+    ) -> int:
+        """How many data files a :meth:`read` with this partition scope
+        opens — the pruning evidence (footer-free: manifest + listing)."""
+        parts = self._parts(version)
+        total = 0
+        for pval in self._select(parts, partitions):
+            child = self._child(pval)
+            for rel in set(child._bucket_paths(parts[pval]).values()):
+                d = os.path.join(child.root, rel)
+                total += sum(
+                    1 for f in os.listdir(d) if f.endswith(".parquet")
+                )
+        return total
+
+    def count_rows(
+        self,
+        version: int | None = None,
+        partitions: tuple | None = None,
+    ) -> int:
+        """Footer-metadata row count over the selected partitions."""
+        parts = self._parts(version)
+        return sum(
+            self._child(p).count_rows(version=parts[p])
+            for p in self._select(parts, partitions)
+        )
+
+    # -- CDC across global versions ----------------------------------------
+
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Net row changes between two global versions, Delta-CDF-tagged.
+
+        Per partition present in both: the child's ``changes_between``
+        over its recorded child versions (O(changed buckets)). A
+        partition only in ``v_to`` contributes its full snapshot as
+        inserts; one only in ``v_from`` — i.e. dropped, the retention
+        path — contributes its old snapshot as deletes, so downstream
+        consumers see retention as ordinary CDC delete rows without the
+        drop itself having touched any data file.
+        """
+        from parquet_demo_spark.sources.merge_store import changes_between
+
+        p_from = self._parts(v_from)
+        p_to = self._parts(v_to)
+        outs = []
+        for pval in sorted(set(p_from) | set(p_to)):
+            child = self._child(pval)
+            if pval in p_from and pval in p_to:
+                if p_from[pval] != p_to[pval]:
+                    outs.append(
+                        changes_between(
+                            child, spark, p_from[pval], p_to[pval]
+                        )
+                    )
+            elif pval in p_to:
+                outs.append(
+                    child.read(spark, version=p_to[pval]).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            else:
+                outs.append(
+                    child.read(spark, version=p_from[pval]).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+        if not outs:
+            any_p = sorted(p_from or p_to)[0]
+            snap = self._child(any_p).read(
+                spark, version=(p_from or p_to)[any_p]
+            )
+            return snap.withColumn("_change_type", F.lit("none")).limit(0)
+        out = outs[0]
+        for df in outs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Remove child directories of partitions referenced by NO kept
+        global manifest. Live children are left to their own vacuum.
+        Returns removed partition dirs."""
+        import shutil
+
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_versions = [
+            v
+            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            if os.path.exists(self._manifest_path(v))
+        ]
+        live = set()
+        for v in keep_versions:
+            live |= set(self._read_manifest(v)["partitions"])
+        removed = []
+        for d in sorted(os.listdir(self.root)):
+            if not d.startswith("p="):
+                continue
+            if d[2:] not in live:
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+        return removed

