@@ -117,17 +117,18 @@ def main() -> None:
 
     queries = all_queries()
 
-    def run_once(name: str, d: str) -> float:
-        t0 = time.perf_counter()
-        df = queries[name].spark(spark, d)
+    def _materialize(name: str, df) -> None:
         if df.isStreaming:  # pragma: no cover - streaming twins run batch
             raise ValueError(f"{name}: bench expects batch plans")
         if name in COLLECT_QUERIES:
-            rows = df.collect()
-            if not rows:  # a sketch agg always yields exactly one row
+            if not df.collect():  # a sketch agg always yields one row
                 raise ValueError(f"{name}: empty result from sketch agg")
         else:
             df.write.mode("overwrite").format("noop").save()
+
+    def run_once(name: str, d: str) -> float:
+        t0 = time.perf_counter()
+        _materialize(name, queries[name].spark(spark, d))
         return time.perf_counter() - t0
 
     def run_median(name: str, d: str) -> tuple[float, float]:
@@ -136,6 +137,36 @@ def main() -> None:
         med = times[1]
         mad = statistics.median(abs(t - med) for t in times)
         return round(med, 3), round(mad, 3)
+
+    # build/read phase split (VERDICT r6 #1): queries that construct a
+    # store/index/layout/ANN structure register a build(spark, sf) ->
+    # state and a read(spark, sf, state). The build runs ONCE (timed);
+    # the read — the operation a deployment actually re-runs — gets the
+    # warmup + 3-median protocol, so a read-path regression is no longer
+    # masked by rebuild cost. The recorded headline per-query value is
+    # build + read-median (comparable in magnitude to earlier rounds'
+    # whole-query timings); the split is recorded alongside.
+    def run_phased(name: str, d: str) -> tuple[float, float, float, float]:
+        q = queries[name]
+        t0 = time.perf_counter()
+        state = q.build(spark, d)
+        build_s = time.perf_counter() - t0
+
+        def read_once() -> float:
+            t0 = time.perf_counter()
+            _materialize(name, q.read(spark, d, state))
+            return time.perf_counter() - t0
+
+        read_once()  # warmup, not recorded
+        times = sorted(read_once() for _ in range(3))
+        med = times[1]
+        mad = statistics.median(abs(t - med) for t in times)
+        return (
+            round(build_s + med, 3),
+            round(mad, 3),
+            round(build_s, 3),
+            round(med, 3),
+        )
 
     run_once("q01_scan_count", sf_dir)  # JVM/codegen warmup, not recorded
 
@@ -152,9 +183,19 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_mad: dict[str, float] = {}
+    per_build: dict[str, float] = {}
+    per_read: dict[str, float] = {}
     for name in sorted(queries):
         try:
-            per_query[name], per_mad[name] = run_median(name, sf_dir)
+            if queries[name].build is not None:
+                (
+                    per_query[name],
+                    per_mad[name],
+                    per_build[name],
+                    per_read[name],
+                ) = run_phased(name, sf_dir)
+            else:
+                per_query[name], per_mad[name] = run_median(name, sf_dir)
         except Exception as exc:  # record failures, don't die mid-bench
             per_query[name] = -1.0
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
@@ -183,7 +224,10 @@ def main() -> None:
             # of the tier (the main loop already records failures this
             # way)
             try:
-                multifile[name], _ = run_median(name, mf_dir)
+                if queries[name].build is not None:
+                    multifile[name], _, _, _ = run_phased(name, mf_dir)
+                else:
+                    multifile[name], _ = run_median(name, mf_dir)
             except Exception as exc:
                 multifile[name] = -1.0
                 print(
@@ -199,6 +243,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "mad": per_mad,
+                # build/read split for store/index/layout/ANN queries
+                # (VERDICT r6 #1): queries[name] = build_s + read-median
+                # for these; build once per process, read warmup+3
+                "queries_build": per_build,
+                "queries_read": per_read,
                 "queries_multifile": multifile,
                 "runs_per_query": 3,
                 "aggregation": "median",

@@ -246,6 +246,10 @@ def _register_q124() -> None:
         "every co-located join after — the lakehouse bucketing trade.",
     )
     def q124(spark, sf):
+        return _q124_read(spark, sf, _q124_build(spark, sf))
+
+    def _q124_build(spark, sf):
+        """Build phase: the bucketed+sorted table rewrites."""
         from parquet_demo_spark.layout import drop_table, write_bucketed
 
         tag = _bucket_tag(sf)
@@ -263,6 +267,11 @@ def _register_q124() -> None:
             write_bucketed(
                 df, tbl, [key], 8, sort_by=[key], path=f"{base}/{sub}"
             )
+        return lt, ot
+
+    def _q124_read(spark, sf, state):
+        """Read phase: the exchange-free co-located sort-merge join."""
+        lt, ot = state
         rev = dec2("l_extendedprice") * (F.lit(1).cast(DEC) - dec2("l_discount"))
         j = (
             spark.table(lt)
@@ -280,6 +289,10 @@ def _register_q124() -> None:
             )
             .orderBy("o_orderpriority")
         )
+
+    from parquet_demo_spark.registry import register_phases
+
+    register_phases("q124_bucketed_join", _q124_build, _q124_read)
 
 
 _register_q124()
@@ -324,6 +337,10 @@ def _register_q136() -> None:
         "selective read after, same trade as q124's bucketing.",
     )
     def q136(spark, sf):
+        return _q136_read(spark, sf, _q136_build(spark, sf))
+
+    def _q136_build(spark, sf):
+        """Build phase: the Z-order clustered rewrite + box bounds."""
         import os
         import tempfile
 
@@ -343,6 +360,11 @@ def _register_q136() -> None:
             f"{_bucket_tag(sf)}_pid{os.getpid()}",
         )
         write_zorder(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+        return path, (p_lo, p_hi, s_lo, s_hi)
+
+    def _q136_read(spark, sf, state):
+        """Read phase: the footer-box-pruned conjunctive scan."""
+        path, (p_lo, p_hi, s_lo, s_hi) = state
         zli = spark.read.parquet(path)
         return (
             zli.filter(
@@ -363,6 +385,10 @@ def _register_q136() -> None:
                 .alias("revenue_cents"),
             )
         )
+
+    from parquet_demo_spark.registry import register_phases
+
+    register_phases("q136_zorder_box_scan", _q136_build, _q136_read)
 
 
 _register_q136()

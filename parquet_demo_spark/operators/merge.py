@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.registry import register
+from parquet_demo_spark.registry import register, register_phases
 from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
 
@@ -73,6 +73,11 @@ def _scratch_root(tag: str, sf: str) -> str:
     "event_id DESC per key.",
 )
 def q123(spark: SparkSession, sf: str) -> DataFrame:
+    return _q123_read(spark, sf, _q123_build(spark, sf))
+
+
+def _q123_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    """Build phase: the two merges committing the store."""
     ev = load(spark, sf, "events")
     root = _scratch_root("q123", sf)
     store = ParquetMergeStore(
@@ -83,6 +88,11 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     )
     store.merge(ev.filter(F.col("event_id") % 2 == 0))
     store.merge(ev.filter(F.col("event_id") % 2 == 1))
+    return store
+
+
+def _q123_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Read phase: committed-snapshot scan + aggregate."""
     final = store.read(spark)
     return (
         final.groupBy("event_type")
@@ -95,6 +105,9 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases("q123_merge_upsert_roundtrip", _q123_build, _q123_read)
 
 
 @register(
@@ -140,8 +153,10 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     "changes, not the corpus.",
 )
 def q125(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_demo_spark.sources.merge_store import changes_between
+    return _q125_read(spark, sf, _q125_build(spark, sf))
 
+
+def _q125_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
     ev = load(spark, sf, "events")
     root = _scratch_root("q125", sf)
     store = ParquetMergeStore(
@@ -152,6 +167,14 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     )
     store.merge(ev.filter(F.col("event_id") % 2 == 0))
     store.merge(ev.filter(F.col("event_id") % 2 == 1))
+    return store
+
+
+def _q125_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Read phase: the CDC incremental read itself (changed-bucket
+    diff), the path a derived-table refresh exercises."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
     ch = changes_between(store, spark, 0, 1)
     return (
         ch.groupBy("event_type", "_change_type")
@@ -161,6 +184,9 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "_change_type")
     )
+
+
+register_phases("q125_cdc_incremental_read", _q125_build, _q125_read)
 
 
 @register(
@@ -207,6 +233,11 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     "rewrites the buckets its rows live in, not the table.",
 )
 def q140(spark: SparkSession, sf: str) -> DataFrame:
+    return _q140_read(spark, sf, _q140_build(spark, sf))
+
+
+def _q140_build(spark: SparkSession, sf: str):
+    """Build phase: merge + the DELETE WHERE commit (the mutations)."""
     ev = load(spark, sf, "events")
     root = _scratch_root("q140", sf)
     store = ParquetMergeStore(
@@ -221,6 +252,12 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         "event_type <> 'error' AND value < 30.0",
         write_change_feed=True,
     )
+    return store, v
+
+
+def _q140_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: post-delete snapshot + stored delete feed."""
+    store, v = state
     live = (
         store.read(spark)
         .groupBy("event_type")
@@ -250,6 +287,9 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases("q140_merge_delete_where", _q140_build, _q140_read)
 
 
 @register(
@@ -292,6 +332,11 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     "O(1) bucket dirs, not the table.",
 )
 def q141(spark: SparkSession, sf: str) -> DataFrame:
+    return _q141_read(spark, sf, _q141_build(spark, sf))
+
+
+def _q141_build(spark: SparkSession, sf: str):
+    """Build phase: merge (blooms built at write) + probe derivation."""
     ev = load(spark, sf, "events")
     root = _scratch_root("q141", sf)
     store = ParquetMergeStore(
@@ -309,7 +354,12 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     (pmin,) = snap.filter(F.col("event_type") == "purchase").agg(
         F.min("event_id")
     ).first()
-    probes = sorted({lo, hi, pmin})
+    return store, sorted({lo, hi, pmin})
+
+
+def _q141_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the bloom-pruned point lookups themselves."""
+    store, probes = state
     parts = [store.read(spark, where={"event_id": (p, p)}) for p in probes]
     out = parts[0]
     for p in parts[1:]:
@@ -320,6 +370,9 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
     ).orderBy("event_id")
+
+
+register_phases("q141_bloom_point_lookup", _q141_build, _q141_read)
 
 
 @register(
@@ -396,6 +449,10 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     "touched-bucket frame.",
 )
 def q142(spark: SparkSession, sf: str) -> DataFrame:
+    return _q142_read(spark, sf, _q142_build(spark, sf))
+
+
+def _q142_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
     ev = load(spark, sf, "events").select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
@@ -416,6 +473,10 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         update_set={"value": "greatest(s.value, t.value)"},
         not_matched_insert="s.event_type <> 'error'",
     )
+    return store
+
+
+def _q142_read(spark: SparkSession, sf: str, store) -> DataFrame:
     return (
         store.read(spark)
         .groupBy("event_type")
@@ -428,6 +489,9 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases("q142_merge_into_clauses", _q142_build, _q142_read)
 
 
 @register(
@@ -469,8 +533,14 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
     "100 TB store moves the day's delta.",
 )
 def q143(spark: SparkSession, sf: str) -> DataFrame:
-    from parquet_demo_spark.sources.merge_store import replay_change_feed
+    return _q143_read(spark, sf, _q143_build(spark, sf))
 
+
+_Q143_REPLICA_N = [0]
+
+
+def _q143_build(spark: SparkSession, sf: str):
+    """Build phase: the SOURCE store's three feed-bearing commits."""
     ev = load(spark, sf, "events")
     root = _scratch_root("q143", sf)
     src = ParquetMergeStore(
@@ -486,8 +556,19 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         "event_type <> 'error' AND value < 30.0",
         write_change_feed=True,
     )
+    return root, src
+
+
+def _q143_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: replicate the stored feeds into a FRESH
+    replica (a new dst dir per invocation, so a re-timed run measures
+    replication, not a converged no-op re-replay), then read it back."""
+    from parquet_demo_spark.sources.merge_store import replay_change_feed
+
+    root, src = state
+    _Q143_REPLICA_N[0] += 1
     dst = ParquetMergeStore(
-        os.path.join(root, "dst"),
+        os.path.join(root, f"dst{_Q143_REPLICA_N[0]}"),
         keys=("user_id", "event_type"),
         version_cols=("ts", "event_id"),
         num_buckets=8,
@@ -505,6 +586,9 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases("q143_store_replication", _q143_build, _q143_read)
 
 
 @register(
@@ -538,6 +622,11 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     "in one manifest write, not a table rewrite.",
 )
 def q149(spark: SparkSession, sf: str) -> DataFrame:
+    return _q149_read(spark, sf, _q149_build(spark, sf))
+
+
+def _q149_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    """Build phase: merge, bad delete, metadata-only restore."""
     ev = load(spark, sf, "events")
     root = _scratch_root("q149", sf)
     store = ParquetMergeStore(
@@ -549,6 +638,10 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     store.merge(ev)  # v0
     store.delete(spark, "event_type = 'click'")  # v1: the bad delete
     store.restore(0)  # v2: metadata-only rollback
+    return store
+
+
+def _q149_read(spark: SparkSession, sf: str, store) -> DataFrame:
     return (
         store.read(spark)
         .groupBy("event_type")
@@ -561,6 +654,9 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases("q149_restore_rollback", _q149_build, _q149_read)
 
 
 @register(
@@ -642,6 +738,10 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     "nmbs op).",
 )
 def q150(spark: SparkSession, sf: str) -> DataFrame:
+    return _q142_read(spark, sf, _q150_build(spark, sf))
+
+
+def _q150_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
     ev = load(spark, sf, "events").select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
@@ -666,18 +766,13 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ],
     )
-    return (
-        store.read(spark)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_keys"),
-            F.sum("event_id").cast("bigint").alias("sum_event_id"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("value_cents"),
-        )
-        .orderBy("event_type")
-    )
+    return store
+
+
+# read side is q142's per-type snapshot aggregate, shared
+register_phases(
+    "q150_merge_not_matched_by_source", _q150_build, _q142_read
+)
 
 
 @register(
@@ -733,6 +828,11 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     "global pointer CAS. sources/partitioned_store.py.",
 )
 def q154(spark: SparkSession, sf: str) -> DataFrame:
+    return _q154_read(spark, sf, _q154_build(spark, sf))
+
+
+def _q154_build(spark: SparkSession, sf: str):
+    """Build phase: partition-routed merge committing all child stores."""
     from parquet_demo_spark.sources.partitioned_store import (
         PartitionedParquetMergeStore,
     )
@@ -757,6 +857,11 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         num_buckets=4,
     )
     store.merge(ev)
+    return store
+
+
+def _q154_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Read phase: the manifest-pruned partition-scoped read."""
     parts = store.partitions()
     lo, hi = parts[1], parts[2]  # weeks 2-3: a proper subset, data-derived
     n_read = len(store._select(store._parts(), (lo, hi)))
@@ -778,3 +883,8 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+register_phases(
+    "q154_partitioned_store_scoped_read", _q154_build, _q154_read
+)

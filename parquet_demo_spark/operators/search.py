@@ -37,9 +37,38 @@ from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import tokens
-from parquet_demo_spark.registry import register
+from parquet_demo_spark.registry import register, register_phases
 
 _DEFAULT_BUCKETS = 1024
+
+
+def _stored_index_build(spark: SparkSession, sf: str):
+    """Shared bench build phase for the search queries: materialize the
+    inverted index in its PRODUCTION form — parquet partitioned by term
+    bucket — so the timed read phase is the deployed path (bucket-dir
+    pruning included), not an in-plan index recompute."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_searchidx",
+        f"{sf.strip('/').replace('/', '_')}_pid{os.getpid()}",
+    )
+    pdir = os.path.join(base, "postings")
+    ddir = os.path.join(base, "dl")
+    marker = os.path.join(base, "_READY")
+    if not os.path.exists(marker):
+        write_index(inverted_index(docs), pdir)
+        # doc lengths stored WITH the index (Lucene's norms file):
+        # BM25 must never scan the full postings at query time
+        doc_lengths(spark.read.parquet(pdir)).write.mode(
+            "overwrite"
+        ).parquet(ddir)
+        open(marker, "w").close()
+    n_docs = docs.count()
+    return pdir, ddir, n_docs
 
 
 def inverted_index(
@@ -309,6 +338,16 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def doc_lengths(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts (sum of tf) — the BM25 side table. Compute
+    ONCE at index-build time and store it next to the postings (what
+    Lucene's norms file is); recomputing it per query would make every
+    BM25 query scan the whole index."""
+    return index.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+
+
 def search_ranked_bm25(
     index: DataFrame,
     n_docs: int,
@@ -317,6 +356,7 @@ def search_ranked_bm25(
     b: float = 0.75,
     top_k: int = 20,
     id_col: str = "doc_id",
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval, top-k docs (Robertson et al. —
     public design; k1=1.2, b=0.75 are the standard defaults).
@@ -326,15 +366,19 @@ def search_ranked_bm25(
 
     The doc-length table |D| is ONE small aggregate over the postings
     (sum of tf per doc — no corpus pass), broadcast back onto the query
-    terms' postings; avgdl is the exact bigint token total divided once
-    (engine-deterministic). Per-term contributions round to 6 decimals
-    and accumulate in decimal (the q146/q104 convention) so the top-k
-    cut is stable across engines. Ties break by doc id.
+    terms' postings; pass a precomputed ``dl`` (from
+    :func:`doc_lengths`, stored at index-build time) so the query never
+    scans the full index — without it this falls back to computing the
+    table in-plan (fine for one-shot use, wrong at 100 TB). avgdl is
+    the exact bigint token total divided once (engine-deterministic).
+    Per-term contributions round to 6 decimals and accumulate in
+    decimal (the q146/q104 convention) so the top-k cut is stable
+    across engines. Ties break by doc id.
     """
-    dl = index.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("__dl")
-    )
-    total_tokens = index.agg(F.sum("tf").cast("bigint")).first()[0] or 0
+    if dl is None:
+        dl = doc_lengths(index, id_col)
+    dl = dl.select(F.col(id_col), F.col("dl").alias("__dl"))
+    total_tokens = dl.agg(F.sum("__dl").cast("bigint")).first()[0] or 0
     avgdl = total_tokens / n_docs  # exact ints, one IEEE division
     hits = index.filter(F.col("term").isin(list(terms)))
     df_per_term = hits.groupBy("term").agg(
@@ -436,4 +480,155 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         search_ranked_bm25(idx, n_docs, ["dup", "vector", "stream"])
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
         .orderBy("doc_id")
+    )
+
+
+# --- bench build/read phase splits (VERDICT r6 #1) --------------------------
+# The monolithic registry fns above recompute the index in-plan (what the
+# driver hash-checks); the phased pair reads the STORED index — same
+# values, and the timed path is the one a deployment actually runs.
+
+
+def _q144_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    path, _, _ = state
+    idx = spark.read.parquet(path)
+    docs = load(spark, sf, "documents")
+    hits = search_all_terms(idx, ["dup", "scan", "merge"])
+    return (
+        hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("tf_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q145_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    path, _, _ = state
+    idx = spark.read.parquet(path)
+    return (
+        search_phrase(idx, "key", "value")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_occ"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q146_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    path, _, n_docs = state
+    idx = spark.read.parquet(path)
+    return (
+        search_ranked_tfidf(idx, n_docs, ["dup", "vector", "stream"])
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )
+
+
+def _q152_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    path, dl_path, n_docs = state
+    idx = spark.read.parquet(path)
+    dl = spark.read.parquet(dl_path)
+    return (
+        search_ranked_bm25(idx, n_docs, ["dup", "vector", "stream"], dl=dl)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )
+
+
+register_phases("q144_keyword_search_and", _stored_index_build, _q144_read)
+register_phases("q145_phrase_search", _stored_index_build, _q145_read)
+register_phases("q146_ranked_search_tfidf", _stored_index_build, _q146_read)
+register_phases("q152_ranked_search_bm25", _stored_index_build, _q152_read)
+
+
+def stream_maintain_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental index maintenance (VERDICT r6 #7): the
+    q135 exactly-once-ingest pattern applied to the search index.
+
+    ``readStream`` over a document source (rows: doc_id, text,
+    edit_ts) → ``foreachBatch`` → postings upsert + stale-postings
+    delete into a (term, doc_id)-keyed :class:`ParquetMergeStore`.
+    Each micro-batch:
+
+    1. collapses to the latest edit per doc WITHIN the batch, then
+       drops docs whose stored postings already carry a NEWER edit_ts —
+       doc-level last-write-wins, so out-of-order file arrival and
+       foreachBatch's at-least-once redelivery both converge to the
+       latest-edit index (the q135 exactly-once recipe, lifted from
+       row-level to document-level because one edit replaces a SET of
+       posting rows);
+    2. deletes the winners' stale postings (stored (term, doc_id) keys
+       the fresh tokenization no longer produces — covers terms removed
+       by the edit AND docs edited to empty);
+    3. merges the fresh postings (replacing rows for persisting terms).
+
+    Cost per batch: the winners' postings, never the index — the
+    store's PK-bucket pruning rewrites only touched buckets. A stream-
+    maintained index over a 100 TB corpus pays for the day's edited
+    docs, not a rebuild.
+    """
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("doc_id").orderBy(F.col("edit_ts").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if store.current_version() is not None:
+            stored_ts = (
+                store.read(spark)
+                .groupBy("doc_id")
+                .agg(F.max("edit_ts").alias("__cur_ts"))
+            )
+            latest = (
+                latest.join(stored_ts, "doc_id", "left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("edit_ts") > F.col("__cur_ts"))
+                )
+                .drop("__cur_ts")
+            )
+        winners = latest.localCheckpoint()  # read twice below
+        if winners.isEmpty():
+            return
+        fresh = inverted_index(winners).drop("bucket").join(
+            winners.select("doc_id", "edit_ts"), "doc_id"
+        )
+        if store.current_version() is not None:
+            stale = (
+                store.read(spark)
+                .join(winners.select("doc_id"), "doc_id", "left_semi")
+                .select("term", "doc_id")
+                .join(
+                    fresh.select("term", "doc_id"),
+                    ["term", "doc_id"],
+                    "left_anti",
+                )
+            )
+            if not stale.isEmpty():
+                store.delete_keys(stale)
+        store.merge(fresh)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

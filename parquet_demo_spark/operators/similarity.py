@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import cosine, mean6, mean6_sql, micro6_sql
-from parquet_demo_spark.registry import register
+from parquet_demo_spark.registry import register, register_phases
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
 _DOT_SQL = (
@@ -507,9 +507,14 @@ def _planted_sets(
     "so a recall change is attributable.",
 )
 def q126(spark: SparkSession, sf: str) -> DataFrame:
+    return _q126_read(spark, sf, _q126_build(spark, sf))
+
+
+def _q126_build(spark: SparkSession, sf: str):
+    """Build phase: the pinned bucketed corpus/probe frames (the ANN
+    structures — bucket assignments — are computed and materialized
+    here; eight _top3 branches reference them downstream)."""
     base, probes, planted = _planted_sets(spark, sf)
-    # pin the small bucketed inputs: eight _top3 branches reference
-    # them, each otherwise replanning the 64-literal bucket expressions
     probes = probes.withColumn(
         "qbkt", _hyperplane_bucket(F.col("qe"))
     ).localCheckpoint()
@@ -519,6 +524,13 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("bkt", _hyperplane_bucket(F.col("e")))
         .localCheckpoint()
     )
+    return probes, fc, pc
+
+
+def _q126_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the bucketed candidate searches, the brute-force
+    truth passes they're graded against, and the recall rows."""
+    probes, fc, pc = state
     rows = [
         _recall_row(
             _top3(fc, probes, F.lit(True)),
@@ -549,6 +561,9 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("protocol", "method")
+
+
+register_phases("q126_ann_recall_at_3", _q126_build, _q126_read)
 
 
 # --- q127: multi-table LSH — the recall lever, measured -------------------
@@ -666,8 +681,13 @@ _MT_ORACLE = f"""
     "explicit and hash-checked.",
 )
 def q127(spark: SparkSession, sf: str) -> DataFrame:
-    from functools import reduce
+    return _q127_read(spark, sf, _q127_build(spark, sf))
 
+
+def _q127_build(spark: SparkSession, sf: str):
+    """Build phase: the 4 hyperplane tables' bucket assignments, pinned
+    (eight join branches reference them; each would otherwise replan
+    the 4×64-literal bucket expressions — measured 8.2s → ~2s)."""
     base, probes0, planted = _planted_sets(spark, sf)
     pc = base.unionByName(planted).select("vec_id", "e")
     for t in range(_N_TABLES):
@@ -677,11 +697,15 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
         probes = probes.withColumn(
             f"qb{t}", _hyperplane_bucket(F.col("qe"), t)
         )
-    # pin the bucketed corpus/probes: eight join branches reference
-    # them, and each would otherwise replan the 4×64-literal bucket
-    # expressions over the corpus — measured 8.2s → ~2s with the pin
-    pc = pc.localCheckpoint()
-    probes = probes.localCheckpoint()
+    return pc.localCheckpoint(), probes.localCheckpoint()
+
+
+def _q127_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: per-table candidate joins, exact re-scores, truth
+    pass, recall + candidate counts per method."""
+    from functools import reduce
+
+    pc, probes = state
     truth = _top3(pc, probes, F.lit(True))
 
     def pairs_for(tables: list[int]) -> DataFrame:
@@ -723,6 +747,9 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(method_row(list(range(_N_TABLES)), "lsh_4tables"))
         .orderBy("method")
     )
+
+
+register_phases("q127_ann_lsh_multitable", _q127_build, _q127_read)
 
 
 @register(
@@ -1023,6 +1050,12 @@ _Q132_ORACLE = f"""
     "pass + a K×64 aggregate; search joins per cell; nothing quadratic.",
 )
 def q132(spark: SparkSession, sf: str) -> DataFrame:
+    return _q132_read(spark, sf, _q132_build(spark, sf))
+
+
+def _q132_build(spark: SparkSession, sf: str):
+    """Build phase: coarse-quantizer training + pinned cell-assigned
+    corpus/probes — the IVF structure."""
     base, probes0, planted = _planted_sets(spark, sf)
     corpus = (
         base.select("vec_id", "e")
@@ -1043,6 +1076,12 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()
     )
     pc = corpus.join(cells, "vec_id").localCheckpoint()
+    return probes, pc
+
+
+def _q132_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: cell-restricted search, truth pass, recall row."""
+    probes, pc = state
     truth = _top3(pc, probes, F.lit(True))
     pairs = (
         pc.join(F.broadcast(probes), F.col("cid") == F.col("qcell"))
@@ -1069,6 +1108,9 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_cand = pairs.agg(F.count("*").cast("bigint").alias("n_candidates"))
     return rec.crossJoin(F.broadcast(n_cand))
+
+
+register_phases("q132_ann_ivf_kmeans", _q132_build, _q132_read)
 
 
 # --- q137: product quantization (PQ) with ADC scoring, measured -----------
@@ -1317,7 +1359,18 @@ def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
     "scan before ADC-scoring it (IVF-PQ).",
 )
 def q137(spark: SparkSession, sf: str) -> DataFrame:
-    corpus, probes0, adc, truth = _pq_adc_frames(spark, sf)
+    return _q137_read(spark, sf, _pq_adc_frames(spark, sf))
+
+
+def _q137_build(spark: SparkSession, sf: str):
+    """Build phase: codebooks + corpus ENCODING + truth, pinned — the
+    PQ structure a deployment would hold in memory."""
+    return _pq_adc_frames(spark, sf, pin=True)
+
+
+def _q137_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the ADC lookup-table scan + top-3 + recall."""
+    corpus, probes0, adc, truth = state
     w = W.partitionBy("qid").orderBy("adist", "vec_id")
     top = (
         adc.withColumn("rn", F.row_number().over(w))
@@ -1327,6 +1380,9 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     rec = _recall_row(truth, top, "planted", "pq_adc_m4x8").drop("protocol")
     n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
     return rec.crossJoin(F.broadcast(n_enc))
+
+
+register_phases("q137_ann_pq_adc", _q137_build, _q137_read)
 
 
 def _pq_full_d2():
@@ -1340,10 +1396,12 @@ def _pq_full_d2():
 
 
 def _pq_adc_frames(
-    spark: SparkSession, sf: str
+    spark: SparkSession, sf: str, pin: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The shared PQ pipeline (q137/q151): returns (corpus, probes0,
-    adc scores per (qid, vec_id), exact-L2 top-3 truth)."""
+    adc scores per (qid, vec_id), exact-L2 top-3 truth). ``pin=True``
+    additionally materializes the corpus CODES and the truth (the
+    bench build phase: encoding is build, the ADC scan is the query)."""
     from parquet_demo_spark.functions import micro6
 
     base, probes0, planted = _planted_sets(spark, sf)
@@ -1373,6 +1431,8 @@ def _pq_adc_frames(
     codes = _pq_assign(subs, cent1).select(
         "vec_id", "m", F.col("cid").alias("code")
     )
+    if pin:
+        codes = codes.localCheckpoint()
     qsubs = _pq_subspaces(
         probes0.select("qid", F.col("qe").alias("e")), "e", ["qid"]
     )
@@ -1401,6 +1461,8 @@ def _pq_adc_frames(
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id")
     )
+    if pin:
+        truth = truth.localCheckpoint()
     return corpus, probes0, adc, truth
 
 
@@ -1422,9 +1484,14 @@ def _pq_adc_frames(
     "without a shuffle.",
 )
 def q151(spark: SparkSession, sf: str) -> DataFrame:
-    corpus, probes0, adc, truth = _pq_adc_frames(spark, sf)
+    return _q151_read(spark, sf, _pq_adc_frames(spark, sf, pin=True))
+
+
+def _q151_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: ADC scan (pinned — two branches read the scores),
+    top-C candidate cut, exact re-rank, both recall rows."""
+    corpus, probes0, adc, truth = state
     adc = adc.localCheckpoint()  # two branches read the ADC scores
-    truth = truth.localCheckpoint()  # two recall rows read the truth
     w = W.partitionBy("qid").orderBy("adist", "vec_id")
     ranked = adc.withColumn("rn", F.row_number().over(w))
     top_plain = ranked.filter(F.col("rn") <= 3).select("qid", "vec_id")
@@ -1459,6 +1526,9 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return rec_plain.unionByName(rec_rr).orderBy("method")
+
+
+register_phases("q151_ann_pq_rerank", _q137_build, _q151_read)
 
 
 # --- q153: IVF nprobe sweep on a boundary-planted protocol ------------------
@@ -1589,6 +1659,12 @@ _Q153_ORACLE = f"""
     "equi-join on cid.",
 )
 def q153(spark: SparkSession, sf: str) -> DataFrame:
+    return _q153_read(spark, sf, _q153_build(spark, sf))
+
+
+def _q153_build(spark: SparkSession, sf: str):
+    """Build phase: quantizer training, boundary plants, cell-assigned
+    corpus, probe cell ranking, and the pinned truth."""
     base, probes0, _ = _planted_sets(spark, sf)
     corpus0 = base.select("vec_id", "e")
     emb0 = corpus0.select("vec_id", F.col("e").alias("embedding"))
@@ -1637,6 +1713,12 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     ).select("vec_id", "cid")
     pc = corpus.join(cells, "vec_id").localCheckpoint()
     truth = _top3(pc, probes0.select("qid", "qe"), F.lit(True)).localCheckpoint()
+    return probes0, qr, pc, truth
+
+
+def _q153_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the per-nprobe cell-restricted searches + recall."""
+    probes0, qr, pc, truth = state
     out = None
     for np_ in (1, 2, 3):
         probed = qr.filter(F.col("rnk") <= np_).select("qid", "cid")
@@ -1678,3 +1760,6 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+register_phases("q153_ann_ivf_nprobe", _q153_build, _q153_read)

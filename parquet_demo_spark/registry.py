@@ -29,6 +29,17 @@ class Query:
     spark: SparkQuery
     oracle: str | None
     doc: str = ""
+    # optional build/read phase split (VERDICT r6 #1): for queries that
+    # construct a store/index/layout/ANN structure before the operation
+    # under test, `build(spark, sf) -> state` materializes that
+    # structure once and `read(spark, sf, state) -> DataFrame` is the
+    # re-runnable operation — bench.py times them separately so a
+    # read-path regression is not masked by rebuild cost. The
+    # monolithic `spark` fn stays the driver-facing contract; build and
+    # read MUST compose to the same result values (asserted in
+    # tests/test_bench_phases.py).
+    build: Callable[[SparkSession, str], object] | None = None
+    read: Callable[[SparkSession, str, object], DataFrame] | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -44,6 +55,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
         return fn
 
     return wrap
+
+
+def register_phases(name: str, build, read) -> None:
+    """Attach a build/read phase split to an ALREADY-registered query.
+
+    Called after the @register'd monolithic function; bench.py uses the
+    phases, the driver keeps using the monolithic fn. The read phase
+    must be safely re-runnable against the same built state (bench
+    times it warmup + 3 runs).
+    """
+    q = _REGISTRY[name]
+    _REGISTRY[name] = Query(
+        name=q.name,
+        spark=q.spark,
+        oracle=q.oracle,
+        doc=q.doc,
+        build=build,
+        read=read,
+    )
 
 
 def all_queries() -> dict[str, Query]:
