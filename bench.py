@@ -60,6 +60,12 @@ MULTIFILE_THRESHOLD_SEC = 0.5
 # / lazy-materialization smell on the driver host, VERDICT r5 #6)
 COLLECT_QUERIES = {"q59_approx_distinct", "q59b_approx_quantiles"}
 
+# heavy stateful reads (a multi-micro-batch maintenance stream IS the
+# operation — ~20s per run in local mode) are timed once instead of
+# warmup+3: four full stream runs would dominate the whole bench for
+# one row, and stream machinery gains little from JIT warmup
+SINGLE_READ_QUERIES = {"q155_stream_index_maintenance"}
+
 _TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
@@ -157,10 +163,13 @@ def main() -> None:
             _materialize(name, q.read(spark, d, state))
             return time.perf_counter() - t0
 
-        read_once()  # warmup, not recorded
-        times = sorted(read_once() for _ in range(3))
-        med = times[1]
-        mad = statistics.median(abs(t - med) for t in times)
+        if name in SINGLE_READ_QUERIES:
+            med, mad = read_once(), 0.0
+        else:
+            read_once()  # warmup, not recorded
+            times = sorted(read_once() for _ in range(3))
+            med = times[1]
+            mad = statistics.median(abs(t - med) for t in times)
         return (
             round(build_s + med, 3),
             round(mad, 3),

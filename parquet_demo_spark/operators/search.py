@@ -588,11 +588,11 @@ def stream_maintain_index(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if store.current_version() is not None:
-            stored_ts = (
-                store.read(spark)
-                .groupBy("doc_id")
-                .agg(F.max("edit_ts").alias("__cur_ts"))
+        empty_store = store.current_version() is None
+        stored = None if empty_store else store.read(spark)
+        if stored is not None:
+            stored_ts = stored.groupBy("doc_id").agg(
+                F.max("edit_ts").alias("__cur_ts")
             )
             latest = (
                 latest.join(stored_ts, "doc_id", "left")
@@ -608,20 +608,38 @@ def stream_maintain_index(
         fresh = inverted_index(winners).drop("bucket").join(
             winners.select("doc_id", "edit_ts"), "doc_id"
         )
-        if store.current_version() is not None:
-            stale = (
-                store.read(spark)
-                .join(winners.select("doc_id"), "doc_id", "left_semi")
-                .select("term", "doc_id")
-                .join(
-                    fresh.select("term", "doc_id"),
-                    ["term", "doc_id"],
-                    "left_anti",
-                )
+        if empty_store:
+            store.merge(fresh)
+            return
+        # ONE atomic commit per batch: stale keys ride along as
+        # tombstone rows (NULL tf — a real posting's tf is always >= 1)
+        # and a matched-delete clause drops them, so a crash can never
+        # leave a doc's postings half-replaced (the old two-commit
+        # delete_keys-then-merge could).
+        stale = (
+            stored.join(winners.select("doc_id"), "doc_id", "left_semi")
+            .select("term", "doc_id")
+            .join(
+                fresh.select("term", "doc_id"),
+                ["term", "doc_id"],
+                "left_anti",
             )
-            if not stale.isEmpty():
-                store.delete_keys(stale)
-        store.merge(fresh)
+        )
+        types = {f.name: f.dataType for f in stored.schema.fields}
+        tombstones = stale.select(
+            *[
+                F.col(c)
+                if c in ("term", "doc_id")
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in stored.columns
+            ]
+        )
+        src = fresh.select(*stored.columns).unionByName(tombstones)
+        store.merge_into(
+            src,
+            matched=[("delete", "s.tf IS NULL"), ("update", None)],
+            not_matched_insert="s.tf IS NOT NULL",
+        )
 
     return (
         spark.readStream.schema(schema)
@@ -632,3 +650,149 @@ def stream_maintain_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "q155_stream_index_maintenance",
+    oracle=f"""
+    WITH winning AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 120)
+                  WHEN doc_id % 11 = 0 THEN ''
+                  ELSE text END AS text
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM winning)
+      WHERE term <> ''
+      GROUP BY doc_id, term
+    )
+    SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf
+    FROM postings GROUP BY 1 ORDER BY 1
+    """,
+    doc="Streaming incremental index maintenance, hash-checked "
+    "end-to-end (VERDICT r6 #7's optional registry row): three "
+    "micro-batch files stream through readStream -> foreachBatch -> "
+    "postings upsert + stale-postings delete into a (term, doc_id)-"
+    "keyed merge store — batch 0 indexes every document (edit_ts=1), "
+    "batch 1 re-edits every doc_id%%7 doc to its 120-char prefix "
+    "(edit_ts=3), and batch 2 delivers LATE, OUT-OF-ORDER edits: a "
+    "stale edit_ts=2 rewrite of the same %%7 docs (must NOT apply — "
+    "doc-level last-write-wins) and an edit_ts=2 emptying of the %%11 "
+    "docs (every posting must disappear). The returned per-bucket "
+    "aggregate of the store's committed postings hash-checks against "
+    "an oracle that tokenizes only each doc's WINNING edit — so the "
+    "check covers micro-batch sequencing, doc-level LWW, stale-"
+    "posting deletion, and emptied-doc removal in one row set. Scale: "
+    "each batch costs its winners' postings (PK-bucket pruned "
+    "rewrite), never the index; this is how a 100 TB corpus index "
+    "follows the day's edits without a rebuild. "
+    "operators/search.py stream_maintain_index.",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    return _q155_read(spark, sf, _q155_build(spark, sf))
+
+
+def _q155_build(spark: SparkSession, sf: str):
+    """Build phase: the three deterministic edit-batch source files."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from parquet_demo_spark.operators.merge import _scratch_root
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = _scratch_root("q155", sf)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("edit_ts", T.LongType()),
+        ]
+    )
+    b0 = docs.select(
+        F.col("doc_id").cast("bigint"),
+        "text",
+        F.lit(1).cast("bigint").alias("edit_ts"),
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.substring("text", 1, 120).alias("text"),
+            F.lit(3).cast("bigint").alias("edit_ts"),
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.lit("stale edit placeholder").alias("text"),
+            F.lit(2).cast("bigint").alias("edit_ts"),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0)
+            ).select(
+                F.col("doc_id").cast("bigint"),
+                F.lit("").alias("text"),
+                F.lit(2).cast("bigint").alias("edit_ts"),
+            )
+        )
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        d = os.path.join(root, f"scratch{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(d)
+    return root, src, schema
+
+
+_Q155_RUN_N = [0]
+
+
+def _q155_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the maintenance stream into a fresh store,
+    then the per-bucket postings aggregate."""
+    import os
+
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    root, src, schema = state
+    _Q155_RUN_N[0] += 1
+    n = _Q155_RUN_N[0]
+    store = ParquetMergeStore(
+        os.path.join(root, f"idx{n}"),
+        keys=("term", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=8,
+    )
+    q = stream_maintain_index(
+        spark, src, schema, store, os.path.join(root, f"ckpt{n}")
+    )
+    q.awaitTermination()
+    return (
+        store.read(spark)
+        .groupBy((F.col("doc_id") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register_phases(
+    "q155_stream_index_maintenance", _q155_build, _q155_read
+)

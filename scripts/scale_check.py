@@ -93,19 +93,41 @@ def build(table: str) -> str:
         df.write.mode("overwrite").parquet(out)
         return out
     span = {c: _domain_span(spark, c, df) for c in _OFFSET_KEYS[table]}
-    copies = [
-        df.select(
+    if COPIES <= 32:
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + i * span[c]).alias(c)
+                    if c in span
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(COPIES)
+        ]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+    else:
+        # large N: a 1000-branch union is a 1000-leaf plan Catalyst
+        # chokes on; one crossJoin with range(N) is a single plan node
+        # with the identical result (offset keys by the copy index)
+        big = df.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(COPIES).withColumnRenamed(
+                    "id", "__copy"
+                )
+            )
+        ).select(
             *[
-                (F.col(c) + i * span[c]).alias(c) if c in span else F.col(c)
+                (F.col(c) + F.col("__copy") * span[c]).alias(c)
+                if c in span
+                else F.col(c)
                 for c in df.columns
             ]
         )
-        for i in range(COPIES)
-    ]
-    big = copies[0]
-    for c in copies[1:]:
-        big = big.unionByName(c)
-    big.repartition(FILES).write.mode("overwrite").parquet(out)
+    n_files = FILES if COPIES <= 32 else max(FILES, COPIES // 8)
+    big.repartition(n_files).write.mode("overwrite").parquet(out)
     return out
 
 
