@@ -395,7 +395,10 @@ def search_ranked_bm25(
     )
     scored = (
         hits.join(F.broadcast(df_per_term), "term")
-        .join(F.broadcast(dl), id_col)
+        # no broadcast hint on dl: at scale the doc-length table is the
+        # BIG side (one row per corpus doc) and the matched postings are
+        # the small one — AQE picks the right build side per run
+        .join(dl, id_col)
         .select(
             F.col(id_col),
             F.round(

@@ -1395,21 +1395,18 @@ def _pq_full_d2():
     )
 
 
-def _pq_adc_frames(
-    spark: SparkSession, sf: str, pin: bool = False
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """The shared PQ pipeline (q137/q151): returns (corpus, probes0,
-    adc scores per (qid, vec_id), exact-L2 top-3 truth). ``pin=True``
-    additionally materializes the corpus CODES and the truth (the
-    bench build phase: encoding is build, the ADC scan is the query)."""
+def _pq_encode(
+    base: DataFrame,
+    corpus: DataFrame,
+    probes0: DataFrame,
+    pin: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks (q137's recipe: one deterministic Lloyd
+    iteration per subspace from the K-lowest init), encode ``corpus``
+    to codes, and build the probes' ADC lookup table. Returns
+    (codes, dist_tab)."""
     from parquet_demo_spark.functions import micro6
 
-    base, probes0, planted = _planted_sets(spark, sf)
-    corpus = (
-        base.select("vec_id", "e")
-        .unionByName(planted.select("vec_id", "e"))
-        .localCheckpoint()
-    )
     subs = _pq_subspaces(corpus, "e", ["vec_id"]).localCheckpoint()
     cent0 = _pq_subspaces(
         base.filter(F.col("vec_id") < _PQ_K).select(
@@ -1441,7 +1438,12 @@ def _pq_adc_frames(
         .withColumn("dmicro", micro6(_pq_sub_d2()))
         .select("qid", "m", "cid", "dmicro")
     )
-    adc = (
+    return codes, dist_tab
+
+
+def _pq_adc(codes: DataFrame, dist_tab: DataFrame) -> DataFrame:
+    """ADC scores per (qid, vec_id): sum of M lookup-table entries."""
+    return (
         codes.join(
             F.broadcast(dist_tab.withColumnRenamed("cid", "code")),
             ["m", "code"],
@@ -1450,6 +1452,23 @@ def _pq_adc_frames(
         .groupBy("qid", "vec_id")
         .agg(F.sum("dmicro").alias("adist"))
     )
+
+
+def _pq_adc_frames(
+    spark: SparkSession, sf: str, pin: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared PQ pipeline (q137/q151): returns (corpus, probes0,
+    adc scores per (qid, vec_id), exact-L2 top-3 truth). ``pin=True``
+    additionally materializes the corpus CODES and the truth (the
+    bench build phase: encoding is build, the ADC scan is the query)."""
+    base, probes0, planted = _planted_sets(spark, sf)
+    corpus = (
+        base.select("vec_id", "e")
+        .unionByName(planted.select("vec_id", "e"))
+        .localCheckpoint()
+    )
+    codes, dist_tab = _pq_encode(base, corpus, probes0, pin=pin)
+    adc = _pq_adc(codes, dist_tab)
     scored_truth = (
         corpus.crossJoin(F.broadcast(probes0.select("qid", "qe")))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1763,3 +1782,208 @@ def _q153_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q153_ann_ivf_nprobe", _q153_build, _q153_read)
+
+
+# --- q156: IVF x PQ composition — the production ANN stack -----------------
+
+_Q156_ORACLE = (
+    _PQ_ORACLE_CTES
+    + f""",
+    icent0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < 8),
+    ia1 AS (
+      SELECT vec_id, cid, e,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, c.cid, e.e, {_Q153_D2_EC} AS d2
+            FROM corpus e CROSS JOIN icent0 c)
+    ),
+    icent1 AS (
+      SELECT cid, list(cval ORDER BY pos) AS c FROM (
+        SELECT cid, j AS pos, {{imean6}} AS cval
+        FROM (SELECT cid, e FROM ia1 WHERE rn = 1)
+        CROSS JOIN (SELECT unnest(range(64)) AS j)
+        GROUP BY cid, j)
+      GROUP BY cid
+    ),
+    ia2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, c.cid, {_Q153_D2_EC} AS d2
+            FROM corpus e CROSS JOIN icent1 c)
+    ),
+    cells AS (SELECT vec_id, cid FROM ia2 WHERE rn = 1),
+    qrank AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+      FROM (SELECT p.qid, c.cid, {_Q153_D2_QC} AS d2
+            FROM probes0 p CROSS JOIN icent1 c)
+    ),
+    cand AS (
+      SELECT q.qid, cc.vec_id
+      FROM (SELECT qid, cid FROM qrank WHERE rnk <= 2) q
+      JOIN cells cc ON cc.cid = q.cid
+      WHERE cc.vec_id <> q.qid
+    ),
+    radc AS (
+      SELECT cand.qid, k.vec_id, SUM(d.dmicro) AS adist
+      FROM cand
+      JOIN codes k ON cand.vec_id = k.vec_id
+      JOIN dist_tab d
+        ON d.qid = cand.qid AND k.m = d.m AND k.code = d.cid
+      GROUP BY cand.qid, k.vec_id
+    ),
+    cand10 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist, vec_id) AS rn FROM radc)
+      WHERE rn <= 10
+    ),
+    rr AS (
+      SELECT q.qid, c.vec_id, {_PQ_FULL_D2} AS d2
+      FROM cand10 JOIN corpus c ON cand10.vec_id = c.vec_id
+                  JOIN probes0 q ON cand10.qid = q.qid
+    ),
+    top_rr AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY d2, vec_id) AS rn FROM rr)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN top_rr m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT 'ivfpq_np2_rerank10' AS method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_encoded
+    FROM per_q
+    """
+)
+
+
+@register(
+    "q156_ann_ivfpq",
+    oracle=_Q156_ORACLE.format(
+        mean6=mean6_sql("sub[j + 1]"), imean6=mean6_sql("e[j + 1]")
+    ),
+    doc="IVF x PQ with exact re-rank — the PRODUCTION ANN stack "
+    "(Jégou's IVFADC), composed end-to-end and hash-checked: the IVF "
+    "coarse quantizer (q132's Lloyd recipe) restricts each probe to "
+    "its 2 nearest cells' members, the PQ codes (q137's codebooks) "
+    "ADC-score ONLY those candidates via the probe's lookup table, "
+    "the top-10 ADC survivors re-score exactly against the raw "
+    "vectors (q151's re-rank), and recall@3 is measured against "
+    "brute-force L2 truth, with the candidate count exposing the "
+    "pruning. Each stage is individually proven (q132/q137/q151/"
+    "q153); this row pins their COMPOSITION — restrict, then "
+    "compress-score, then exact-verify. Scale: the scan is "
+    "|probed cells| of the corpus, each scored as M one-byte code "
+    "lookups, and only probes x 10 rows ever touch a raw vector — "
+    "the layout that serves 10^10 vectors from memory. "
+    "operators/similarity.py.",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    return _q156_read(spark, sf, _q156_build(spark, sf))
+
+
+def _q156_build(spark: SparkSession, sf: str):
+    """Build phase: IVF quantizer + cell assignment, PQ codebooks +
+    corpus encoding, probe cell ranking, pinned exact truth."""
+    base, probes0, planted = _planted_sets(spark, sf)
+    corpus = (
+        base.select("vec_id", "e")
+        .unionByName(planted.select("vec_id", "e"))
+        .localCheckpoint()
+    )
+    emb = corpus.select("vec_id", F.col("e").alias("embedding"))
+    icent0 = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    ia1 = _km_assign(emb, icent0)
+    icent1 = _km_update(ia1.select("cid", "embedding")).localCheckpoint()
+    cells = _km_assign(emb, icent1).select("vec_id", "cid")
+    pc = corpus.join(cells, "vec_id").localCheckpoint()
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("qid").orderBy("d2", "cid")
+    qr = (
+        probes0.select("qid", "qe")
+        .crossJoin(F.broadcast(icent1))
+        .withColumn("d2", qd2)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 2)
+        .select("qid", "cid")
+        .localCheckpoint()
+    )
+    codes, dist_tab = _pq_encode(base, corpus, probes0, pin=True)
+    scored_truth = (
+        corpus.crossJoin(F.broadcast(probes0.select("qid", "qe")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d2", _pq_full_d2())
+    )
+    wt = W.partitionBy("qid").orderBy("d2", "vec_id")
+    truth = (
+        scored_truth.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    return corpus, probes0, qr, pc, codes, dist_tab, truth
+
+
+def _q156_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: cell-restricted candidates -> ADC on candidates ->
+    exact re-rank of the top-10 -> recall."""
+    corpus, probes0, qr, pc, codes, dist_tab, truth = state
+    cand = (
+        pc.join(F.broadcast(qr), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .localCheckpoint()  # read by the ADC join and the count
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(dist_tab.withColumnRenamed("cid", "code")),
+            ["qid", "m", "code"],
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dmicro").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    cand10 = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    rr = (
+        cand10.join(corpus, "vec_id")
+        .join(F.broadcast(probes0.select("qid", "qe")), "qid")
+        .withColumn("d2", _pq_full_d2())
+    )
+    wrr = W.partitionBy("qid").orderBy("d2", "vec_id")
+    top_rr = (
+        rr.withColumn("rn", F.row_number().over(wrr))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(truth, top_rr, "planted", "ivfpq_np2_rerank10").drop(
+        "protocol"
+    )
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
+    return (
+        rec.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_enc))
+    )
+
+
+register_phases("q156_ann_ivfpq", _q156_build, _q156_read)
