@@ -64,7 +64,10 @@ COLLECT_QUERIES = {"q59_approx_distinct", "q59b_approx_quantiles"}
 # operation — ~20s per run in local mode) are timed once instead of
 # warmup+3: four full stream runs would dominate the whole bench for
 # one row, and stream machinery gains little from JIT warmup
-SINGLE_READ_QUERIES = {"q155_stream_index_maintenance"}
+SINGLE_READ_QUERIES = {
+    "q155_stream_index_maintenance",
+    "q157_stream_partitioned_ingest",
+}
 
 _TABLES = (
     "region nation customer supplier part orders lineitem "

@@ -888,3 +888,132 @@ def _q154_read(spark: SparkSession, sf: str, store) -> DataFrame:
 register_phases(
     "q154_partitioned_store_scoped_read", _q154_build, _q154_read
 )
+
+
+@register(
+    "q157_stream_partitioned_ingest",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT wk, user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) FROM ev)
+             AS n_partitions
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming ingest into the DATE-PARTITIONED store — the "
+    "production events-pipeline shape, composed from two proven "
+    "pieces: q135's exactly-once recipe (readStream -> foreachBatch -> "
+    "conditional only-if-newer merge, order-independent and "
+    "redelivery-idempotent) applied to q154's "
+    "PartitionedParquetMergeStore (each micro-batch routes rows to "
+    "their week's child store; one global version pins every child per "
+    "batch). Events arrive as 4 files split by event_id%4 — every "
+    "micro-batch spans every week, so the test hits the multi-"
+    "partition routing path, and the conditional merge makes the final "
+    "snapshot the global per-week LWW regardless of arrival order, "
+    "which is exactly what the clean window oracle states (plus the "
+    "live partition count). Scale: this is the 100 TB ingest story — "
+    "each micro-batch rewrites only the touched buckets of the touched "
+    "weeks, retention stays a metadata drop, and concurrent streams on "
+    "different date ranges would contend only on the global pointer. "
+    "sources/partitioned_store.py merge(conditional=True) + "
+    "merge_store.py stream_merge_into_store.",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    return _q157_read(spark, sf, _q157_build(spark, sf))
+
+
+def _q157_build(spark: SparkSession, sf: str):
+    """Build phase: the four deterministic source files."""
+    import glob
+    import shutil
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q157", sf)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    for g in range(4):
+        d = os.path.join(root, f"split{g}")
+        ev.filter(F.col("event_id") % 4 == g).coalesce(1).write.parquet(d)
+        [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, f"batch{g}.parquet"))
+        shutil.rmtree(d)
+    return root, src, ev.schema
+
+
+_Q157_RUN_N = [0]
+
+
+def _q157_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the partition-routed ingest stream into a
+    fresh store, then the full-snapshot aggregate."""
+    from parquet_demo_spark.sources.merge_store import (
+        stream_merge_into_store,
+    )
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    root, src, schema = state
+    _Q157_RUN_N[0] += 1
+    n = _Q157_RUN_N[0]
+    store = PartitionedParquetMergeStore(
+        os.path.join(root, f"store{n}"),
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    q = stream_merge_into_store(
+        spark,
+        src,
+        schema,
+        store,
+        os.path.join(root, f"ckpt{n}"),
+        max_files_per_trigger=1,
+        conditional=True,
+    )
+    q.awaitTermination()
+    n_parts = len(store.partitions())
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .withColumn("n_partitions", F.lit(n_parts).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+register_phases(
+    "q157_stream_partitioned_ingest", _q157_build, _q157_read
+)

@@ -203,7 +203,10 @@ class PartitionedParquetMergeStore:
     # -- write side -------------------------------------------------------
 
     def merge(
-        self, upserts: DataFrame, write_change_feed: bool = False
+        self,
+        upserts: DataFrame,
+        write_change_feed: bool = False,
+        conditional: bool = False,
     ) -> int:
         """Route the batch to its partitions' child stores, then commit
         one global version pinning every child.
@@ -212,6 +215,11 @@ class PartitionedParquetMergeStore:
         touched buckets rewrite — the child's law); untouched partitions
         re-reference their committed child versions. The distinct-
         partition collect is metadata-sized (# touched partitions).
+
+        ``conditional=True`` forwards the child's only-if-newer merge,
+        which makes streaming ingest through ``stream_merge_into_store``
+        order-independent and redelivery-idempotent per partition — the
+        q135 exactly-once recipe, now date-partitioned.
         """
         if self.partition_col not in upserts.columns:
             raise ValueError(
@@ -235,7 +243,9 @@ class PartitionedParquetMergeStore:
                 F.col(self.partition_col).cast("string") == pval
             )
             parts[pval] = child.merge(
-                batch, write_change_feed=write_change_feed
+                batch,
+                write_change_feed=write_change_feed,
+                conditional=conditional,
             )
         new_version = 0 if cur is None else cur + 1
         self._commit(
