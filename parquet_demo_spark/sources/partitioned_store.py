@@ -181,20 +181,40 @@ class PartitionedParquetMergeStore:
             os.fsync(fh.fileno())
         os.replace(tmp, self._pointer)
 
-    def _parts(self, version: int | None = None) -> dict[str, int]:
+    def _parts(self, version: int | None = None) -> dict[str, dict]:
+        """{partition value: {"dir": child dir name, "version": child
+        version}} at a global version. The DIR is part of the pin: a
+        partition dropped and later re-created gets a fresh epoch dir
+        (``p=<val>@N``), so the old rows can never resurrect through
+        the new entry while time travel still resolves the old dir."""
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty partitioned store: {self.root}")
-        return dict(self._read_manifest(v)["partitions"])
+        return {
+            k: dict(e)
+            for k, e in self._read_manifest(v)["partitions"].items()
+        }
 
-    def _child(self, pval: str) -> ParquetMergeStore:
+    def _child(self, dirname: str) -> ParquetMergeStore:
         return ParquetMergeStore(
-            os.path.join(self.root, f"p={pval}"),
+            os.path.join(self.root, dirname),
             keys=self.keys,
             version_cols=self.version_cols,
             num_buckets=self.num_buckets,
             bloom_cols=self.bloom_cols,
         )
+
+    def _next_epoch_dir(self, pval: str) -> str:
+        """Child dir for a partition value with no LIVE entry: the bare
+        ``p=<val>`` if never used, else the next ``p=<val>@N`` epoch
+        (the bare/previous dirs belong to dropped history)."""
+        base = f"p={pval}"
+        if not os.path.exists(os.path.join(self.root, base)):
+            return base
+        n = 1
+        while os.path.exists(os.path.join(self.root, f"{base}@{n}")):
+            n += 1
+        return f"{base}@{n}"
 
     def partitions(self, version: int | None = None) -> list[str]:
         """Live partition values at a version (manifest-only)."""
@@ -238,15 +258,26 @@ class PartitionedParquetMergeStore:
         cur = self.current_version()
         parts = {} if cur is None else self._parts(cur)
         for pval in pvals:
-            child = self._child(pval)
+            # a partition with no LIVE entry gets a FRESH epoch dir even
+            # if an old child exists on disk (dropped history): pinning
+            # the old child again would resurrect its pre-drop rows
+            dirname = (
+                parts[pval]["dir"]
+                if pval in parts
+                else self._next_epoch_dir(pval)
+            )
+            child = self._child(dirname)
             batch = upserts.filter(
                 F.col(self.partition_col).cast("string") == pval
             )
-            parts[pval] = child.merge(
-                batch,
-                write_change_feed=write_change_feed,
-                conditional=conditional,
-            )
+            parts[pval] = {
+                "dir": dirname,
+                "version": child.merge(
+                    batch,
+                    write_change_feed=write_change_feed,
+                    conditional=conditional,
+                ),
+            }
         new_version = 0 if cur is None else cur + 1
         self._commit(
             new_version,
@@ -281,12 +312,12 @@ class PartitionedParquetMergeStore:
                     hi is not None and pval > str(hi)
                 ):
                     continue
-            child = self._child(pval)
+            child = self._child(parts[pval]["dir"])
             v = child.delete(
                 spark, condition, write_change_feed=write_change_feed
             )
             if v is not None:  # None = no match, no child commit burned
-                parts[pval] = v
+                parts[pval]["version"] = v
                 touched.append(pval)
         new_version = cur + 1
         self._commit(
@@ -341,20 +372,20 @@ class PartitionedParquetMergeStore:
         if not selected:
             # schema from any live child, zero matching rows
             any_p = sorted(parts)[0]
-            df = self._child(any_p).read(
-                spark, version=parts[any_p], where=where
+            df = self._child(parts[any_p]["dir"]).read(
+                spark, version=parts[any_p]["version"], where=where
             )
             return df.limit(0)
         out = None
         for pval in selected:
-            df = self._child(pval).read(
-                spark, version=parts[pval], where=where
+            df = self._child(parts[pval]["dir"]).read(
+                spark, version=parts[pval]["version"], where=where
             )
             out = df if out is None else out.unionByName(df)
         return out
 
     @staticmethod
-    def _select(parts: dict[str, int], partitions: tuple | None) -> list:
+    def _select(parts: dict[str, dict], partitions: tuple | None) -> list:
         sel = []
         for pval in sorted(parts):
             if partitions is not None:
@@ -376,8 +407,10 @@ class PartitionedParquetMergeStore:
         parts = self._parts(version)
         total = 0
         for pval in self._select(parts, partitions):
-            child = self._child(pval)
-            for rel in set(child._bucket_paths(parts[pval]).values()):
+            child = self._child(parts[pval]["dir"])
+            for rel in set(
+                child._bucket_paths(parts[pval]["version"]).values()
+            ):
                 d = os.path.join(child.root, rel)
                 total += sum(
                     1 for f in os.listdir(d) if f.endswith(".parquet")
@@ -392,7 +425,9 @@ class PartitionedParquetMergeStore:
         """Footer-metadata row count over the selected partitions."""
         parts = self._parts(version)
         return sum(
-            self._child(p).count_rows(version=parts[p])
+            self._child(parts[p]["dir"]).count_rows(
+                version=parts[p]["version"]
+            )
             for p in self._select(parts, partitions)
         )
 
@@ -403,44 +438,54 @@ class PartitionedParquetMergeStore:
     ) -> DataFrame:
         """Net row changes between two global versions, Delta-CDF-tagged.
 
-        Per partition present in both: the child's ``changes_between``
-        over its recorded child versions (O(changed buckets)). A
-        partition only in ``v_to`` contributes its full snapshot as
-        inserts; one only in ``v_from`` — i.e. dropped, the retention
-        path — contributes its old snapshot as deletes, so downstream
-        consumers see retention as ordinary CDC delete rows without the
-        drop itself having touched any data file.
+        Per partition present in both AT THE SAME CHILD DIR: the
+        child's ``changes_between`` over its recorded versions
+        (O(changed buckets)). A partition only in ``v_to`` contributes
+        its full snapshot as inserts; one only in ``v_from`` — i.e.
+        dropped, the retention path — contributes its old snapshot as
+        deletes; present in both but at DIFFERENT dirs (dropped and
+        later re-created — a new epoch) nets the old snapshot as
+        deletes plus the new one as inserts. Downstream consumers see
+        retention as ordinary CDC delete rows without the drop itself
+        having touched any data file.
         """
         from parquet_demo_spark.sources.merge_store import changes_between
 
         p_from = self._parts(v_from)
         p_to = self._parts(v_to)
+
+        def _snap(entry, tag):
+            return (
+                self._child(entry["dir"])
+                .read(spark, version=entry["version"])
+                .withColumn("_change_type", F.lit(tag))
+            )
+
         outs = []
         for pval in sorted(set(p_from) | set(p_to)):
-            child = self._child(pval)
-            if pval in p_from and pval in p_to:
-                if p_from[pval] != p_to[pval]:
+            a, b = p_from.get(pval), p_to.get(pval)
+            if a and b and a["dir"] == b["dir"]:
+                if a["version"] != b["version"]:
                     outs.append(
                         changes_between(
-                            child, spark, p_from[pval], p_to[pval]
+                            self._child(a["dir"]),
+                            spark,
+                            a["version"],
+                            b["version"],
                         )
                     )
-            elif pval in p_to:
-                outs.append(
-                    child.read(spark, version=p_to[pval]).withColumn(
-                        "_change_type", F.lit("insert")
-                    )
-                )
+            elif a and b:  # drop + re-create: different epoch dirs
+                outs.append(_snap(a, "delete"))
+                outs.append(_snap(b, "insert"))
+            elif b:
+                outs.append(_snap(b, "insert"))
             else:
-                outs.append(
-                    child.read(spark, version=p_from[pval]).withColumn(
-                        "_change_type", F.lit("delete")
-                    )
-                )
+                outs.append(_snap(a, "delete"))
         if not outs:
             any_p = sorted(p_from or p_to)[0]
-            snap = self._child(any_p).read(
-                spark, version=(p_from or p_to)[any_p]
+            entry = (p_from or p_to)[any_p]
+            snap = self._child(entry["dir"]).read(
+                spark, version=entry["version"]
             )
             return snap.withColumn("_change_type", F.lit("none")).limit(0)
         out = outs[0]
@@ -466,12 +511,15 @@ class PartitionedParquetMergeStore:
         ]
         live = set()
         for v in keep_versions:
-            live |= set(self._read_manifest(v)["partitions"])
+            live |= {
+                e["dir"]
+                for e in self._read_manifest(v)["partitions"].values()
+            }
         removed = []
         for d in sorted(os.listdir(self.root)):
             if not d.startswith("p="):
                 continue
-            if d[2:] not in live:
+            if d not in live:
                 shutil.rmtree(os.path.join(self.root, d))
                 removed.append(d)
         return removed

@@ -75,7 +75,7 @@ def test_merge_touches_only_its_partitions(spark, tmp_path):
     st.merge(_batch(spark, [("d2", 9)]))  # touches d2 only
     parts_v1 = st._parts(1)
     assert parts_v1["d1"] == parts_v0["d1"]  # untouched child pinned
-    assert parts_v1["d2"] == parts_v0["d2"] + 1
+    assert parts_v1["d2"]["version"] == parts_v0["d2"]["version"] + 1
     assert _rows(st.read(spark)) == [
         ("d1", 1, 1, "d1/1"),
         ("d2", 1, 1, "d2/1"),
@@ -133,7 +133,7 @@ def test_delete_where_prunes_to_partition_range(spark, tmp_path):
     # only d2's child advanced — d1/d3 never even ran the delete scan
     assert parts_v1["d1"] == parts_v0["d1"]
     assert parts_v1["d3"] == parts_v0["d3"]
-    assert parts_v1["d2"] == parts_v0["d2"] + 1
+    assert parts_v1["d2"]["version"] == parts_v0["d2"]["version"] + 1
     assert _rows(st.read(spark)) == [
         ("d1", 1, 1, "d1/1"),
         ("d3", 3, 1, "d3/3"),
@@ -188,3 +188,39 @@ def test_count_rows_scoped(spark, tmp_path):
     st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 3)]))
     assert st.count_rows() == 3
     assert st.count_rows(partitions=("d1", "d1")) == 2
+
+
+def test_drop_then_remerge_does_not_resurrect_old_rows(spark, tmp_path):
+    """Dropping a partition and later merging NEW rows into the same
+    value must yield ONLY the new rows: the re-created partition gets a
+    fresh epoch child dir (p=<val>@1), never a re-pin of the dropped
+    child (which still holds the pre-drop rows for time travel)."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 3)]))  # v0
+    st.drop_partition("d1")  # v1
+    st.merge(_batch(spark, [("d1", 9)]))  # v2: re-created partition
+    assert _rows(st.read(spark)) == [
+        ("d1", 9, 1, "d1/9"),  # ONLY the new row — k=1/2 stay dropped
+        ("d2", 3, 1, "d2/3"),
+    ]
+    assert st._parts(2)["d1"]["dir"] == "p=d1@1"
+    # time travel before the drop still resolves the OLD epoch dir
+    assert _rows(st.read(spark, version=0)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 3, 1, "d2/3"),
+    ]
+    # CDC across the drop+re-create nets old rows out, new row in
+    ch = st.changes_between(spark, 0, 2)
+    assert sorted((r.day, r.k, r._change_type) for r in ch.collect()) == [
+        ("d1", 1, "delete"),
+        ("d1", 2, "delete"),
+        ("d1", 9, "insert"),
+    ]
+    # vacuum keeping only the current version removes the old epoch dir
+    removed = st.vacuum(keep_last=1)
+    assert removed == ["p=d1"]
+    assert _rows(st.read(spark)) == [
+        ("d1", 9, 1, "d1/9"),
+        ("d2", 3, 1, "d2/3"),
+    ]
