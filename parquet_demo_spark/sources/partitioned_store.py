@@ -256,6 +256,14 @@ class PartitionedParquetMergeStore:
             for r in upserts.select(self.partition_col).distinct().collect()
         )
         cur = self.current_version()
+        if not pvals:
+            # empty batch: no child advanced, so no global version burns
+            # (the child store's own no-op law, one level up)
+            if cur is None:
+                raise ValueError(
+                    "cannot merge an empty batch into an empty store"
+                )
+            return cur
         parts = {} if cur is None else self._parts(cur)
         for pval in pvals:
             # a partition with no LIVE entry gets a FRESH epoch dir even
@@ -319,6 +327,9 @@ class PartitionedParquetMergeStore:
             if v is not None:  # None = no match, no child commit burned
                 parts[pval]["version"] = v
                 touched.append(pval)
+        if not touched:
+            # nothing matched anywhere: mirror the child's no-op law
+            return cur
         new_version = cur + 1
         self._commit(
             new_version,

@@ -224,3 +224,19 @@ def test_drop_then_remerge_does_not_resurrect_old_rows(spark, tmp_path):
         ("d1", 9, 1, "d1/9"),
         ("d2", 3, 1, "d2/3"),
     ]
+
+
+def test_noop_merge_and_delete_burn_no_version(spark, tmp_path):
+    """Empty batches and no-match deletes return the current version
+    without committing — the child store's no-op law, one level up."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0
+    empty = _batch(spark, [("d1", 1)]).filter(F.col("k") < 0)
+    assert st.merge(empty) == 0
+    assert st.delete_where(spark, "k > 100") == 0
+    assert st.current_version() == 0
+    with pytest.raises(ValueError, match="empty batch"):
+        PartitionedParquetMergeStore(
+            str(tmp_path / "fresh"), keys=("day", "k"),
+            partition_col="day", version_cols=("v",),
+        ).merge(empty)
