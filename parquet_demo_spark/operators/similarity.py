@@ -1987,3 +1987,215 @@ def _q156_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q156_ann_ivfpq", _q156_build, _q156_read)
+
+
+# --- q158: scalar quantization (SQ8) — the third compression flavor -------
+
+_Q158_CODE = (
+    "CASE WHEN hh[i] = ll[i] THEN 0 ELSE CAST(least(greatest(floor("
+    "(e[i] - ll[i]) * CAST(255 AS DOUBLE) / (hh[i] - ll[i])), 0), 255) "
+    "AS BIGINT) END"
+)
+_Q158_QCODE = _Q158_CODE.replace("e[i]", "qe[i]")
+_Q158_D2INT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "range(1, 65), i -> (q.qc[i] - c.c[i]) * (q.qc[i] - c.c[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+_Q158_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes0 AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe
+      FROM base WHERE vec_id < 5
+    ),
+    planted AS (
+      SELECT CAST(1000000 + p.qid * 10 + s.p AS BIGINT) AS vec_id,
+             p.qlabel AS label,
+             {_PROBE_PERTURB_SQL} AS e
+      FROM probes0 p CROSS JOIN (SELECT unnest([1, 2, 3]) AS p) s
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted
+    ),
+    exploded AS (
+      SELECT unnest(e) AS val, unnest(range(1, 65)) AS pos FROM corpus
+    ),
+    lohi AS (
+      SELECT pos, MIN(val) AS lo, MAX(val) AS hi
+      FROM exploded GROUP BY pos
+    ),
+    arrs AS (
+      SELECT list(lo ORDER BY pos) AS ll, list(hi ORDER BY pos) AS hh
+      FROM lohi
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> {_Q158_CODE}) AS c
+      FROM corpus, arrs
+    ),
+    qcodes AS (
+      SELECT qid,
+             list_transform(range(1, 65), i -> {_Q158_QCODE}) AS qc
+      FROM probes0, arrs
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id, {_Q158_D2INT} AS d2i
+      FROM codes c CROSS JOIN qcodes q WHERE c.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY d2i, vec_id) AS rn FROM scored)
+      WHERE rn <= 3
+    ),
+    scored_truth AS (
+      SELECT q.qid, c.vec_id, {_PQ_FULL_D2} AS d2
+      FROM corpus c CROSS JOIN probes0 q WHERE c.vec_id <> q.qid
+    ),
+    top_truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY d2, vec_id) AS rn FROM scored_truth)
+      WHERE rn <= 3
+    ),
+    per_q AS (
+      SELECT t.qid,
+             SUM(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_q,
+             COUNT(*) AS truth_q
+      FROM top_truth t LEFT JOIN topk m
+        ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
+    )
+    SELECT 'sq8' AS method,
+           ROUND(AVG(hits_q * 1.0 / truth_q), 4) AS recall_at_3,
+           CAST(SUM(hits_q) AS BIGINT) AS hits,
+           CAST(SUM(truth_q) AS BIGINT) AS truth_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_encoded,
+           CAST(64 AS BIGINT) AS bytes_per_vector
+    FROM per_q
+    """
+
+
+@register(
+    "q158_ann_sq8",
+    oracle=_Q158_ORACLE,
+    doc="Scalar quantization (SQ8) ANN, hash-checked — the third "
+    "compression flavor beside PQ/ADC (q137) and the binary-ish LSH "
+    "sketches: each of the 64 dims quantizes independently to one "
+    "byte on the corpus' per-dim [min, max] range (256 levels), an 8x "
+    "compression over f64 (4x over f32) with NO codebook training, "
+    "and search is integer L2 over the codes — the distance arithmetic "
+    "is exact BIGINT, so unlike every float-scored ANN row there is "
+    "zero rounding surface in the ranking itself (the only doubles are "
+    "the quantization thresholds, identical expressions both engines). "
+    "recall@3 vs exact-L2 truth on the planted protocol — SQ8's "
+    "per-dim resolution keeps near-dup structure that i.i.d. corpora "
+    "stress hard. Scale: the lo/hi table is 64 rows computed in one "
+    "pass (min/max — no summation order issues), codes are a map-side "
+    "projection, and the scan is a linear integer-SIMD-friendly pass; "
+    "production composes it with IVF cells like q156 composes PQ. "
+    "Faiss's SQ8 is the public design.",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    return _q158_read(spark, sf, _q158_build(spark, sf))
+
+
+def _q158_build(spark: SparkSession, sf: str):
+    """Build phase: per-dim ranges + corpus/probe codes + pinned truth."""
+    base, probes0, planted = _planted_sets(spark, sf)
+    corpus = (
+        base.select("vec_id", "e")
+        .unionByName(planted.select("vec_id", "e"))
+        .localCheckpoint()
+    )
+    ex = corpus.select(F.posexplode("e").alias("pos", "val"))
+    lohi = ex.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    arrs = lohi.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+            lambda s: s["lo"],
+        ).alias("ll"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+            lambda s: s["hi"],
+        ).alias("hh"),
+    )
+
+    def _code(vec_col: str):
+        def one(x, i):
+            lo = F.element_at(F.col("ll"), i + 1)
+            hi = F.element_at(F.col("hh"), i + 1)
+            q = F.least(
+                F.greatest(
+                    F.floor((x - lo) * F.lit(255.0) / (hi - lo)),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(255).cast("bigint"),
+            )
+            return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(q)
+
+        return F.transform(F.col(vec_col), one)
+
+    codes = (
+        corpus.crossJoin(F.broadcast(arrs))
+        .select("vec_id", _code("e").alias("c"))
+        .localCheckpoint()
+    )
+    qcodes = (
+        probes0.select("qid", "qe")
+        .crossJoin(F.broadcast(arrs))
+        .select("qid", _code("qe").alias("qc"))
+        .localCheckpoint()
+    )
+    scored_truth = (
+        corpus.crossJoin(F.broadcast(probes0.select("qid", "qe")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d2", _pq_full_d2())
+    )
+    wt = W.partitionBy("qid").orderBy("d2", "vec_id")
+    truth = (
+        scored_truth.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    return corpus, codes, qcodes, truth
+
+
+def _q158_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the integer-L2 code scan + top-3 + recall."""
+    corpus, codes, qcodes, truth = state
+    d2i = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("c"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d2i", d2i)
+    )
+    w = W.partitionBy("qid").orderBy("d2i", "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(truth, top, "planted", "sq8").drop("protocol")
+    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
+    return (
+        rec.crossJoin(F.broadcast(n_enc))
+        .withColumn("bytes_per_vector", F.lit(64).cast("bigint"))
+    )
+
+
+register_phases("q158_ann_sq8", _q158_build, _q158_read)

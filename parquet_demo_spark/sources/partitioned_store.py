@@ -506,6 +506,39 @@ class PartitionedParquetMergeStore:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(
+        self, spark: SparkSession, min_files: int = 2
+    ) -> int | None:
+        """OPTIMIZE: compact fragmented buckets in every live child
+        store (each child's snapshot-isolated, CDC-silent compaction),
+        then commit ONE global version pinning the compacted children.
+        Returns the new global version, or None if nothing was
+        fragmented enough to touch (no version burns — the no-op law).
+        """
+        cur = self.current_version()
+        parts = self._parts(cur)
+        touched = []
+        for pval in sorted(parts):
+            child = self._child(parts[pval]["dir"])
+            # only compact the child version this table pins — a child
+            # pointer ahead of the pin (crashed writer) must not leak in
+            if child.current_version() != parts[pval]["version"]:
+                continue
+            v = child.compact(spark, min_files=min_files)
+            if v is not None:
+                parts[pval]["version"] = v
+                touched.append(pval)
+        if not touched:
+            return None
+        new_version = cur + 1
+        self._commit(
+            new_version,
+            parts,
+            "compact",
+            {"min_files": min_files, "touched": touched},
+        )
+        return new_version
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Remove child directories of partitions referenced by NO kept
         global manifest. Live children are left to their own vacuum.

@@ -240,3 +240,33 @@ def test_noop_merge_and_delete_burn_no_version(spark, tmp_path):
             str(tmp_path / "fresh"), keys=("day", "k"),
             partition_col="day", version_cols=("v",),
         ).merge(empty)
+
+
+def test_compact_children_one_global_commit(spark, tmp_path):
+    """OPTIMIZE compacts fragmented buckets in every live child under
+    ONE global version; rows, pruning, and time travel are unchanged."""
+    st = _store(tmp_path)
+    # AQE coalesces the collapse shuffle to one partition at this size,
+    # which hides fragmentation; real fragmentation comes from
+    # multi-partition writes, so pin that shape (the child compact
+    # test's recipe)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        st.merge(
+            _batch(spark, [(d, k) for d in ("d1", "d2") for k in range(12)])
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    before = _rows(st.read(spark))
+    files_before = st.files_read()
+    v = st.compact(spark, min_files=2)
+    assert v == st.current_version()
+    assert _rows(st.read(spark)) == before
+    assert st.files_read() < files_before
+    # compacting the already-compact store is a no-op, no version burns
+    assert st.compact(spark, min_files=2) is None
+    assert st.current_version() == v
+    # time travel to the pre-compaction version still works
+    assert _rows(st.read(spark, version=v - 1)) == before
