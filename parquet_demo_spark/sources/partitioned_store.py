@@ -539,6 +539,25 @@ class PartitionedParquetMergeStore:
         )
         return new_version
 
+    def clean_orphans(self) -> list[str]:
+        """Remove global manifest dirs ABOVE the committed pointer — the
+        residue of a writer that crashed after winning the O_EXCL CAS
+        but before the pointer swap (the child store's clean_orphans,
+        one level up). Orphan CHILD versions are reclaimed by each
+        child's own clean_orphans/vacuum. Only run when no writer is
+        active."""
+        import shutil
+
+        cur = self.current_version()
+        removed = []
+        for d in sorted(os.listdir(self.root)):
+            if d.startswith("v") and d[1:].isdigit():
+                v = int(d[1:])
+                if cur is None or v > cur:
+                    shutil.rmtree(os.path.join(self.root, d))
+                    removed.append(d)
+        return removed
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Remove child directories of partitions referenced by NO kept
         global manifest. Live children are left to their own vacuum.

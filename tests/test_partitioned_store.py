@@ -270,3 +270,24 @@ def test_compact_children_one_global_commit(spark, tmp_path):
     assert st.current_version() == v
     # time travel to the pre-compaction version still works
     assert _rows(st.read(spark, version=v - 1)) == before
+
+
+def test_clean_orphans_removes_manifests_above_pointer(spark, tmp_path):
+    """A crash between the manifest CAS and the pointer swap leaves an
+    orphan global manifest; readers never see it, clean_orphans
+    reclaims it, and the next commit retakes the version."""
+    import json
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0
+    # simulate the crashed writer: manifest for v1 exists, pointer at v0
+    orphan = os.path.join(st.root, "v00001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "manifest.json"), "w") as fh:
+        json.dump({"partitions": {}}, fh)
+    assert st.current_version() == 0
+    assert _rows(st.read(spark)) == [("d1", 1, 1, "d1/1")]
+    assert st.clean_orphans() == ["v00001"]
+    # the retried write takes v1 cleanly
+    st.merge(_batch(spark, [("d2", 2)]))
+    assert st.current_version() == 1
