@@ -336,3 +336,94 @@ def _q139_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q139_change_feed_refresh", _q139_build, _q139_read)
+
+
+@register(
+    "q159_partitioned_mv_refresh",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    wk0 AS (SELECT MIN(wk) AS w FROM ev),
+    ranked AS (
+      SELECT wk, user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY wk, user_id, event_type
+               ORDER BY (event_id % 2) DESC, ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked, wk0
+    WHERE rn = 1 AND wk <> wk0.w
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Retention flowing into DERIVED tables, hash-checked: a "
+    "materialized view over the DATE-PARTITIONED store is refreshed "
+    "incrementally across a span that includes a partition DROP. The "
+    "store merges even event_ids (v0, the view's base), merges the "
+    "odd batch (v1, unconditional per-week replace), then "
+    "drop_partition(first week) (v2 — one manifest write, zero data "
+    "I/O). The refresh applies ONLY changes_between(0, 2, "
+    "include_preimages=True): per-partition child diffs for the "
+    "merged weeks PLUS the dropped week's snapshot as CDC delete "
+    "rows, through q134's signed-delta law (+post −pre). The oracle "
+    "recomputes the final aggregate from scratch (global per-week "
+    "LWW, dropped week excluded) — the hash match proves a "
+    "metadata-only retention drop reaches downstream aggregates "
+    "EXACTLY, with no view rebuild and no scan of surviving "
+    "partitions beyond their changed buckets. At 100 TB this is "
+    "GDPR/retention day-to-day: expire a day, and every derived "
+    "table follows from the day's CDC rows. "
+    "sources/partitioned_store.py changes_between + "
+    "operators/incremental.py refresh_incremental.",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    return _q159_read(spark, sf, _q159_build(spark, sf))
+
+
+def _q159_build(spark: SparkSession, sf: str):
+    """Build phase: v0 merge + pinned base view, v1 merge, v2 drop."""
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q159", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))  # v0
+    mv0 = _mv_agg(store.read(spark, version=0)).localCheckpoint()
+    store.merge(ev.filter(F.col("event_id") % 2 == 1))  # v1
+    store.drop_partition(store.partitions()[0])  # v2: retention
+    return store, mv0
+
+
+def _q159_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Read phase: the O(Δ) refresh across merges AND the drop."""
+    store, mv0 = state
+    cdc = store.changes_between(spark, 0, 2, include_preimages=True)
+    return refresh_incremental(mv0, cdc).orderBy("event_type")
+
+
+register_phases("q159_partitioned_mv_refresh", _q159_build, _q159_read)

@@ -445,7 +445,11 @@ class PartitionedParquetMergeStore:
     # -- CDC across global versions ----------------------------------------
 
     def changes_between(
-        self, spark: SparkSession, v_from: int, v_to: int
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Net row changes between two global versions, Delta-CDF-tagged.
 
@@ -483,6 +487,7 @@ class PartitionedParquetMergeStore:
                             spark,
                             a["version"],
                             b["version"],
+                            include_preimages=include_preimages,
                         )
                     )
             elif a and b:  # drop + re-create: different epoch dirs
