@@ -375,6 +375,15 @@ def search_ranked_bm25(
     decimal (the q146/q104 convention) so the top-k cut is stable
     across engines. Ties break by doc id.
     """
+    if n_docs <= 0:
+        # an empty corpus has no average doc length; the well-defined
+        # answer is "no hits", not a ZeroDivisionError at plan build
+        return (
+            index.select(
+                F.col(id_col),
+                F.lit(0.0).alias("score"),
+            ).limit(0)
+        )
     if dl is None:
         dl = doc_lengths(index, id_col)
     dl = dl.select(F.col(id_col), F.col("dl").alias("__dl"))

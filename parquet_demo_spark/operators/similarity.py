@@ -1430,9 +1430,6 @@ def _pq_encode(
     )
     if pin:
         codes = codes.localCheckpoint()
-    qsubs = _pq_subspaces(
-        probes0.select("qid", F.col("qe").alias("e")), "e", ["qid"]
-    )
     dist_tab = _pq_dist_tab(probes0, cent1)
     return codes, dist_tab, cent1
 

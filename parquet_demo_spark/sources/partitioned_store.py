@@ -22,7 +22,11 @@ Why composition beats widening the child's bucket key to
 - **Pruning is directory-shaped.** A date-scoped read selects child
   stores by partition value from the manifest — zero file listings, let
   alone reads, under non-matching partitions; inside each selected
-  child, the usual bucket/min-max/bloom pruning still applies.
+  child, the usual bucket/min-max/bloom pruning still applies. For
+  NON-partition predicates, each entry also carries the child's
+  rolled-up per-column [min, max] (the Iceberg manifest-list design),
+  so a ``where`` range skips whole child directories before any child
+  manifest is opened.
 - **Retention is one manifest write.** ``drop_partition`` commits a new
   global version without the partition's entry; no data file is
   touched, and the change feed can still synthesize the delete rows
@@ -42,9 +46,13 @@ config validation).
 
 Crash story: children commit first, then the global manifest. A crash
 between the two leaves orphan child versions that no global manifest
-references — invisible to readers, converged by the next successful
-retry (child merges are ReplaceOne-idempotent), reclaimable via the
-child's own ``clean_orphans``/``vacuum``.
+references — invisible to readers, reclaimable via the child's own
+``clean_orphans``/``vacuum``. Every write path (merge, delete_where,
+compact) builds on the globally PINNED child version, not the child's
+HEAD: when they differ (the crashed-writer residue), the child is
+first restored to the pin, so an aborted transaction's rows can never
+silently fold into a later successful commit even if the crashed batch
+is never retried.
 
 Reference parity note: the reference's R14 upsert
 (`/root/reference/examples/ingest_parquet_to_mongo_bulk.py:108-116`)
@@ -58,6 +66,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,6 +96,7 @@ class PartitionedParquetMergeStore:
         version_cols: tuple[str, ...] = (),
         num_buckets: int = 8,
         bloom_cols: tuple[str, ...] = (),
+        write_concurrency: int = 8,
     ) -> None:
         if partition_col not in keys:
             raise ValueError(
@@ -100,6 +110,12 @@ class PartitionedParquetMergeStore:
         self.version_cols = tuple(version_cols)
         self.num_buckets = int(num_buckets)
         self.bloom_cols = tuple(bloom_cols)
+        # operational knob, not table schema: how many child stores a
+        # multi-partition batch writes CONCURRENTLY (each child is an
+        # independent directory + commit; Spark schedules the threads'
+        # jobs in parallel) — deliberately outside the config-mismatch
+        # validation below
+        self.write_concurrency = max(1, int(write_concurrency))
         os.makedirs(root, exist_ok=True)
         committed = self.current_version()
         if committed is not None:
@@ -138,8 +154,16 @@ class PartitionedParquetMergeStore:
         return os.path.join(self.root, f"v{version:05d}", "manifest.json")
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as fh:
-            return json.load(fh)
+        try:
+            with open(self._manifest_path(version)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            cur = self.current_version()
+            raise ValueError(
+                f"global version {version} does not exist in {self.root} "
+                f"(committed pointer: {cur}): never committed, or removed "
+                "by vacuum(keep_last=...)"
+            ) from None
 
     def _commit(
         self,
@@ -204,6 +228,66 @@ class PartitionedParquetMergeStore:
             bloom_cols=self.bloom_cols,
         )
 
+    def _pinned_child(self, entry: dict) -> ParquetMergeStore:
+        """Open a child store FOR WRITING, fenced to the globally pinned
+        version.
+
+        A writer that crashed (or lost the global pointer CAS) after
+        committing child versions leaves the child's HEAD ahead of the
+        pin; those versions belong to an aborted global transaction and
+        must not fold into the next successful commit. Building on the
+        child's HEAD would do exactly that — so when HEAD != pin, the
+        child is first RESTOREd to the pinned snapshot (the child's
+        metadata-only re-commit; the aborted versions stay on disk for
+        the child's own vacuum) and the new write builds on that. The
+        same guard compact() always had, now on every write path.
+        """
+        child = self._child(entry["dir"])
+        head = child.current_version()
+        pinned = int(entry["version"])
+        if head != pinned:
+            if head is None or head < pinned:
+                raise ValueError(
+                    f"child store {entry['dir']} is at v{head}, BEHIND "
+                    f"the global pin v{pinned}: the partition directory "
+                    "was truncated or replaced out-of-band; refusing to "
+                    "write through it"
+                )
+            child.restore(pinned)
+        return child
+
+    @staticmethod
+    def _child_stats_rollup(
+        child: ParquetMergeStore, child_version: int
+    ) -> dict[str, list]:
+        """Per-column [min, max] over ALL the child's buckets at a
+        version — the Iceberg manifest-list rollup, derived purely from
+        the child's own manifest (no file I/O, no Spark job).
+
+        A column gets a partition-level bound only when EVERY bucket
+        recorded stats for it; otherwise some bucket's contents are
+        unbounded and the honest answer is "can't prune". Readers use
+        these to skip whole child directories on non-partition
+        predicates (e.g. a user_id point lookup touching 3 of 400
+        dates) before any child manifest — let alone data file — is
+        opened.
+        """
+        m = child._read_manifest(child_version)
+        stats = {int(k): v for k, v in m.get("stats", {}).items()}
+        buckets = [int(k) for k in m["bucket_paths"]]
+        if not buckets:
+            return {}
+        common = set(stats.get(buckets[0], {}))
+        for b in buckets[1:]:
+            common &= set(stats.get(b, {}))
+        return {
+            c: [
+                min(stats[b][c][0] for b in buckets),
+                max(stats[b][c][1] for b in buckets),
+            ]
+            for c in sorted(common)
+        }
+
     def _next_epoch_dir(self, pval: str) -> str:
         """Child dir for a partition value with no LIVE entry: the bare
         ``p=<val>`` if never used, else the next ``p=<val>@N`` epoch
@@ -240,21 +324,30 @@ class PartitionedParquetMergeStore:
         which makes streaming ingest through ``stream_merge_into_store``
         order-independent and redelivery-idempotent per partition — the
         q135 exactly-once recipe, now date-partitioned.
+
+        Touched partitions write CONCURRENTLY (``write_concurrency``
+        threads; each child is an independent directory + commit, so a
+        backfill touching P partitions pays ~P/threads Spark-job
+        rounds, not P). Routing and the per-partition filters derive
+        from the SAME Spark-side ``cast('string')`` expression, so a
+        partition value whose Python ``str()`` rendering differs from
+        Spark's (doubles, fractional timestamps) can never route to a
+        filter that matches nothing — and the NULL guard rides the same
+        single distinct-collect job instead of paying its own.
         """
         if self.partition_col not in upserts.columns:
             raise ValueError(
                 f"batch lacks partition column {self.partition_col!r}"
             )
-        if upserts.filter(F.col(self.partition_col).isNull()).limit(
-            1
-        ).count():
+        pval_expr = F.col(self.partition_col).cast("string")
+        pval_rows = [
+            r[0] for r in upserts.select(pval_expr).distinct().collect()
+        ]
+        if any(v is None for v in pval_rows):
             raise ValueError(
                 f"NULL {self.partition_col!r} cannot route to a partition"
             )
-        pvals = sorted(
-            _pdir(r[0])
-            for r in upserts.select(self.partition_col).distinct().collect()
-        )
+        pvals = sorted(_pdir(v) for v in pval_rows)
         cur = self.current_version()
         if not pvals:
             # empty batch: no child advanced, so no global version burns
@@ -265,27 +358,47 @@ class PartitionedParquetMergeStore:
                 )
             return cur
         parts = {} if cur is None else self._parts(cur)
+        # dir assignment stays serial (cheap, and epoch probing must not
+        # race itself); the data writes below fan out
+        dirnames = {}
         for pval in pvals:
             # a partition with no LIVE entry gets a FRESH epoch dir even
             # if an old child exists on disk (dropped history): pinning
             # the old child again would resurrect its pre-drop rows
-            dirname = (
+            dirnames[pval] = (
                 parts[pval]["dir"]
                 if pval in parts
                 else self._next_epoch_dir(pval)
             )
-            child = self._child(dirname)
-            batch = upserts.filter(
-                F.col(self.partition_col).cast("string") == pval
+
+        def _merge_one(pval: str) -> dict:
+            dirname = dirnames[pval]
+            child = (
+                self._pinned_child(parts[pval])
+                if pval in parts
+                else self._child(dirname)
             )
-            parts[pval] = {
+            v = child.merge(
+                upserts.filter(pval_expr == pval),
+                write_change_feed=write_change_feed,
+                conditional=conditional,
+            )
+            return {
                 "dir": dirname,
-                "version": child.merge(
-                    batch,
-                    write_change_feed=write_change_feed,
-                    conditional=conditional,
-                ),
+                "version": v,
+                "stats": self._child_stats_rollup(child, v),
             }
+
+        # a failed child leaves its committed versions ABOVE this
+        # table's pin — invisible to readers, restored-over by the next
+        # write through _pinned_child — so propagating the first error
+        # after the pool drains is crash-consistent
+        with ThreadPoolExecutor(
+            max_workers=min(self.write_concurrency, len(pvals))
+        ) as pool:
+            futs = {p: pool.submit(_merge_one, p) for p in pvals}
+            results = {p: f.result() for p, f in futs.items()}
+        parts.update(results)
         new_version = 0 if cur is None else cur + 1
         self._commit(
             new_version,
@@ -312,21 +425,32 @@ class PartitionedParquetMergeStore:
         """
         cur = self.current_version()
         parts = self._parts(cur)
-        touched = []
-        for pval in sorted(parts):
-            if partitions is not None:
-                lo, hi = partitions
-                if (lo is not None and pval < str(lo)) or (
-                    hi is not None and pval > str(hi)
-                ):
-                    continue
-            child = self._child(parts[pval]["dir"])
+        in_scope = self._select(parts, partitions)
+
+        def _delete_one(pval: str) -> dict | None:
+            child = self._pinned_child(parts[pval])
             v = child.delete(
                 spark, condition, write_change_feed=write_change_feed
             )
-            if v is not None:  # None = no match, no child commit burned
-                parts[pval]["version"] = v
-                touched.append(pval)
+            if v is None:  # no match, no child commit burned
+                return None
+            return {
+                "dir": parts[pval]["dir"],
+                "version": v,
+                "stats": self._child_stats_rollup(child, v),
+            }
+
+        touched = []
+        if in_scope:
+            with ThreadPoolExecutor(
+                max_workers=min(self.write_concurrency, len(in_scope))
+            ) as pool:
+                futs = {p: pool.submit(_delete_one, p) for p in in_scope}
+                for pval in in_scope:
+                    entry = futs[pval].result()
+                    if entry is not None:
+                        parts[pval] = entry
+                        touched.append(pval)
         if not touched:
             # nothing matched anywhere: mirror the child's no-op law
             return cur
@@ -371,15 +495,22 @@ class PartitionedParquetMergeStore:
         where: dict | None = None,
     ) -> DataFrame:
         """Snapshot read; ``partitions=(lo, hi)`` prunes child stores by
-        manifest before any file is listed; ``where`` then applies the
-        child's min/max/bloom pruning inside each survivor."""
+        manifest before any file is listed; ``where`` (column →
+        (lo, hi) closed range) prunes TWICE — first against the global
+        manifest's rolled-up per-partition column stats (children whose
+        [min, max] provably exclude the range are skipped without their
+        directories ever being opened — the Iceberg manifest-list
+        design), then via the surviving children's own min/max/bloom
+        bucket pruning."""
         parts = self._parts(version)
         if not parts:
             raise ValueError(
                 "no live partitions (all dropped); time-travel an older "
                 "version to read them"
             )
-        selected = self._select(parts, partitions)
+        selected = self._stats_select(
+            parts, self._select(parts, partitions), where
+        )
         if not selected:
             # schema from any live child, zero matching rows
             any_p = sorted(parts)[0]
@@ -408,19 +539,53 @@ class PartitionedParquetMergeStore:
             sel.append(pval)
         return sel
 
+    @staticmethod
+    def _stats_select(
+        parts: dict[str, dict], selected: list, where: dict | None
+    ) -> list:
+        """Drop partitions whose rolled-up column stats PROVE no row
+        satisfies every ``where`` range. A partition whose entry lacks
+        stats for a column (pre-rollup manifests, non-orderable types)
+        always survives — absence means "can't prune", never "wrong
+        prune" (the child store's law, one level up)."""
+        if not where:
+            return selected
+        out = []
+        for pval in selected:
+            st = parts[pval].get("stats") or {}
+            keep = True
+            for col, (lo, hi) in where.items():
+                if col in st:
+                    mn, mx = st[col]
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        keep = False
+                        break
+            if keep:
+                out.append(pval)
+        return out
+
     def files_read(
         self,
         version: int | None = None,
         partitions: tuple | None = None,
+        where: dict | None = None,
     ) -> int:
-        """How many data files a :meth:`read` with this partition scope
-        opens — the pruning evidence (footer-free: manifest + listing)."""
+        """How many data files a :meth:`read` with this scope opens —
+        the pruning evidence (footer-free: manifests + listing), with
+        both levels applied: global stats rollup across partitions,
+        then each survivor's own bucket min/max/bloom pruning."""
         parts = self._parts(version)
         total = 0
-        for pval in self._select(parts, partitions):
+        for pval in self._stats_select(
+            parts, self._select(parts, partitions), where
+        ):
             child = self._child(parts[pval]["dir"])
             for rel in set(
-                child._bucket_paths(parts[pval]["version"]).values()
+                child._pruned_bucket_paths(
+                    parts[pval]["version"], where
+                ).values()
             ):
                 d = os.path.join(child.root, rel)
                 total += sum(
@@ -532,6 +697,7 @@ class PartitionedParquetMergeStore:
             v = child.compact(spark, min_files=min_files)
             if v is not None:
                 parts[pval]["version"] = v
+                parts[pval]["stats"] = self._child_stats_rollup(child, v)
                 touched.append(pval)
         if not touched:
             return None
@@ -565,16 +731,22 @@ class PartitionedParquetMergeStore:
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Remove child directories of partitions referenced by NO kept
-        global manifest. Live children are left to their own vacuum.
-        Returns removed partition dirs."""
+        global manifest, AND the global manifest dirs below the keep
+        window — so time travel never resolves a version whose child
+        dirs may be gone and then dies mid-read; it fails up front with
+        the descriptive "never committed, or removed by vacuum" error
+        (the child store's own vacuum convention, one level up). Live
+        children are left to their own vacuum. Returns removed dirs
+        (partition and version)."""
         import shutil
 
         cur = self.current_version()
         if cur is None:
             return []
+        lo_keep = max(0, cur - keep_last + 1)
         keep_versions = [
             v
-            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            for v in range(lo_keep, cur + 1)
             if os.path.exists(self._manifest_path(v))
         ]
         live = set()
@@ -585,9 +757,14 @@ class PartitionedParquetMergeStore:
             }
         removed = []
         for d in sorted(os.listdir(self.root)):
-            if not d.startswith("p="):
-                continue
-            if d not in live:
+            if d.startswith("p=") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
+            elif (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and int(d[1:]) < lo_keep
+            ):
                 shutil.rmtree(os.path.join(self.root, d))
                 removed.append(d)
         return removed

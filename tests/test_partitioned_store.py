@@ -145,9 +145,13 @@ def test_vacuum_removes_only_dropped_partitions(spark, tmp_path):
     st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # v0
     st.drop_partition("d1")  # v1
     removed = st.vacuum(keep_last=1)
-    assert removed == ["p=d1"]
+    # the dropped child AND the global manifest below the keep window
+    # both go, so time travel to v0 fails up front, not mid-read
+    assert removed == ["p=d1", "v00000"]
     assert not os.path.exists(os.path.join(st.root, "p=d1"))
     assert _rows(st.read(spark)) == [("d2", 2, 1, "d2/2")]
+    with pytest.raises(ValueError, match="vacuum"):
+        st.read(spark, version=0)
     # keeping 2 versions keeps the dropped partition's files
     st2 = _store(tmp_path, num_buckets=2)
     st2root = str(tmp_path / "pstore2")
@@ -218,8 +222,9 @@ def test_drop_then_remerge_does_not_resurrect_old_rows(spark, tmp_path):
         ("d1", 9, "insert"),
     ]
     # vacuum keeping only the current version removes the old epoch dir
+    # plus the two global manifests below the keep window
     removed = st.vacuum(keep_last=1)
-    assert removed == ["p=d1"]
+    assert removed == ["p=d1", "v00000", "v00001"]
     assert _rows(st.read(spark)) == [
         ("d1", 9, 1, "d1/9"),
         ("d2", 3, 1, "d2/3"),
@@ -291,3 +296,188 @@ def test_clean_orphans_removes_manifests_above_pointer(spark, tmp_path):
     # the retried write takes v1 cleanly
     st.merge(_batch(spark, [("d2", 2)]))
     assert st.current_version() == 1
+
+
+def test_aborted_child_versions_never_leak_into_later_commits(
+    spark, tmp_path
+):
+    """A writer that crashed AFTER committing a child version but BEFORE
+    the global manifest commit leaves the child's HEAD ahead of the
+    global pin. If that batch is never retried, the next unrelated
+    write on the partition must NOT fold the aborted rows in — the
+    write path restores the child to the pin first (ADVICE r7)."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # global v0
+    # simulate the crash: advance p=d1's CHILD directly, no global commit
+    entry = st._parts()["d1"]
+    rogue = st._child(entry["dir"])
+    rogue.merge(
+        spark.createDataFrame([Row(day="d1", k=99, v=1, payload="ABORTED")])
+    )
+    assert rogue.current_version() == entry["version"] + 1
+    # reads never see it (global pin), and the next merge restores the
+    # child to the pin before building on it
+    assert ("d1", 99, 1, "ABORTED") not in _rows(st.read(spark))
+    st.merge(_batch(spark, [("d1", 5)]))  # unrelated retry-free write
+    rows = _rows(st.read(spark))
+    assert ("d1", 99, 1, "ABORTED") not in rows
+    assert ("d1", 5, 1, "d1/5") in rows
+    # same guard on the delete path
+    entry = st._parts()["d1"]
+    rogue = st._child(entry["dir"])
+    rogue.merge(
+        spark.createDataFrame([Row(day="d1", k=98, v=1, payload="ABORTED2")])
+    )
+    st.delete_where(spark, "k = 5")
+    rows = _rows(st.read(spark))
+    assert ("d1", 98, 1, "ABORTED2") not in rows
+    assert ("d1", 5, 1, "d1/5") not in rows
+
+
+def test_nonstring_partition_values_route_by_spark_rendering(
+    spark, tmp_path
+):
+    """Partition routing and the per-partition filter derive from the
+    SAME Spark-side cast('string') expression, so a double whose Python
+    str() differs from Spark's rendering (1e-07 vs 1.0E-7) still lands
+    every row (ADVICE r7: the old str(value) routing silently dropped
+    them)."""
+    store = PartitionedParquetMergeStore(
+        str(tmp_path / "dbl"),
+        keys=("bucket", "k"),
+        partition_col="bucket",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    df = spark.createDataFrame(
+        [
+            Row(bucket=1e-07, k=1, v=1, payload="tiny"),
+            Row(bucket=2.5, k=2, v=1, payload="big"),
+        ]
+    )
+    assert str(1e-07) == "1e-07"  # the Python rendering that used to rout
+    store.merge(df)
+    got = sorted(
+        (r.k, r.payload) for r in store.read(spark).collect()
+    )
+    assert got == [(1, "tiny"), (2, "big")]
+    assert store.count_rows() == 2
+    # the manifest key is Spark's rendering, and scoped reads use it
+    assert any("E-7" in p or "1.0E" in p for p in store.partitions())
+
+
+def test_global_stats_rollup_prunes_children(spark, tmp_path):
+    """Non-partition predicates prune whole child directories via the
+    global manifest's rolled-up per-column [min, max] (VERDICT r7 #2) —
+    before any child manifest is opened."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=k, v=1, payload=f"p{k}") for k in range(0, 5)]
+            + [
+                Row(day="d2", k=k, v=1, payload=f"p{k}")
+                for k in range(100, 105)
+            ]
+            + [
+                Row(day="d3", k=k, v=1, payload=f"p{k}")
+                for k in range(200, 205)
+            ]
+        )
+    )
+    parts = st._parts()
+    # every entry carries the rollup, and it brackets the child's range
+    assert parts["d2"]["stats"]["k"] == [100, 104]
+    # manifest-level selection drops d1/d3 without touching their dirs
+    sel = st._stats_select(parts, st._select(parts, None), {"k": (100, 102)})
+    assert sel == ["d2"]
+    assert st.files_read(where={"k": (100, 102)}) < st.files_read()
+    got = sorted(r.k for r in st.read(spark, where={"k": (100, 102)}).collect())
+    assert got == [100, 101, 102]
+    # a column with no rollup never mis-prunes
+    assert st._stats_select(parts, ["d1"], {"nope": (0, 1)}) == ["d1"]
+
+
+def test_concurrent_multipartition_model_equivalence(
+    spark, tmp_path_factory
+):
+    """Random op sequences — multi-partition merges (which fan out over
+    the thread pool), scoped deletes, drops — end in exactly the dict
+    model's state: the parallel write path is observationally identical
+    to the old serial one (VERDICT r7 #1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hs
+
+    _rows_strat = hs.lists(
+        hs.tuples(
+            hs.sampled_from(["d1", "d2", "d3", "d4", "d5"]),
+            hs.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+    _op = hs.one_of(
+        hs.tuples(hs.just("merge"), _rows_strat),
+        hs.tuples(hs.just("drop"), hs.sampled_from(["d1", "d2", "d3"])),
+        hs.tuples(
+            hs.just("delete_k_ge"), hs.integers(min_value=0, max_value=6)
+        ),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=hs.lists(_op, min_size=2, max_size=5))
+    def _run(ops):
+        tmp = tmp_path_factory.mktemp("pmodel")
+        store = PartitionedParquetMergeStore(
+            str(tmp / "st"),
+            keys=("day", "k"),
+            partition_col="day",
+            version_cols=("v",),
+            num_buckets=2,
+            write_concurrency=4,
+        )
+        model: dict[tuple, tuple] = {}
+        seq = 0
+        for kind, arg in ops:
+            if kind == "merge":
+                rows = [
+                    Row(day=d, k=k, v=seq * 100 + i, payload=f"{d}/{k}/{seq}")
+                    for i, (d, k) in enumerate(arg)
+                ]
+                seq += 1
+                store.merge(spark.createDataFrame(rows))
+                best: dict[tuple, tuple] = {}
+                for r in rows:
+                    key = (r.day, r.k)
+                    if key not in best or r.v > best[key][0]:
+                        best[key] = (r.v, r.payload)
+                model.update(best)
+            elif kind == "drop":
+                if store.current_version() is None or arg not in (
+                    store.partitions()
+                ):
+                    continue
+                store.drop_partition(arg)
+                model = {kk: vv for kk, vv in model.items() if kk[0] != arg}
+            else:  # delete_k_ge
+                if store.current_version() is None:
+                    continue
+                store.delete_where(spark, f"k >= {arg}")
+                model = {kk: vv for kk, vv in model.items() if kk[1] < arg}
+        if store.current_version() is None:
+            assert model == {}
+            return
+        if not store.partitions():
+            assert model == {}
+            return
+        got = {
+            (r.day, r.k): (r.v, r.payload)
+            for r in store.read(spark).collect()
+        }
+        assert got == model
+
+    _run()
