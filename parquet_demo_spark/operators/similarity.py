@@ -1923,7 +1923,10 @@ def _q156_build(spark: SparkSession, sf: str):
         "spark_graft_ivfpq",
         f"{sf.strip('/').replace('/', '_')}_pid{os.getpid()}",
     )
-    marker = os.path.join(base_dir, "_READY")
+    # _READY2: the stored-table set grew (icent1, for q160's streaming
+    # maintenance) — a v1 marker from an earlier build in the same
+    # process must not satisfy the check
+    marker = os.path.join(base_dir, "_READY2")
     if not os.path.exists(marker):
         base, probes0, planted = _planted_sets(spark, sf)
         corpus = (
@@ -1976,6 +1979,10 @@ def _q156_build(spark: SparkSession, sf: str):
             ("pc", pc.repartition("cid")),
             ("codes", codes),
             ("pcent1", pcent1),
+            # the coarse centroids persist too: q160's maintenance
+            # stream assigns NEW vectors to cells against this frozen
+            # table (never retrained per batch)
+            ("icent1", icent1),
             ("qr", qr),
             ("probes", probes0.select("qid", "qe")),
             ("truth", truth),
@@ -1994,6 +2001,7 @@ def _q156_build(spark: SparkSession, sf: str):
         load("codes"),
         load("pcent1"),
         load("truth"),
+        load("icent1"),
     )
 
 
@@ -2002,7 +2010,7 @@ def _q156_read(spark: SparkSession, sf: str, state) -> DataFrame:
     cell-restricted candidates -> ADC on candidates (probe lookup
     table computed from the stored codebooks) -> exact re-rank of the
     top-10 -> recall."""
-    corpus, probes0, qr, pc, codes, pcent1, truth = state
+    corpus, probes0, qr, pc, codes, pcent1, truth = state[:7]
     dist_tab = _pq_dist_tab(probes0, pcent1)
     cand = (
         pc.join(F.broadcast(qr), "cid")
@@ -2259,3 +2267,319 @@ def _q158_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q158_ann_sq8", _q158_build, _q158_read)
+
+
+# --- q160: streaming ANN index maintenance (VERDICT r7 #3) -----------------
+#
+# q155 proved the recipe for TEXT (stream edits -> one atomic
+# tombstone-carrying merge per micro-batch into the inverted index);
+# this composes the same recipe with the persisted IVF x PQ tables
+# (q156): new vectors stream in, are encoded against the FROZEN coarse
+# centroids and PQ codebooks (never retrained per batch — the
+# production contract: codebooks version separately from data), and
+# upsert into a vec_id-keyed merge store holding (cell, codes, raw
+# vector); deletes ride as tombstone rows; doc-level LWW on edit_ts
+# rejects late out-of-order edits. The final search served from the
+# stream-maintained store hash-checks against the SAME oracle as the
+# fresh batch rebuild (q156) — stream-maintained search ≡ rebuild,
+# recall row included.
+
+
+def stream_maintain_ann_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store,
+    checkpoint: str,
+    icent1: DataFrame,
+    pcent1: DataFrame,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain a persisted ANN index from a stream of vector edits.
+
+    Source rows: (vec_id, e array<double>, edit_ts, op in
+    {'upsert','delete'}). Per micro-batch: LWW-collapse within the
+    batch, drop rows not newer than the store's committed edit_ts for
+    that vec_id (late/out-of-order edits), encode the surviving
+    upserts against the FROZEN structures (IVF cell via broadcast
+    argmin on ``icent1``; M one-byte PQ codes via ``pcent1``), and
+    commit ONE atomic merge: tombstone rows (NULL cell — a real cell
+    id is never null) delete, fresh rows update-or-insert. A crash can
+    never leave a vector half-replaced, and replaying a batch is
+    idempotent (same winners, same commit content).
+
+    Scale: each batch costs its winners' encoding (a broadcast
+    crossJoin against K-row centroid tables) plus a PK-bucket-pruned
+    store rewrite — never a touch of the existing index; the 10^10-
+    vector codes table follows the day's vector churn without a
+    rebuild, exactly how the text index follows document edits.
+    """
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("edit_ts").desc(), F.col("op")
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        empty_store = store.current_version() is None
+        stored = None if empty_store else store.read(spark)
+        if stored is not None:
+            cur_ts = stored.groupBy("vec_id").agg(
+                F.max("edit_ts").alias("__cur_ts")
+            )
+            latest = (
+                latest.join(cur_ts, "vec_id", "left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("edit_ts") > F.col("__cur_ts"))
+                )
+                .drop("__cur_ts")
+            )
+        winners = latest.localCheckpoint()  # read by encode + tombstones
+        if winners.isEmpty():
+            return
+        ups = winners.filter(F.col("op") == "upsert").select(
+            "vec_id", "e", "edit_ts"
+        )
+        # encode against the FROZEN structures — identical per-row
+        # arithmetic to the batch build, so stream-maintained state is
+        # bit-identical to a rebuild over the same winning edits
+        cells = _km_assign(
+            ups.select("vec_id", F.col("e").alias("embedding")),
+            icent1,
+        ).select("vec_id", "cid")
+        subs = _pq_subspaces(ups.select("vec_id", "e"), "e", ["vec_id"])
+        codes = (
+            _pq_assign(subs, pcent1)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                    lambda s: s["cid"],
+                ).alias("codes")
+            )
+        )
+        enc = (
+            ups.join(cells, "vec_id")
+            .join(codes, "vec_id")
+            .select("vec_id", "edit_ts", "cid", "codes", "e")
+        )
+        if empty_store:
+            # deletes against an empty store are no-ops by definition
+            store.merge(enc)
+            return
+        # ONE atomic commit per batch: deletes ride as tombstone rows
+        # (NULL cid) through the same merge the upserts use — q155's
+        # crash-safety recipe on the vector index
+        dels = winners.filter(F.col("op") == "delete")
+        types = {f.name: f.dataType for f in stored.schema.fields}
+        tombstones = dels.select(
+            *[
+                F.col(c)
+                if c in ("vec_id", "edit_ts")
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in stored.columns
+            ]
+        )
+        src = enc.select(*stored.columns).unionByName(tombstones)
+        store.merge_into(
+            src,
+            matched=[("delete", "s.cid IS NULL"), ("update", None)],
+            not_matched_insert="s.cid IS NOT NULL",
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@register(
+    "q160_ann_stream_maintenance",
+    oracle=_Q156_ORACLE.format(
+        mean6=mean6_sql("sub[j + 1]"), imean6=mean6_sql("e[j + 1]")
+    ).replace("'ivfpq_np2_rerank10'", "'ivfpq_stream_maintained'"),
+    doc="Streaming ANN index maintenance, hash-checked against the "
+    "FRESH-REBUILD oracle (VERDICT r7 #3): three micro-batch files "
+    "stream vector edits through readStream -> foreachBatch into a "
+    "vec_id-keyed merge store holding (IVF cell, PQ codes, raw "
+    "vector) — batch 0 inserts the base corpus plus WRONG versions of "
+    "the planted vectors and junk vectors (edit_ts=1), batch 1 "
+    "replaces the planted vectors with their correct versions "
+    "(edit_ts=3), batch 2 delivers LATE stale rewrites of the planted "
+    "vectors (edit_ts=2, must NOT apply — LWW) and deletes of the "
+    "junk (edit_ts=4, tombstone rows through the same atomic merge). "
+    "Every batch encodes against the FROZEN coarse centroids and PQ "
+    "codebooks from the original q156 build; the final IVF x PQ "
+    "search served from the stream-maintained store returns the "
+    "IDENTICAL recall/candidate row as q156's batch-built index — "
+    "proving stream-maintained search ≡ fresh rebuild, the property "
+    "that lets a 10^10-vector index follow the day's churn without a "
+    "rebuild. operators/similarity.py stream_maintain_ann_index.",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    return _q160_read(spark, sf, _q160_build(spark, sf))
+
+
+def _q160_build(spark: SparkSession, sf: str):
+    """Build phase: the frozen q156 index tables + the three
+    deterministic vector-edit batch files."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from parquet_demo_spark.operators.merge import _scratch_root
+
+    state = _q156_build(spark, sf)
+    base, probes0, planted = _planted_sets(spark, sf)
+    neg = lambda col: F.transform(col, lambda v: -v)  # noqa: E731
+    wrong = planted.select(
+        "vec_id", neg(F.col("e")).alias("e")
+    )  # deterministic WRONG version of every planted vector
+    junk = base.filter(F.col("vec_id") < 10).select(
+        (F.lit(2000000) + F.col("vec_id")).cast("bigint").alias("vec_id"),
+        F.transform(F.col("e"), lambda v: v * 2).alias("e"),
+    )
+    b0 = (
+        base.select("vec_id", "e")
+        .unionByName(wrong)
+        .unionByName(junk)
+        .select(
+            "vec_id",
+            "e",
+            F.lit(1).cast("bigint").alias("edit_ts"),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    b1 = planted.select(
+        "vec_id",
+        "e",
+        F.lit(3).cast("bigint").alias("edit_ts"),
+        F.lit("upsert").alias("op"),
+    )
+    b2 = wrong.select(
+        "vec_id",
+        "e",
+        F.lit(2).cast("bigint").alias("edit_ts"),  # stale: must lose LWW
+        F.lit("upsert").alias("op"),
+    ).unionByName(
+        junk.select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("e"),
+            F.lit(4).cast("bigint").alias("edit_ts"),
+            F.lit("delete").alias("op"),
+        )
+    )
+    root = _scratch_root("q160", sf)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+            T.StructField("edit_ts", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        d = os.path.join(root, f"scratch{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(d)
+    return root, src, schema, state
+
+
+_Q160_RUN_N = [0]
+
+
+def _q160_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the maintenance stream into a fresh store,
+    then the full IVF x PQ search (q156's read path) served from the
+    stream-maintained tables."""
+    import os
+
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    root, src, schema, q156_state = state
+    _, probes0, qr, _, _, pcent1, truth, icent1 = q156_state
+    _Q160_RUN_N[0] += 1
+    n = _Q160_RUN_N[0]
+    store = ParquetMergeStore(
+        os.path.join(root, f"vecidx{n}"),
+        keys=("vec_id",),
+        version_cols=("edit_ts",),
+        num_buckets=8,
+    )
+    q = stream_maintain_ann_index(
+        spark,
+        src,
+        schema,
+        store,
+        os.path.join(root, f"ckpt{n}"),
+        icent1,
+        pcent1,
+    )
+    q.awaitTermination()
+    snap = store.read(spark).localCheckpoint()  # final maintained index
+    pc = snap.select("vec_id", "e", "cid")
+    codes = snap.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    corpus = snap.select("vec_id", "e")
+    dist_tab = _pq_dist_tab(probes0, pcent1)
+    cand = (
+        pc.join(F.broadcast(qr), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(dist_tab.withColumnRenamed("cid", "code")),
+            ["qid", "m", "code"],
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dmicro").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    cand10 = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    rr = (
+        cand10.join(corpus, "vec_id")
+        .join(F.broadcast(probes0.select("qid", "qe")), "qid")
+        .withColumn("d2", _pq_full_d2())
+    )
+    wrr = W.partitionBy("qid").orderBy("d2", "vec_id")
+    top_rr = (
+        rr.withColumn("rn", F.row_number().over(wrr))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    rec = _recall_row(
+        truth, top_rr, "planted", "ivfpq_stream_maintained"
+    ).drop("protocol")
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_enc = corpus.agg(F.count("*").cast("bigint").alias("n_encoded"))
+    return (
+        rec.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_enc))
+    )
+
+
+register_phases("q160_ann_stream_maintenance", _q160_build, _q160_read)
