@@ -1017,3 +1017,139 @@ def _q157_read(spark: SparkSession, sf: str, state) -> DataFrame:
 register_phases(
     "q157_stream_partitioned_ingest", _q157_build, _q157_read
 )
+
+
+@register(
+    "q161_merge_schema_evolution",
+    oracle="""
+    WITH b1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ),
+    b2 AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, value,
+               'b' || CAST(event_id % 3 AS VARCHAR) AS band,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1)
+      WHERE rn = 1
+    ),
+    b3 AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id,
+               'b' || CAST(event_id % 3 AS VARCHAR) AS band,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 10 = 3)
+      WHERE rn = 1
+    ),
+    stacked AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(NULL AS VARCHAR) AS band, 1 AS prio FROM b1
+      UNION ALL
+      SELECT user_id, event_type, event_id, value, band, 2 FROM b2
+      UNION ALL
+      SELECT user_id, event_type, event_id,
+             CAST(NULL AS DOUBLE) AS value, band, 3 FROM b3
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY prio DESC) AS rn2
+        FROM stacked)
+      WHERE rn2 = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(COUNT(value) AS BIGINT) AS n_valued,
+           CAST(COUNT(band) AS BIGINT) AS n_banded,
+           CAST(5 AS BIGINT) AS n_cols_v0,
+           CAST(6 AS BIGINT) AS n_cols_final
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    doc="MERGE with Delta-style schema evolution, read across the "
+    "evolution boundary and hash-checked (VERDICT r7 #4): the even "
+    "event_ids seed a 5-column store; the odd batch merges with "
+    "allow_schema_evolution=True carrying a NEW band column (stored "
+    "rows backfill NULL); a third NARROW batch (event_id%10=3) omits "
+    "value entirely — ReplaceOne replaces the whole row, so its "
+    "winners' value becomes NULL while the evolved schema stands. The "
+    "final snapshot aggregate counts keys, null-skipped value cents, "
+    "and how many rows carry each side of the boundary "
+    "(n_valued/n_banded), plus the manifest-recorded column counts at "
+    "v0 and HEAD — pinning that every version's manifest carries its "
+    "own schema. The merge path reads touched buckets with "
+    "mergeSchema + typed-null alignment to the manifest schema "
+    "(merge_store._read_aligned), which the schema-evolution "
+    "model-equivalence property test found was load-bearing: a plain "
+    "read could adopt a pre-evolution file schema and silently drop "
+    "evolved columns from the rewrite. Scale: evolution is "
+    "metadata+touched-buckets only — a new column on a 100 TB table "
+    "costs the batch's buckets, never a table rewrite. "
+    "sources/merge_store.py merge allow_schema_evolution; "
+    "tests/test_merge_store.py test_schema_evolution_model_equivalence.",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    return _q161_read(spark, sf, _q161_build(spark, sf))
+
+
+def _q161_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    band = F.concat(
+        F.lit("b"), (F.col("event_id") % 3).cast("string")
+    ).alias("band")
+    root = _scratch_root("q161", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    store.merge(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn("band", band),
+        allow_schema_evolution=True,
+    )
+    store.merge(
+        ev.filter(F.col("event_id") % 10 == 3).select(
+            "user_id", "event_type", "event_id", "ts", band
+        ),
+        allow_schema_evolution=True,
+    )
+    return store
+
+
+def _q161_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    n_v0 = len(store._read_manifest(0)["columns"])
+    n_final = len(
+        store._read_manifest(store.current_version())["columns"]
+    )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.count("value").cast("bigint").alias("n_valued"),
+            F.count("band").cast("bigint").alias("n_banded"),
+        )
+        .withColumn("n_cols_v0", F.lit(n_v0).cast("bigint"))
+        .withColumn("n_cols_final", F.lit(n_final).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+register_phases("q161_merge_schema_evolution", _q161_build, _q161_read)

@@ -431,6 +431,47 @@ class ParquetMergeStore:
 
     # -- read side ------------------------------------------------------
 
+    def _read_aligned(
+        self, spark: SparkSession, paths: list[str], version: int
+    ) -> DataFrame:
+        """mergeSchema read of bucket dirs, aligned to the manifest's
+        authoritative column order with TYPED null backfill.
+
+        After a schema evolution, dirs written earlier lack the new
+        columns. The footer union usually supplies them, but a read
+        restricted to ONLY pre-evolution dirs (pruned read, or a merge
+        touching only old buckets) must still present the manifest's
+        schema — with nulls of the column's REAL type (an untyped
+        NullType would reach the parquet writer on the next rewrite,
+        which rejects void). Types come from the full-snapshot footer
+        union, which always covers every manifest column: the column's
+        introducing commit wrote it, and every later rewrite preserves
+        it. Footer-only work; no data scan.
+        """
+        cols = self._read_manifest(version)["columns"]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        missing = [c for c in cols if c not in df.columns]
+        if not missing:
+            return df.select(*cols)
+        all_paths = sorted(
+            os.path.join(self.root, p)
+            for p in set(self._bucket_paths(version).values())
+        )
+        types = {
+            f.name: f.dataType
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(*all_paths)
+            .schema
+        }
+        return df.select(
+            *[
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -459,20 +500,20 @@ class ParquetMergeStore:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty merge store: {self.root}")
-        m = self._read_manifest(v)
         pruned = self._pruned_bucket_paths(v, where)
         paths = sorted(set(pruned.values()))
         if not paths:
             # stats prove the result empty; synthesize the schema from
             # any live dir without scanning it for rows
             paths = sorted(set(self._bucket_paths(v).values()))[:1]
-        # mergeSchema: after a schema evolution, buckets written before
-        # it lack the new columns — union the footers and backfill null,
-        # then present the manifest's authoritative column order
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, p) for p in paths]
+        # mergeSchema + typed alignment: after a schema evolution,
+        # buckets written before it lack the new columns — union the
+        # footers, backfill typed nulls when the pruned subset predates
+        # the evolution entirely, and present the manifest's
+        # authoritative column order
+        df = self._read_aligned(
+            spark, [os.path.join(self.root, p) for p in paths], v
         )
-        df = df.select(*m["columns"])
         for col, (lo, hi) in (where or {}).items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -592,9 +633,15 @@ class ParquetMergeStore:
             os.path.join(self.root, prior[b]) for b in touched if b in prior
         ]
         if existing_touched:
-            current = spark.read.parquet(*existing_touched).withColumn(
-                _BUCKET, self._bucket_expr()
-            )
+            # aligned read: touched buckets may carry different physical
+            # schemas after an evolution (pre-evolution dirs lack the
+            # new columns). A plain read would adopt ONE file's schema
+            # and silently drop the other files' evolved columns from
+            # the rewrite — losing stored values while the manifest
+            # still declares the column.
+            current = self._read_aligned(
+                spark, existing_touched, cur_version
+            ).withColumn(_BUCKET, self._bucket_expr())
             combined = batch.withColumn(
                 _FROM_UPSERT, F.lit(1)
             ).unionByName(
@@ -832,9 +879,7 @@ class ParquetMergeStore:
             all_dirs = sorted(
                 os.path.join(self.root, p) for p in set(prior.values())
             )
-            t_all = spark.read.option("mergeSchema", "true").parquet(
-                *all_dirs
-            ).select(*cols)
+            t_all = self._read_aligned(spark, all_dirs, cur_version)
             t_probe = t_all.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
                 F.struct(*[F.col(c).alias(c) for c in cols]).alias("t"),
@@ -884,7 +929,9 @@ class ParquetMergeStore:
             os.path.join(self.root, prior[b]) for b in touched if b in prior
         ]
         if existing_touched:
-            current = spark.read.parquet(*existing_touched)
+            current = self._read_aligned(
+                spark, existing_touched, cur_version
+            )
             t_frame = current.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
                 F.struct(*[F.col(c).alias(c) for c in cols]).alias("t"),
@@ -1179,13 +1226,10 @@ class ParquetMergeStore:
         # NULL predicate → row kept (SQL DELETE)
         match = F.coalesce(pred, F.lit(False))
 
-        cand = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(
-                *[os.path.join(self.root, p) for p in candidates.values()]
-            )
-            .select(*[F.col(c) if c in cols else F.lit(None).alias(c)
-                      for c in cols])
+        cand = self._read_aligned(
+            spark,
+            [os.path.join(self.root, p) for p in set(candidates.values())],
+            cur,
         )
         # phase 1: which buckets hold a match? ≤ num_buckets ints
         touched = sorted(
@@ -1199,11 +1243,10 @@ class ParquetMergeStore:
             return None
 
         # phase 2: rewrite only the touched dirs
-        tdf = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.root, prior[b]) for b in touched])
-            .select(*[F.col(c) if c in cols else F.lit(None).alias(c)
-                      for c in cols])
+        tdf = self._read_aligned(
+            spark,
+            [os.path.join(self.root, prior[b]) for b in touched],
+            cur,
         )
         new_version = cur + 1
         rel_changes = None
@@ -1447,13 +1490,14 @@ class ParquetMergeStore:
             return None
         m = self._read_manifest(cur_version)
         cols = m["columns"]
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, paths[b]) for b in fragmented]
-        )
-        for c in cols:  # evolved schemas: backfill columns absent here
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None))
-        df = df.select(*cols).withColumn(_BUCKET, self._bucket_expr())
+        # aligned read: TYPED null backfill for evolved columns these
+        # fragmented dirs predate (untyped NullType would reach the
+        # parquet writer below, which rejects void)
+        df = self._read_aligned(
+            spark,
+            [os.path.join(self.root, paths[b]) for b in fragmented],
+            cur_version,
+        ).withColumn(_BUCKET, self._bucket_expr())
         new_version = cur_version + 1
         rel_data = os.path.join("data", f"v{new_version:05d}")
         out_dir = os.path.join(self.root, rel_data)
@@ -2051,9 +2095,20 @@ def changes_between(
 
     def _align(df: DataFrame) -> DataFrame:
         # evolved schemas: columns missing from these footers read null
+        # — TYPED (from the v_to snapshot, which covers every column)
+        # so a consumer replaying the feed into another store never
+        # hands the parquet writer a void column
+        missing = [c for c in cols if c not in df.columns]
+        if not missing:
+            return df.select(*cols)
+        types = {
+            f.name: f.dataType for f in store.read(spark, v_to).schema
+        }
         return df.select(
             *[
-                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(types[c]).alias(c)
                 for c in cols
             ]
         )

@@ -255,6 +255,87 @@ def test_merge_model_equivalence(spark, tmp_path_factory, batches):
     assert got == model
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(_batch, st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_schema_evolution_model_equivalence(
+    spark, tmp_path_factory, batches
+):
+    """Random interleavings of widening/narrowing batches (VERDICT r7
+    #4): each batch may carry a NEW 'extra' column (stored rows
+    backfill NULL) and/or OMIT 'payload' (its winners' payload becomes
+    NULL — ReplaceOne replaces the whole row). Final snapshot must
+    equal the dict model, the authoritative column order must be
+    stored-then-new-in-batch-order, and every version's manifest must
+    record its schema."""
+    from pyspark.sql import types as T
+
+    tmp = tmp_path_factory.mktemp("evo_model")
+    store = ParquetMergeStore(
+        str(tmp / "store"),
+        keys=("k",),
+        version_cols=("v", "pos"),
+        num_buckets=4,
+    )
+    model: dict[int, dict] = {}
+    model_cols: list[str] = []
+    for rows, with_extra, drop_payload in batches:
+        fields = [
+            ("k", T.LongType()),
+            ("v", T.LongType()),
+            ("pos", T.LongType()),
+        ]
+        if not drop_payload:
+            fields.append(("payload", T.StringType()))
+        if with_extra:
+            fields.append(("extra", T.LongType()))
+        schema = T.StructType([T.StructField(n, t) for n, t in fields])
+        data = []
+        for i, (k, v, p) in enumerate(rows):
+            d = {"k": k, "v": v, "pos": i}
+            if not drop_payload:
+                d["payload"] = p
+            if with_extra:
+                d["extra"] = k * 100 + v
+            data.append(tuple(d[n] for n, _ in fields))
+        store.merge(
+            spark.createDataFrame(data, schema),
+            allow_schema_evolution=True,
+        )
+        model_cols += [n for n, _ in fields if n not in model_cols]
+        best: dict[int, dict] = {}
+        for i, (k, v, p) in enumerate(rows):
+            if k not in best or (v, i) > (best[k]["v"], best[k]["pos"]):
+                best[k] = {
+                    "k": k,
+                    "v": v,
+                    "pos": i,
+                    "payload": None if drop_payload else p,
+                    "extra": (k * 100 + v) if with_extra else None,
+                }
+        model.update(best)
+    snap = store.read(spark)
+    assert list(snap.columns) == model_cols
+    got = {r["k"]: {c: r[c] for c in model_cols} for r in snap.collect()}
+    want = {
+        k: {c: row.get(c) for c in model_cols} for k, row in model.items()
+    }
+    assert got == want
+    for ver in store.history():
+        m = store._read_manifest(ver)
+        assert m["columns"]  # schema recorded per version
+
+
 # --- CDC incremental reads -----------------------------------------------
 
 
