@@ -1153,3 +1153,130 @@ def _q161_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q161_merge_schema_evolution", _q161_build, _q161_read)
+
+
+@register(
+    "q162_store_zorder_optimize",
+    oracle="""
+    WITH collapsed AS (
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity, l_extendedprice, l_returnflag,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey, l_linenumber
+                 ORDER BY l_extendedprice DESC, l_quantity DESC,
+                          l_partkey DESC, l_suppkey DESC,
+                          l_returnflag DESC) AS rn
+        FROM lineitem)
+      WHERE rn = 1
+    ),
+    b AS (
+      SELECT CAST(FLOOR(MAX(l_partkey) * 0.2) AS BIGINT) AS lo_p,
+             CAST(FLOOR(MAX(l_partkey) * 0.4) AS BIGINT) AS hi_p,
+             CAST(FLOOR(MAX(l_suppkey) * 0.2) AS BIGINT) AS lo_s,
+             CAST(FLOOR(MAX(l_suppkey) * 0.4) AS BIGINT) AS hi_s
+      FROM collapsed
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM collapsed, b
+    WHERE l_partkey BETWEEN b.lo_p AND b.hi_p
+      AND l_suppkey BETWEEN b.lo_s AND b.hi_s
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="OPTIMIZE ... ZORDER BY inside the mutable store, hash-checked "
+    "(VERDICT r7 #5): lineitem merges into a (l_orderkey, l_linenumber)"
+    "-keyed store, compact(cluster_by=[l_partkey, l_suppkey]) rewrites "
+    "every bucket along the Morton curve (q136's layout machine, now "
+    "under the snapshot/CDC contract) splitting each bucket into "
+    "tight-boxed files whose per-file min/max the manifest records, "
+    "and the query is a 2-D box read (data-derived 20-40% key ranges) "
+    "served through the store's file-level pruning — only files whose "
+    "box intersects the predicate are opened (the literal files-opened "
+    "drop, CDC-silence, and time-travel-across-OPTIMIZE laws are "
+    "asserted in tests/test_merge_store.py). Scale: the clustered "
+    "rewrite is ONE quantile pass + ONE range-shuffled write job for "
+    "the whole table — never a per-bucket job loop — and a 100 TB "
+    "store's 2-D scoped scans then skip inside every bucket, which "
+    "dir-level stats cannot express. sources/merge_store.py compact "
+    "cluster_by.",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    return _q162_read(spark, sf, _q162_build(spark, sf))
+
+
+def _q162_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    root = _scratch_root("q162", sf)
+    # the fixture's lineitem is NOT PK-unique on (orderkey, linenumber):
+    # the store LWW-collapses on merge, so version_cols must impose a
+    # deterministic total order per PK (they cover every non-key column
+    # kept — tied rows are value-identical) and the oracle replays the
+    # same collapse
+    store = ParquetMergeStore(
+        root,
+        keys=("l_orderkey", "l_linenumber"),
+        version_cols=(
+            "l_extendedprice",
+            "l_quantity",
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+        ),
+        num_buckets=4,
+    )
+    store.merge(li)
+    store.compact(
+        spark, cluster_by=["l_partkey", "l_suppkey"], files_per_bucket=4
+    )
+    return store
+
+
+def _q162_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    b = (
+        store.read(spark)
+        .agg(
+            F.floor(F.max("l_partkey") * 0.2).alias("lo_p"),
+            F.floor(F.max("l_partkey") * 0.4).alias("hi_p"),
+            F.floor(F.max("l_suppkey") * 0.2).alias("lo_s"),
+            F.floor(F.max("l_suppkey") * 0.4).alias("hi_s"),
+        )
+        .collect()[0]
+    )
+    box = {
+        "l_partkey": (int(b["lo_p"]), int(b["hi_p"])),
+        "l_suppkey": (int(b["lo_s"]), int(b["hi_s"])),
+    }
+    snap = store.read(spark, where=box)
+    return (
+        snap.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register_phases("q162_store_zorder_optimize", _q162_build, _q162_read)

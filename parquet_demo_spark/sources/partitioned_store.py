@@ -582,15 +582,9 @@ class PartitionedParquetMergeStore:
             parts, self._select(parts, partitions), where
         ):
             child = self._child(parts[pval]["dir"])
-            for rel in set(
-                child._pruned_bucket_paths(
-                    parts[pval]["version"], where
-                ).values()
-            ):
-                d = os.path.join(child.root, rel)
-                total += sum(
-                    1 for f in os.listdir(d) if f.endswith(".parquet")
-                )
+            total += child.files_read(
+                version=parts[pval]["version"], where=where
+            )
         return total
 
     def count_rows(
@@ -677,13 +671,24 @@ class PartitionedParquetMergeStore:
     # -- maintenance --------------------------------------------------------
 
     def compact(
-        self, spark: SparkSession, min_files: int = 2
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        cluster_by: list[str] | None = None,
+        files_per_bucket: int = 4,
     ) -> int | None:
-        """OPTIMIZE: compact fragmented buckets in every live child
-        store (each child's snapshot-isolated, CDC-silent compaction),
-        then commit ONE global version pinning the compacted children.
-        Returns the new global version, or None if nothing was
-        fragmented enough to touch (no version burns — the no-op law).
+        """OPTIMIZE: compact every live child store (each child's
+        snapshot-isolated, CDC-silent compaction), then commit ONE
+        global version pinning the compacted children.
+
+        ``cluster_by`` forwards the child's OPTIMIZE ... ZORDER BY:
+        every child rewrites clustered on the Morton curve over the
+        listed columns and records per-file min/max boxes, so a
+        ``where`` box read skips files inside every partition — each
+        date of a 100 TB table gets its own within-partition file
+        skipping. Returns the new global version, or None if nothing
+        was fragmented enough to touch (no version burns — the no-op
+        law).
         """
         cur = self.current_version()
         parts = self._parts(cur)
@@ -694,7 +699,12 @@ class PartitionedParquetMergeStore:
             # pointer ahead of the pin (crashed writer) must not leak in
             if child.current_version() != parts[pval]["version"]:
                 continue
-            v = child.compact(spark, min_files=min_files)
+            v = child.compact(
+                spark,
+                min_files=min_files,
+                cluster_by=cluster_by,
+                files_per_bucket=files_per_bucket,
+            )
             if v is not None:
                 parts[pval]["version"] = v
                 parts[pval]["stats"] = self._child_stats_rollup(child, v)
@@ -706,7 +716,11 @@ class PartitionedParquetMergeStore:
             new_version,
             parts,
             "compact",
-            {"min_files": min_files, "touched": touched},
+            {
+                "min_files": min_files,
+                "cluster_by": list(cluster_by or ()),
+                "touched": touched,
+            },
         )
         return new_version
 

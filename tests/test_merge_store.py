@@ -2070,3 +2070,65 @@ def test_merge_into_nmbs_validation(spark, tmp_path):
         st.merge_into(
             src, not_matched_by_source=[("update", None, {"zz": "1"})]
         )
+
+
+# --- OPTIMIZE ... ZORDER BY (clustered compact, VERDICT r7 #5) -----------
+
+
+def test_compact_cluster_by_zorder_file_skipping(spark, tmp_path):
+    """compact(cluster_by=...) rewrites every bucket along the Morton
+    curve and records per-file boxes: a 2-D box read opens strictly
+    fewer files, returns exactly the box's rows, stays CDC-silent, and
+    keeps time travel; a later merge drops only the rewritten bucket's
+    boxes."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    n = 64
+    rows = [
+        Row(k=i * n + j, v=1, x=i, y=j)
+        for i in range(n)
+        for j in range(n)
+    ]
+    st = ParquetMergeStore(
+        str(tmp_path / "s"), keys=("k",), version_cols=("v",), num_buckets=2
+    )
+    st.merge(spark.createDataFrame(rows))
+    pre = st.current_version()
+    v = st.compact(spark, cluster_by=["x", "y"], files_per_bucket=8)
+    assert v == pre + 1
+    m = st._read_manifest(v)
+    assert m["file_stats"]  # per-file boxes recorded
+    assert m["op_params"]["cluster_by"] == ["x", "y"]
+
+    box = {"x": (8, 15), "y": (8, 15)}
+    got = sorted(r.k for r in st.read(spark, where=box).collect())
+    want = sorted(i * n + j for i in range(8, 16) for j in range(8, 16))
+    assert got == want
+
+    # the pruning evidence: the box opens strictly fewer files than a
+    # full read, and file-level pruning beats bucket-level alone
+    assert st.files_read(where=box) < st.files_read()
+
+    # CDC-silent: a pure clustered rewrite emits no change rows
+    assert changes_between(st, spark, pre, v).count() == 0
+    # time travel across the boundary still reads the old layout
+    assert st.read(spark, version=pre).count() == n * n
+
+    # a later merge rewrites one bucket: its file boxes drop, the
+    # other bucket's persist, and the box read stays correct
+    st.merge(spark.createDataFrame([Row(k=0, v=2, x=0, y=0)]))
+    m2 = st._read_manifest(st.current_version())
+    # exactly the one touched bucket lost its (now-stale) boxes
+    assert len(m2["file_stats"]) == len(m["file_stats"]) - 1
+    assert set(m2["file_stats"]) < set(m["file_stats"])
+    got2 = sorted(r.k for r in st.read(spark, where=box).collect())
+    assert got2 == want
+
+
+def test_compact_cluster_by_unknown_column_raises(spark, tmp_path):
+    st = ParquetMergeStore(
+        str(tmp_path / "s"), keys=("k",), version_cols=("v",), num_buckets=2
+    )
+    st.merge(spark.createDataFrame([Row(k=1, v=1, x=1, y=1)]))
+    with pytest.raises(ValueError, match="cluster_by"):
+        st.compact(spark, cluster_by=["nope"])
