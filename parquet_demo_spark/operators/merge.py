@@ -1280,3 +1280,125 @@ def _q162_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q162_store_zorder_optimize", _q162_build, _q162_read)
+
+
+@register(
+    "q163_multicol_partition_scoped_read",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    collapsed AS (
+      SELECT * FROM (
+        SELECT wk, user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY wk, event_type, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+    ),
+    wks AS (SELECT DISTINCT wk FROM ev),
+    combos AS (SELECT DISTINCT wk, event_type FROM ev),
+    b AS (
+      SELECT (SELECT wk FROM wks ORDER BY wk OFFSET 1 LIMIT 1) AS lo,
+             (SELECT wk FROM wks ORDER BY wk OFFSET 2 LIMIT 1) AS hi,
+             (SELECT MIN(event_type) FROM ev) AS et
+    )
+    SELECT CAST(c.user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c.event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(c.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM combos, b
+             WHERE wk BETWEEN b.lo AND b.hi AND event_type = b.et)
+             AS n_partitions_read,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM combos)
+             AS n_partitions_total
+    FROM collapsed c, b
+    WHERE c.wk BETWEEN b.lo AND b.hi AND c.event_type = b.et
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="MULTI-COLUMN partitioning with a scoped read pruning on BOTH "
+    "columns, hash-checked (VERDICT r7 #6): events merge into a "
+    "PartitionedParquetMergeStore partitioned by (week, event_type) — "
+    "each composite value owns a child store under p=<wk>|<type>/ — "
+    "and the query reads weeks 2-3 x ONE event type (data-derived "
+    "bounds) via dict-shaped partitions={wk: (lo, hi), event_type: "
+    "(t, t)}: manifest-level selection drops every child whose week OR "
+    "type misses, before any file under them is listed. The hash pins "
+    "the scoped snapshot (per-user-bucket aggregate of the per-"
+    "(wk, type, user) LWW collapse) plus n_partitions_read/total. "
+    "Retention on the real key shape is drop_partition((wk, type)) — "
+    "one manifest write (tests cover drop/CDC/epoch resurrection for "
+    "composite values). Scale: (date, source) is the canonical 100 TB "
+    "retention key; a day x source scoped read opens one child "
+    "directory, and per-source drops never touch neighboring sources' "
+    "files. sources/partitioned_store.py composite partition keys.",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    return _q163_read(spark, sf, _q163_build(spark, sf))
+
+
+def _q163_build(spark: SparkSession, sf: str):
+    """Build phase: the (week, event_type)-partitioned store."""
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q163", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "event_type", "user_id"),
+        partition_col=("wk", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev)
+    return store
+
+
+def _q163_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Read phase: manifest-pruned (week-range x one type) scoped read."""
+    parts = store._parts()
+    wks = sorted({p.split("|")[0] for p in parts})
+    types = sorted({p.split("|")[1] for p in parts})
+    scope = {
+        "wk": (wks[1], wks[2]),  # weeks 2-3: proper subset, data-derived
+        "event_type": (types[0], types[0]),
+    }
+    n_read = len(store._select(parts, scope))
+    snap = store.read(spark, partitions=scope)
+    return (
+        snap.groupBy(
+            (F.col("user_id") % 10).cast("bigint").alias("user_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .withColumn("n_partitions_read", F.lit(int(n_read)).cast("bigint"))
+        .withColumn(
+            "n_partitions_total", F.lit(len(parts)).cast("bigint")
+        )
+        .orderBy("user_bucket")
+    )
+
+
+register_phases(
+    "q163_multicol_partition_scoped_read", _q163_build, _q163_read
+)

@@ -38,11 +38,15 @@ Why composition beats widening the child's bucket key to
   executors x daily partitions, that's the difference between parallel
   and queued ingest.
 
-Constraint: ``partition_col`` must be one of the PK columns. The PK
-then determines the partition, so an upsert routes deterministically
+Constraint: every partition column must be one of the PK columns. The
+PK then determines the partition, so an upsert routes deterministically
 and a key can never silently move between partitions (which would
 duplicate it — the same invariant reasoning as the child's reopen
-config validation).
+config validation). ``partition_col`` also accepts a TUPLE of columns
+(VERDICT r7 #6 — real retention keys are (date, source)): composite
+values key the manifest and child dirs as ``p=v1|v2``, and scoped
+reads/deletes prune on any subset of the columns via a dict-shaped
+``partitions`` argument.
 
 Crash story: children commit first, then the global manifest. A crash
 between the two leaves orphan child versions that no global manifest
@@ -77,12 +81,22 @@ from parquet_demo_spark.sources.merge_store import (
 )
 
 
+# separator between the components of a composite (multi-column)
+# partition value in manifest keys and child dir names: p=2024-01-05|web
+_SEP = "|"
+
+
 def _pdir(val) -> str:
-    """Directory-safe partition value (dates/ints/simple strings)."""
+    """Directory-safe partition value COMPONENT (dates/ints/strings)."""
     s = str(val)
-    if not s or any(c in s for c in "/\\\0\n"):
+    if not s or any(c in s for c in "/\\\0\n" + _SEP):
         raise ValueError(f"unsupported partition value: {val!r}")
     return s
+
+
+def _composite(vals) -> str:
+    """Composite manifest key / dir tag for a value tuple."""
+    return _SEP.join(_pdir(v) for v in vals)
 
 
 class PartitionedParquetMergeStore:
@@ -92,21 +106,36 @@ class PartitionedParquetMergeStore:
         self,
         root: str,
         keys: tuple[str, ...],
-        partition_col: str,
+        partition_col: str | tuple[str, ...],
         version_cols: tuple[str, ...] = (),
         num_buckets: int = 8,
         bloom_cols: tuple[str, ...] = (),
         write_concurrency: int = 8,
     ) -> None:
-        if partition_col not in keys:
+        # a string means one partition column; a tuple is HIVE-style
+        # multi-level partitioning, e.g. (date, source) — real retention
+        # keys (VERDICT r7 #6). Composite values key the manifest (and
+        # name child dirs) as "v1|v2"; scoped reads prune on any subset
+        # of the columns via dict-shaped ``partitions``.
+        cols = (
+            (partition_col,)
+            if isinstance(partition_col, str)
+            else tuple(partition_col)
+        )
+        if not cols:
+            raise ValueError("partition_col must name at least one column")
+        bad = [c for c in cols if c not in keys]
+        if bad:
             raise ValueError(
-                "partition_col must be one of the PK columns (the PK "
-                "determines the partition so upserts route "
-                f"deterministically): {partition_col!r} not in {keys}"
+                "every partition column must be one of the PK columns "
+                "(the PK determines the partition so upserts route "
+                f"deterministically): {bad} not in {keys}"
             )
         self.root = root
         self.keys = tuple(keys)
-        self.partition_col = partition_col
+        self.partition_cols = cols
+        # single-column compatibility alias (existing callers/tests)
+        self.partition_col = cols[0] if len(cols) == 1 else None
         self.version_cols = tuple(version_cols)
         self.num_buckets = int(num_buckets)
         self.bloom_cols = tuple(bloom_cols)
@@ -120,15 +149,31 @@ class PartitionedParquetMergeStore:
         committed = self.current_version()
         if committed is not None:
             m = self._read_manifest(committed)
+            # manifests persist a bare string for single-column stores
+            # (older format) and a list for composite keys
+            persisted_pc = m["partition_col"]
+            persisted_pcols = (
+                [persisted_pc]
+                if isinstance(persisted_pc, str)
+                else list(persisted_pc)
+            )
             mismatches = {
-                field: (got, m[field])
-                for field, got in (
-                    ("keys", list(self.keys)),
-                    ("partition_col", self.partition_col),
-                    ("version_cols", list(self.version_cols)),
-                    ("num_buckets", self.num_buckets),
+                field: (got, have)
+                for field, got, have in (
+                    ("keys", list(self.keys), m["keys"]),
+                    (
+                        "partition_col",
+                        list(self.partition_cols),
+                        persisted_pcols,
+                    ),
+                    (
+                        "version_cols",
+                        list(self.version_cols),
+                        m["version_cols"],
+                    ),
+                    ("num_buckets", self.num_buckets, m["num_buckets"]),
                 )
-                if m[field] != got
+                if have != got
             }
             if mismatches:
                 raise ValueError(
@@ -177,7 +222,13 @@ class PartitionedParquetMergeStore:
         manifest = {
             "version": version,
             "keys": list(self.keys),
-            "partition_col": self.partition_col,
+            # bare string for a single column (original format), list
+            # for composite keys
+            "partition_col": (
+                self.partition_cols[0]
+                if len(self.partition_cols) == 1
+                else list(self.partition_cols)
+            ),
             "version_cols": list(self.version_cols),
             "num_buckets": self.num_buckets,
             # partition value -> committed CHILD version at this table
@@ -335,19 +386,23 @@ class PartitionedParquetMergeStore:
         filter that matches nothing — and the NULL guard rides the same
         single distinct-collect job instead of paying its own.
         """
-        if self.partition_col not in upserts.columns:
-            raise ValueError(
-                f"batch lacks partition column {self.partition_col!r}"
-            )
-        pval_expr = F.col(self.partition_col).cast("string")
-        pval_rows = [
-            r[0] for r in upserts.select(pval_expr).distinct().collect()
+        lacking = [
+            c for c in self.partition_cols if c not in upserts.columns
         ]
-        if any(v is None for v in pval_rows):
+        if lacking:
+            raise ValueError(f"batch lacks partition column(s) {lacking}")
+        pexprs = [
+            F.col(c).cast("string").alias(c) for c in self.partition_cols
+        ]
+        pval_rows = [
+            tuple(r) for r in upserts.select(*pexprs).distinct().collect()
+        ]
+        if any(any(v is None for v in row) for row in pval_rows):
             raise ValueError(
-                f"NULL {self.partition_col!r} cannot route to a partition"
+                f"NULL in {self.partition_cols} cannot route to a partition"
             )
-        pvals = sorted(_pdir(v) for v in pval_rows)
+        components = {_composite(row): row for row in pval_rows}
+        pvals = sorted(components)
         cur = self.current_version()
         if not pvals:
             # empty batch: no child advanced, so no global version burns
@@ -378,8 +433,15 @@ class PartitionedParquetMergeStore:
                 if pval in parts
                 else self._child(dirname)
             )
+            # per-partition filter from the SAME cast('string') exprs
+            # the routing collected — component-wise, so a separator
+            # character in data can never alias two partitions
+            row = components[pval]
+            cond = F.lit(True)
+            for expr, comp in zip(pexprs, row):
+                cond = cond & (expr == F.lit(comp))
             v = child.merge(
-                upserts.filter(pval_expr == pval),
+                upserts.filter(cond),
                 write_change_feed=write_change_feed,
                 conditional=conditional,
             )
@@ -412,7 +474,7 @@ class PartitionedParquetMergeStore:
         self,
         spark: SparkSession,
         condition,
-        partitions: tuple | None = None,
+        partitions: tuple | dict | None = None,
         write_change_feed: bool = False,
     ) -> int:
         """DELETE WHERE, pruned to a partition range first.
@@ -459,7 +521,14 @@ class PartitionedParquetMergeStore:
             new_version,
             parts,
             "delete_where",
-            {"partitions": list(partitions or ()), "touched": touched},
+            {
+                "partitions": (
+                    {c: list(r) for c, r in partitions.items()}
+                    if isinstance(partitions, dict)
+                    else list(partitions or ())
+                ),
+                "touched": touched,
+            },
         )
         return new_version
 
@@ -468,9 +537,14 @@ class PartitionedParquetMergeStore:
         partition. No data file is touched — the drop is one manifest
         write + pointer swap, O(1) regardless of partition size; the
         dropped child's files stay on disk (time travel to older global
-        versions still sees them) until :meth:`vacuum`.
+        versions still sees them) until :meth:`vacuum`. Multi-column
+        stores pass the value tuple (or the composite string).
         """
-        pval = _pdir(pval)
+        pval = (
+            _composite(pval)
+            if isinstance(pval, (tuple, list))
+            else _pdir(pval)
+        )
         cur = self.current_version()
         parts = self._parts(cur)
         if pval not in parts:
@@ -491,7 +565,7 @@ class PartitionedParquetMergeStore:
         self,
         spark: SparkSession,
         version: int | None = None,
-        partitions: tuple | None = None,
+        partitions: tuple | dict | None = None,
         where: dict | None = None,
     ) -> DataFrame:
         """Snapshot read; ``partitions=(lo, hi)`` prunes child stores by
@@ -526,11 +600,45 @@ class PartitionedParquetMergeStore:
             out = df if out is None else out.unionByName(df)
         return out
 
-    @staticmethod
-    def _select(parts: dict[str, dict], partitions: tuple | None) -> list:
+    def _select(
+        self, parts: dict[str, dict], partitions: tuple | dict | None
+    ) -> list:
+        """Manifest-level partition selection.
+
+        ``partitions`` is either a (lo, hi) closed range over the
+        composite value string (single-column stores; ISO dates sort
+        correctly), or a dict {partition column: (lo, hi)} pruning each
+        named component independently — a read scoped to one week AND
+        one source opens only that week x source's children.
+        """
         sel = []
+        by_col = isinstance(partitions, dict)
+        if by_col:
+            unknown = sorted(set(partitions) - set(self.partition_cols))
+            if unknown:
+                raise ValueError(
+                    f"partitions names non-partition columns: {unknown} "
+                    f"(partition columns: {list(self.partition_cols)})"
+                )
         for pval in sorted(parts):
-            if partitions is not None:
+            if partitions is None:
+                sel.append(pval)
+                continue
+            if by_col:
+                comps = dict(
+                    zip(self.partition_cols, pval.split(_SEP))
+                )
+                keep = True
+                for col, (lo, hi) in partitions.items():
+                    v = comps[col]
+                    if (lo is not None and v < str(lo)) or (
+                        hi is not None and v > str(hi)
+                    ):
+                        keep = False
+                        break
+                if not keep:
+                    continue
+            else:
                 lo, hi = partitions
                 if (lo is not None and pval < str(lo)) or (
                     hi is not None and pval > str(hi)
@@ -569,7 +677,7 @@ class PartitionedParquetMergeStore:
     def files_read(
         self,
         version: int | None = None,
-        partitions: tuple | None = None,
+        partitions: tuple | dict | None = None,
         where: dict | None = None,
     ) -> int:
         """How many data files a :meth:`read` with this scope opens —
@@ -590,7 +698,7 @@ class PartitionedParquetMergeStore:
     def count_rows(
         self,
         version: int | None = None,
-        partitions: tuple | None = None,
+        partitions: tuple | dict | None = None,
     ) -> int:
         """Footer-metadata row count over the selected partitions."""
         parts = self._parts(version)

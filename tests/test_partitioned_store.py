@@ -39,7 +39,7 @@ def _batch(spark, day_keys):
 
 
 def test_partition_col_must_be_key(tmp_path):
-    with pytest.raises(ValueError, match="partition_col must be one"):
+    with pytest.raises(ValueError, match="partition column"):
         PartitionedParquetMergeStore(
             str(tmp_path / "x"), keys=("k",), partition_col="day"
         )
@@ -481,3 +481,129 @@ def test_concurrent_multipartition_model_equivalence(
         assert got == model
 
     _run()
+
+
+# --- multi-column partitioning (VERDICT r7 #6) ---------------------------
+
+
+def _mstore(tmp_path, **kw):
+    defaults = dict(
+        keys=("day", "src", "k"),
+        partition_col=("day", "src"),
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    defaults.update(kw)
+    return PartitionedParquetMergeStore(str(tmp_path / "mstore"), **defaults)
+
+
+def _mbatch(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(day=d, src=s, k=k, v=1, payload=f"{d}/{s}/{k}")
+            for d, s, k in rows
+        ]
+    )
+
+
+def test_multicol_partition_routing_and_dirs(spark, tmp_path):
+    st = _mstore(tmp_path)
+    st.merge(
+        _mbatch(
+            spark,
+            [
+                ("d1", "web", 1),
+                ("d1", "app", 2),
+                ("d2", "web", 3),
+            ],
+        )
+    )
+    assert st.partitions() == ["d1|app", "d1|web", "d2|web"]
+    assert os.path.isdir(os.path.join(st.root, "p=d1|web"))
+    got = sorted(
+        (r.day, r.src, r.k) for r in st.read(spark).collect()
+    )
+    assert got == [("d1", "app", 2), ("d1", "web", 1), ("d2", "web", 3)]
+
+
+def test_multicol_scoped_read_prunes_on_both_columns(spark, tmp_path):
+    st = _mstore(tmp_path)
+    st.merge(
+        _mbatch(
+            spark,
+            [
+                ("d1", "web", 1),
+                ("d1", "app", 2),
+                ("d2", "web", 3),
+                ("d2", "app", 4),
+                ("d3", "web", 5),
+            ],
+        )
+    )
+    parts = st._parts()
+    # day range alone
+    sel = st._select(parts, {"day": ("d1", "d2")})
+    assert sel == ["d1|app", "d1|web", "d2|app", "d2|web"]
+    # both columns: one day x one source
+    sel2 = st._select(parts, {"day": ("d2", "d2"), "src": ("web", "web")})
+    assert sel2 == ["d2|web"]
+    got = sorted(
+        r.k
+        for r in st.read(
+            spark, partitions={"day": ("d1", "d2"), "src": ("app", "app")}
+        ).collect()
+    )
+    assert got == [2, 4]
+    # files_read prunes the same way
+    assert st.files_read(
+        partitions={"day": ("d2", "d2"), "src": ("web", "web")}
+    ) < st.files_read()
+    # unknown column raises
+    with pytest.raises(ValueError, match="non-partition"):
+        st._select(parts, {"nope": ("a", "b")})
+
+
+def test_multicol_drop_partition_and_cdc(spark, tmp_path):
+    st = _mstore(tmp_path)
+    st.merge(_mbatch(spark, [("d1", "web", 1), ("d1", "app", 2)]))
+    v0 = st.current_version()
+    st.drop_partition(("d1", "app"))
+    assert st.partitions() == ["d1|web"]
+    ch = st.changes_between(spark, v0, st.current_version())
+    rows = [(r.day, r.src, r.k, r._change_type) for r in ch.collect()]
+    assert rows == [("d1", "app", 2, "delete")]
+
+
+def test_multicol_upsert_and_delete_where(spark, tmp_path):
+    st = _mstore(tmp_path)
+    st.merge(_mbatch(spark, [("d1", "web", 1), ("d2", "app", 2)]))
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", src="web", k=1, v=2, payload="upd")]
+        )
+    )
+    got = {(r.day, r.src, r.k): r.payload for r in st.read(spark).collect()}
+    assert got[("d1", "web", 1)] == "upd"
+    st.delete_where(
+        spark,
+        F.col("k") == 2,
+        partitions={"day": ("d2", "d2")},
+    )
+    assert sorted(
+        (r.day, r.src, r.k) for r in st.read(spark).collect()
+    ) == [("d1", "web", 1)]
+
+
+def test_multicol_reopen_config_validation(spark, tmp_path):
+    st = _mstore(tmp_path)
+    st.merge(_mbatch(spark, [("d1", "web", 1)]))
+    # same config reopens fine
+    _mstore(tmp_path)
+    with pytest.raises(ValueError, match="different config"):
+        _mstore(tmp_path, partition_col=("day",), keys=("day", "src", "k"))
+
+
+def test_partition_value_with_separator_rejected(spark, tmp_path):
+    st = _mstore(tmp_path)
+    with pytest.raises(ValueError, match="unsupported partition value"):
+        st.merge(_mbatch(spark, [("d1", "we|b", 1)]))
