@@ -99,6 +99,16 @@ def _composite(vals) -> str:
     return _SEP.join(_pdir(v) for v in vals)
 
 
+def _unescape(name: str) -> str:
+    """Reverse Spark's Hive-style %XX dir-name escaping (partitionBy
+    escapes '%' itself, so one unescape pass is exact)."""
+    import re
+
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
 class PartitionedParquetMergeStore:
     """Partition-directory composition over :class:`ParquetMergeStore`."""
 
@@ -426,6 +436,52 @@ class PartitionedParquetMergeStore:
                 else self._next_epoch_dir(pval)
             )
 
+        # ONE Spark job routes the whole batch (VERDICT r7 #1's
+        # composite-write design): shuffle on the composite value and
+        # write the batch partitionBy(__pval) into a staging dir, so
+        # each child's merge then reads ITS one-or-two-file slice — a
+        # 1-task scan — instead of re-filtering the full batch. Without
+        # this, a 50-partition backfill pays 50 x (batch partitions)
+        # tasks per stage; with it, the batch is scanned once.
+        spark = upserts.sparkSession
+        staging = tempfile.mkdtemp(
+            dir=self.root, prefix="_staging."
+        )
+        pval_col = F.concat_ws(
+            _SEP, *[F.col(c).cast("string") for c in self.partition_cols]
+        )
+        # concat_ws never returns NULL and the distinct-collect above
+        # already rejected NULL components, so every row lands in a real
+        # __pval dir. Spark Hive-escapes special chars in dir names;
+        # unescaping the listing back to the collected pvals keeps the
+        # mapping exact without replicating the escape table.
+        (
+            upserts.withColumn("__pval", pval_col)
+            .repartition(
+                max(1, min(len(pvals), 64)), F.col("__pval")
+            )
+            .write.mode("overwrite")  # mkdtemp pre-created the dir
+            .partitionBy("__pval")
+            .parquet(staging)
+        )
+        slices = {}
+        for d in os.listdir(staging):
+            if not d.startswith("__pval="):
+                continue
+            pval = _unescape(d.split("=", 1)[1])
+            if pval not in dirnames:
+                raise ValueError(
+                    f"staged partition {pval!r} not in the routed set "
+                    f"{pvals} — partition-value rendering drifted"
+                )
+            slices[pval] = os.path.join(staging, d)
+        unstaged = sorted(set(pvals) - set(slices))
+        if unstaged:
+            raise ValueError(
+                f"routed partitions never staged: {unstaged} — "
+                "partition-value rendering drifted"
+            )
+
         def _merge_one(pval: str) -> dict:
             dirname = dirnames[pval]
             child = (
@@ -433,15 +489,8 @@ class PartitionedParquetMergeStore:
                 if pval in parts
                 else self._child(dirname)
             )
-            # per-partition filter from the SAME cast('string') exprs
-            # the routing collected — component-wise, so a separator
-            # character in data can never alias two partitions
-            row = components[pval]
-            cond = F.lit(True)
-            for expr, comp in zip(pexprs, row):
-                cond = cond & (expr == F.lit(comp))
             v = child.merge(
-                upserts.filter(cond),
+                spark.read.parquet(slices[pval]).select(*upserts.columns),
                 write_change_feed=write_change_feed,
                 conditional=conditional,
             )
@@ -455,11 +504,16 @@ class PartitionedParquetMergeStore:
         # table's pin — invisible to readers, restored-over by the next
         # write through _pinned_child — so propagating the first error
         # after the pool drains is crash-consistent
-        with ThreadPoolExecutor(
-            max_workers=min(self.write_concurrency, len(pvals))
-        ) as pool:
-            futs = {p: pool.submit(_merge_one, p) for p in pvals}
-            results = {p: f.result() for p, f in futs.items()}
+        try:
+            with ThreadPoolExecutor(
+                max_workers=min(self.write_concurrency, len(pvals))
+            ) as pool:
+                futs = {p: pool.submit(_merge_one, p) for p in pvals}
+                results = {p: f.result() for p, f in futs.items()}
+        finally:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         parts.update(results)
         new_version = 0 if cur is None else cur + 1
         self._commit(
@@ -836,9 +890,10 @@ class PartitionedParquetMergeStore:
         """Remove global manifest dirs ABOVE the committed pointer — the
         residue of a writer that crashed after winning the O_EXCL CAS
         but before the pointer swap (the child store's clean_orphans,
-        one level up). Orphan CHILD versions are reclaimed by each
-        child's own clean_orphans/vacuum. Only run when no writer is
-        active."""
+        one level up), plus any ``_staging.*`` dirs a crashed merge's
+        routing write left behind. Orphan CHILD versions are reclaimed
+        by each child's own clean_orphans/vacuum. Only run when no
+        writer is active."""
         import shutil
 
         cur = self.current_version()
@@ -849,6 +904,9 @@ class PartitionedParquetMergeStore:
                 if cur is None or v > cur:
                     shutil.rmtree(os.path.join(self.root, d))
                     removed.append(d)
+            elif d.startswith("_staging."):
+                shutil.rmtree(os.path.join(self.root, d))
+                removed.append(d)
         return removed
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
