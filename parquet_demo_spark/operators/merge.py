@@ -1402,3 +1402,103 @@ def _q163_read(spark: SparkSession, sf: str, store) -> DataFrame:
 register_phases(
     "q163_multicol_partition_scoped_read", _q163_build, _q163_read
 )
+
+
+@register(
+    "q164_partitioned_point_lookup",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    collapsed AS (
+      SELECT * FROM (
+        SELECT wk, user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY wk, event_type, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+    ),
+    u AS (SELECT MIN(user_id) AS uid FROM ev)
+    SELECT CAST(wk AS VARCHAR) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM collapsed, u
+    WHERE user_id = u.uid
+    GROUP BY wk ORDER BY wk
+    """,
+    doc="Point lookup through the partitioned store's two-level "
+    "pruning, hash-checked (the VERDICT r7 #2 scoped-read variant "
+    "with a VALUE predicate rather than a partition range): events "
+    "merge into the week-partitioned store with bloom_cols=(user_id,) "
+    "and the query is read(where={user_id: (u, u)}) for one "
+    "data-derived user — the global manifest's rolled-up per-column "
+    "[min, max] gets first refusal on every child, each surviving "
+    "child's per-bucket min/max + BLOOM pruning skips the buckets the "
+    "user's PK-hash rows can't be in (point lookups consult the "
+    "bloom; a hash-scattered column's min/max never prunes), and the "
+    "residual filter makes the result exact — the per-week activity "
+    "aggregate hashed here. files_read() measures the same composed "
+    "pruning (test-asserted at both levels). Scale: this is the "
+    "needle-in-100TB shape — a single entity's history read touches "
+    "the blooms' few candidate files across 400 date partitions, "
+    "never the table. sources/partitioned_store.py read(where=), "
+    "merge_store.py _pruned_files.",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    return _q164_read(spark, sf, _q164_build(spark, sf))
+
+
+def _q164_build(spark: SparkSession, sf: str):
+    """Build phase: the week-partitioned store with user_id blooms."""
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q164", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "event_type", "user_id"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+        bloom_cols=("user_id",),
+    )
+    store.merge(ev)
+    return store
+
+
+def _q164_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Read phase: the bloom-assisted point lookup."""
+    uid = int(
+        store.read(spark).agg(F.min("user_id")).collect()[0][0]
+    )
+    snap = store.read(spark, where={"user_id": (uid, uid)})
+    return (
+        snap.groupBy(F.col("wk").cast("string").alias("wk"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("wk")
+    )
+
+
+register_phases("q164_partitioned_point_lookup", _q164_build, _q164_read)

@@ -607,3 +607,23 @@ def test_partition_value_with_separator_rejected(spark, tmp_path):
     st = _mstore(tmp_path)
     with pytest.raises(ValueError, match="unsupported partition value"):
         st.merge(_mbatch(spark, [("d1", "we|b", 1)]))
+
+
+def test_partitioned_point_lookup_bloom_pruning(spark, tmp_path):
+    """A point lookup composes all pruning levels through the
+    partitioned store: global stats rollup, child min/max, and child
+    BLOOMS (min/max of a scattered column spans everything; only the
+    bloom skips its buckets) — and the result is exact."""
+    st = _store(tmp_path, bloom_cols=("k",))
+    st.merge(
+        _batch(
+            spark,
+            # k ranges overlap across partitions so child-level min/max
+            # alone cannot prune the k=1 lookup out of d2/d3
+            [("d1", 1), ("d1", 100), ("d2", 0), ("d2", 99), ("d3", 2),
+             ("d3", 98)],
+        )
+    )
+    rows = _rows(st.read(spark, where={"k": (1, 1)}))
+    assert rows == [("d1", 1, 1, "d1/1")]
+    assert st.files_read(where={"k": (1, 1)}) < st.files_read()
