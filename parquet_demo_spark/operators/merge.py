@@ -1502,3 +1502,90 @@ def _q164_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q164_partitioned_point_lookup", _q164_build, _q164_read)
+
+
+@register(
+    "q165_deletion_vectors",
+    oracle="""
+    WITH collapsed AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT * FROM collapsed
+      WHERE value >= 25.0 OR user_id % 5 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_rows_meta
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    doc="DELETION VECTORS — soft deletes without bucket rewrites "
+    "(Delta DV, round-8 charter extension), hash-checked end-to-end: "
+    "events LWW-merge into the store, DELETE WHERE value < 25 runs "
+    "with deletion_vectors=True — the commit re-references every data "
+    "dir unchanged and writes only the matching PKs as per-bucket "
+    "vectors under dv/v{N} (tests assert the data dirs are "
+    "byte-identical) — then a merge of the user_id%5=0 slice REVIVES "
+    "those users' deleted PKs and materializes its buckets' vectors "
+    "(reads pass through the DV, so deleted rows can't resurrect as "
+    "stored rows). The hashed aggregate covers the surviving state "
+    "AND n_rows_meta = count_rows(), pinning the footer-minus-DV "
+    "count arithmetic. CDC parity, compaction materialization, "
+    "restore-with-vectors, and vacuum liveness are test-asserted. "
+    "Scale: deleting 100 GDPR rows from a 100 TB table costs 100 PKs "
+    "of metadata instead of rewriting multi-GB buckets; the anti-join "
+    "readers pay is broadcast-sized until the next natural rewrite "
+    "absorbs the vectors. sources/merge_store.py delete "
+    "deletion_vectors, tests/test_merge_store.py test_dv_*.",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    return _q165_read(spark, sf, _q165_build(spark, sf))
+
+
+def _q165_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q165", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev)
+    store.delete(spark, "value < 25.0", deletion_vectors=True)
+    # revive the %5 users (merge reads THROUGH the vectors, so other
+    # deleted PKs in the touched buckets stay deleted while these
+    # re-insert) and materialize the touched buckets' vectors
+    store.merge(ev.filter(F.col("user_id") % 5 == 0))
+    return store
+
+
+def _q165_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .withColumn(
+            "n_rows_meta", F.lit(int(store.count_rows())).cast("bigint")
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q165_deletion_vectors", _q165_build, _q165_read)

@@ -242,6 +242,7 @@ class ParquetMergeStore:
         operation: str = "merge",
         op_params: dict | None = None,
         file_stats: dict[int, dict] | None = None,
+        dv: dict[int, str] | None = None,
     ) -> None:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -273,6 +274,11 @@ class ParquetMergeStore:
             "file_stats": {
                 str(k): v for k, v in (file_stats or {}).items() if v
             },
+            # per-bucket DELETION VECTOR (Delta DV-style soft delete):
+            # rel path of the parquet dir holding the bucket's deleted
+            # PKs. Readers anti-join it; the next rewrite of the bucket
+            # materializes the deletes and drops the entry.
+            "dv": {str(k): v for k, v in (dv or {}).items() if v},
             # CHECK constraints the table carries (validated per write)
             "constraints": self.constraints,
             # commit provenance (DESCRIBE HISTORY): what wrote this
@@ -404,6 +410,77 @@ class ParquetMergeStore:
             .items()
         }
         return {b: v for b, v in fs.items() if b not in touched}
+
+    # -- deletion vectors (Delta DV-style soft deletes) -----------------
+
+    def _dv_entries(self, version: int | None) -> dict[int, str]:
+        """{bucket: rel dv dir} at a version (empty pre-DV manifests)."""
+        if version is None:
+            return {}
+        return {
+            int(k): v
+            for k, v in self._read_manifest(version).get("dv", {}).items()
+        }
+
+    def _prior_dv(
+        self, cur_version: int | None, touched=()
+    ) -> dict[int, str]:
+        """Carry DV entries for buckets this commit does NOT rewrite; a
+        rewritten bucket materialized its deletes (its rewrite read was
+        DV-filtered), so its entry drops."""
+        return {
+            b: v
+            for b, v in self._dv_entries(cur_version).items()
+            if b not in touched
+        }
+
+    def _apply_dv(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        version: int | None,
+        buckets=None,
+    ) -> DataFrame:
+        """Filter out DV-deleted rows: anti-join the version's deleted
+        PKs (restricted to ``buckets`` when given — extra DV keys are
+        harmless but cost I/O). Null-safe on the PK, matching the
+        store's PK semantics everywhere else."""
+        entries = self._dv_entries(version)
+        if buckets is not None:
+            entries = {b: v for b, v in entries.items() if b in buckets}
+        if not entries:
+            return df
+        dv = (
+            spark.read.parquet(
+                *[
+                    os.path.join(self.root, rel)
+                    for rel in sorted(set(entries.values()))
+                ]
+            )
+            .select(
+                *[F.col(k).alias(f"__dv_{k}") for k in self.keys]
+            )
+            .dropDuplicates()
+        )
+        cond = [
+            F.col(k).eqNullSafe(F.col(f"__dv_{k}")) for k in self.keys
+        ]
+        return df.join(dv, cond, "left_anti")
+
+    def _dv_count(self, version: int) -> int:
+        """Footer row count over the version's DV entries (each DV dir
+        holds DISTINCT deleted PKs, so the sum is exact)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for rel in set(self._dv_entries(version).values()):
+            d = os.path.join(self.root, rel)
+            for fname in os.listdir(d):
+                if fname.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(d, fname)
+                    ).metadata.num_rows
+        return total
 
     def _dir_blooms(self, rel_dir: str) -> dict[str, dict]:
         """Per-column bloom filters over one bucket dir's values.
@@ -629,6 +706,8 @@ class ParquetMergeStore:
         # the evolution entirely, and present the manifest's
         # authoritative column order
         df = self._read_aligned(spark, paths, v)
+        # deletion vectors: soft-deleted PKs anti-join out
+        df = self._apply_dv(spark, df, v)
         for col, (lo, hi) in (where or {}).items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -753,9 +832,15 @@ class ParquetMergeStore:
             # new columns). A plain read would adopt ONE file's schema
             # and silently drop the other files' evolved columns from
             # the rewrite — losing stored values while the manifest
-            # still declares the column.
-            current = self._read_aligned(
-                spark, existing_touched, cur_version
+            # still declares the column. DV filtering materializes any
+            # soft deletes into this rewrite (their entries drop at
+            # commit), and keeps deleted PKs from resurrecting as
+            # "stored" rows.
+            current = self._apply_dv(
+                spark,
+                self._read_aligned(spark, existing_touched, cur_version),
+                cur_version,
+                buckets=[b for b in touched if b in prior],
             ).withColumn(_BUCKET, self._bucket_expr())
             combined = batch.withColumn(
                 _FROM_UPSERT, F.lit(1)
@@ -850,6 +935,7 @@ class ParquetMergeStore:
                 "touched_buckets": len(touched),
             },
             file_stats=self._prior_file_stats(cur_version, touched),
+            dv=self._prior_dv(cur_version, touched),
         )
         return new_version
 
@@ -995,7 +1081,11 @@ class ParquetMergeStore:
             all_dirs = sorted(
                 os.path.join(self.root, p) for p in set(prior.values())
             )
-            t_all = self._read_aligned(spark, all_dirs, cur_version)
+            t_all = self._apply_dv(
+                spark,
+                self._read_aligned(spark, all_dirs, cur_version),
+                cur_version,
+            )
             t_probe = t_all.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
                 F.struct(*[F.col(c).alias(c) for c in cols]).alias("t"),
@@ -1045,8 +1135,11 @@ class ParquetMergeStore:
             os.path.join(self.root, prior[b]) for b in touched if b in prior
         ]
         if existing_touched:
-            current = self._read_aligned(
-                spark, existing_touched, cur_version
+            current = self._apply_dv(
+                spark,
+                self._read_aligned(spark, existing_touched, cur_version),
+                cur_version,
+                buckets=[b for b in touched if b in prior],
             )
             t_frame = current.select(
                 *[F.col(k).alias(f"__tk_{k}") for k in self.keys],
@@ -1235,6 +1328,7 @@ class ParquetMergeStore:
                 "touched_buckets": len(touched),
             },
             file_stats=self._prior_file_stats(cur_version, touched),
+            dv=self._prior_dv(cur_version, touched),
         )
         return new_version
 
@@ -1293,6 +1387,7 @@ class ParquetMergeStore:
         condition=None,
         where: dict[str, tuple] | None = None,
         write_change_feed: bool = False,
+        deletion_vectors: bool = False,
     ) -> int | None:
         """Delta-style ``DELETE WHERE``: drop matching rows, rewriting
         only the buckets that actually hold one.
@@ -1306,15 +1401,29 @@ class ParquetMergeStore:
 
         Two-phase, like Delta's DELETE: (1) a metadata+scan pass finds
         the buckets containing ≥1 matching row (an aggregate collecting
-        ≤ num_buckets ids, not data); (2) only those buckets rewrite
+        ≤ num_buckets ints, not data); (2) only those buckets rewrite
         without their matching rows, everything else re-references its
         existing dir. Committed as a normal snapshot version (atomic
         pointer), so time travel shows the pre-delete state, vacuum
         reclaims it, and a crash leaves only unreferenced files.
 
+        ``deletion_vectors=True`` replaces phase 2's bucket rewrite
+        with a SOFT delete (Delta's deletion vectors): the matching
+        rows' PKs are written as per-bucket DV files under ``dv/v{N}``
+        and the commit re-references every existing data dir
+        unchanged. Readers anti-join the DV; the next rewrite of a
+        bucket (merge / delete / compact) reads through the DV and so
+        MATERIALIZES the deletes, dropping its entry. Deleting 100
+        rows from a 5 GB bucket then costs the 100 PKs, not the
+        bucket — the 100 TB GDPR-delete posture — at the price of a
+        small anti-join on every read until the next natural rewrite.
+        Stats/blooms stay valid as upper bounds (they may prune LESS
+        after a DV delete, never wrongly).
+
         ``write_change_feed=True`` materializes the deleted rows as
         ``_change_type='delete'`` under ``changes/v{N}`` (Delta CDF
-        naming) — an incremental consumer retracts exactly those rows.
+        naming) — an incremental consumer retracts exactly those rows
+        (identically in both modes).
 
         Returns the committed version, or None when no row matched
         (a no-op burns no version and writes nothing).
@@ -1343,10 +1452,18 @@ class ParquetMergeStore:
         # NULL predicate → row kept (SQL DELETE)
         match = F.coalesce(pred, F.lit(False))
 
-        cand = self._read_aligned(
+        cand = self._apply_dv(
             spark,
-            [os.path.join(self.root, p) for p in set(candidates.values())],
+            self._read_aligned(
+                spark,
+                [
+                    os.path.join(self.root, p)
+                    for p in set(candidates.values())
+                ],
+                cur,
+            ),
             cur,
+            buckets=list(candidates),
         )
         # phase 1: which buckets hold a match? ≤ num_buckets ints
         touched = sorted(
@@ -1359,11 +1476,29 @@ class ParquetMergeStore:
         if not touched:
             return None
 
+        if deletion_vectors:
+            return self._delete_via_dv(
+                spark,
+                cur,
+                prior,
+                touched,
+                match,
+                cols,
+                write_change_feed,
+                condition,
+                where,
+            )
+
         # phase 2: rewrite only the touched dirs
-        tdf = self._read_aligned(
+        tdf = self._apply_dv(
             spark,
-            [os.path.join(self.root, prior[b]) for b in touched],
+            self._read_aligned(
+                spark,
+                [os.path.join(self.root, prior[b]) for b in touched],
+                cur,
+            ),
             cur,
+            buckets=list(touched),
         )
         new_version = cur + 1
         rel_changes = None
@@ -1426,6 +1561,93 @@ class ParquetMergeStore:
                 "touched_buckets": len(touched),
             },
             file_stats=self._prior_file_stats(cur, touched),
+            dv=self._prior_dv(cur, touched),
+        )
+        return new_version
+
+    def _delete_via_dv(
+        self,
+        spark: SparkSession,
+        cur: int,
+        prior: dict[int, str],
+        touched: list[int],
+        match,
+        cols: list[str],
+        write_change_feed: bool,
+        condition,
+        where,
+    ) -> int:
+        """DV-mode phase 2: write the matching PKs as per-bucket
+        deletion-vector files; no data dir is touched. The new DV dirs
+        absorb the touched buckets' PRIOR DV keys (one dir per bucket
+        stays the invariant), untouched buckets keep their entries."""
+        new_version = cur + 1
+        # the matching rows, read once for the feed and the DV keys
+        # (cand was already DV-filtered, so an already-deleted PK can
+        # never re-enter a vector)
+        tdf = self._apply_dv(
+            spark,
+            self._read_aligned(
+                spark,
+                [os.path.join(self.root, prior[b]) for b in touched],
+                cur,
+            ),
+            cur,
+            buckets=list(touched),
+        )
+        matching = tdf.filter(match).localCheckpoint()
+        rel_changes = None
+        if write_change_feed:
+            feed = matching.select(*cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.root, rel_changes)
+            )
+        prior_dv = self._dv_entries(cur)
+        new_keys = matching.select(*self.keys)
+        old_touched_dirs = [
+            os.path.join(self.root, rel)
+            for b, rel in prior_dv.items()
+            if b in touched
+        ]
+        if old_touched_dirs:
+            new_keys = new_keys.unionByName(
+                spark.read.parquet(*old_touched_dirs).select(*self.keys)
+            )
+        rel_dv = os.path.join("dv", f"v{new_version:05d}")
+        out_dir = os.path.join(self.root, rel_dv)
+        (
+            new_keys.dropDuplicates()
+            .withColumn(_BUCKET, self._bucket_expr())
+            .repartition(F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .parquet(out_dir)
+        )
+        dv = dict(prior_dv)
+        for d in sorted(os.listdir(out_dir)):
+            if d.startswith(f"{_BUCKET}="):
+                dv[int(d.split("=", 1)[1])] = os.path.join(rel_dv, d)
+        m = self._read_manifest(cur)
+        self._commit(
+            new_version,
+            prior,  # every data dir re-referenced unchanged
+            cols,
+            stats={int(k): v for k, v in m.get("stats", {}).items()},
+            change_feed=rel_changes,
+            blooms={int(k): v for k, v in m.get("blooms", {}).items()},
+            operation="delete",
+            op_params={
+                "condition": condition
+                if isinstance(condition, str)
+                else (None if condition is None else "<Column>"),
+                "where": {c: list(r) for c, r in (where or {}).items()},
+                "touched_buckets": len(touched),
+                "deletion_vectors": True,
+            },
+            file_stats=self._prior_file_stats(cur, ()),
+            dv=dv,
         )
         return new_version
 
@@ -1636,10 +1858,15 @@ class ParquetMergeStore:
         # aligned read: TYPED null backfill for evolved columns these
         # dirs predate (untyped NullType would reach the parquet
         # writer below, which rejects void)
-        df = self._read_aligned(
+        df = self._apply_dv(
             spark,
-            [os.path.join(self.root, paths[b]) for b in rewrite],
+            self._read_aligned(
+                spark,
+                [os.path.join(self.root, paths[b]) for b in rewrite],
+                cur_version,
+            ),
             cur_version,
+            buckets=list(rewrite),
         ).withColumn(_BUCKET, self._bucket_expr())
         new_version = cur_version + 1
         rel_data = os.path.join("data", f"v{new_version:05d}")
@@ -1721,6 +1948,7 @@ class ParquetMergeStore:
                 "cluster_by": list(cluster_by or ()),
             },
             file_stats=file_stats,
+            dv=self._prior_dv(cur_version, rewrite),
         )
         return new_version
 
@@ -1770,7 +1998,8 @@ class ParquetMergeStore:
         bucket_paths = {int(k): v for k, v in m["bucket_paths"].items()}
         missing = sorted(
             rel
-            for rel in bucket_paths.values()
+            for rel in list(bucket_paths.values())
+            + list(m.get("dv", {}).values())
             if not os.path.isdir(os.path.join(self.root, rel))
         )
         if missing:
@@ -1795,6 +2024,7 @@ class ParquetMergeStore:
                     int(k): v
                     for k, v in m.get("file_stats", {}).items()
                 },
+                dv={int(k): v for k, v in m.get("dv", {}).items()},
             )
         except BaseException:
             self.num_buckets = old_b
@@ -1903,7 +2133,10 @@ class ParquetMergeStore:
                     total += pq.ParquetFile(
                         os.path.join(abs_dir, fname)
                     ).metadata.num_rows
-        return total
+        # deletion vectors hold DISTINCT PKs still physically present
+        # in the data dirs, so the footer sum minus the DV footer sum
+        # is exact
+        return total - self._dv_count(v)
 
     def shallow_clone(self, dst_root: str) -> "ParquetMergeStore":
         """Zero-copy clone (Delta SHALLOW CLONE, a public design): a new
@@ -1955,6 +2188,12 @@ class ParquetMergeStore:
             op_params={"source": self.root, "source_version": cur},
             file_stats={
                 int(k): v for k, v in m.get("file_stats", {}).items()
+            },
+            dv={
+                int(k): (
+                    v if os.path.isabs(v) else os.path.join(self.root, v)
+                )
+                for k, v in m.get("dv", {}).items()
             },
         )
         return clone
@@ -2078,6 +2317,20 @@ class ParquetMergeStore:
                 rel = os.path.join("changes", d)
                 if rel not in live_feeds:
                     shutil.rmtree(os.path.join(changes_root, d))
+                    removed.append(rel)
+        # deletion-vector dirs are version-addressed but CARRIED
+        # FORWARD by later manifests (like bucket dirs): live iff any
+        # kept manifest references a dv entry under them
+        live_dv = set()
+        for v in keep_versions:
+            for rel in self._dv_entries(v).values():
+                live_dv.add(rel.split(os.sep + _BUCKET + "=")[0])
+        dv_root = os.path.join(self.root, "dv")
+        if os.path.isdir(dv_root):
+            for d in sorted(os.listdir(dv_root)):
+                rel = os.path.join("dv", d)
+                if rel not in live_dv:
+                    shutil.rmtree(os.path.join(dv_root, d))
                     removed.append(rel)
         return removed
 
@@ -2256,16 +2509,25 @@ def changes_between(
         raise ValueError(f"bad version range: {v_from}..{v_to}")
     old_paths = store._bucket_paths(v_from)
     new_paths = store._bucket_paths(v_to)
+    dv_from = store._dv_entries(v_from)
+    dv_to = store._dv_entries(v_to)
     # the two sides are pruned INDEPENDENTLY: after a rebucket the same
     # id names a different key set in each version, so "changed" must
     # mean "this version's dir is not referenced by the other version",
     # per side — comparing ids across versions would drop the old rows
-    # of keys that moved buckets and mis-tag them as inserts
+    # of keys that moved buckets and mis-tag them as inserts. A bucket
+    # whose DATA dir is identical but whose DELETION VECTOR differs
+    # changed too (a DV delete touches no data dir); its soft-deleted
+    # keys surface as ordinary delete rows through the presence check.
     changed = sorted(
-        b for b, p in new_paths.items() if old_paths.get(b) != p
+        b
+        for b, p in new_paths.items()
+        if old_paths.get(b) != p or dv_from.get(b) != dv_to.get(b)
     )
     changed_old = sorted(
-        b for b, p in old_paths.items() if new_paths.get(b) != p
+        b
+        for b, p in old_paths.items()
+        if new_paths.get(b) != p or dv_from.get(b) != dv_to.get(b)
     )
     if where:
         # stats pruning applies to the NEW side only (post-images
@@ -2289,13 +2551,18 @@ def changes_between(
             "_change_type", F.lit("insert")
         )
 
-    def _read(paths: dict[int, str], buckets: list[int]) -> DataFrame | None:
+    def _read(
+        paths: dict[int, str], buckets: list[int], version: int
+    ) -> DataFrame | None:
         present = [
             os.path.join(store.root, paths[b]) for b in buckets if b in paths
         ]
         if not present:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*present)
+        df = spark.read.option("mergeSchema", "true").parquet(*present)
+        # that version's deletion vectors: soft-deleted rows are not
+        # part of the snapshot this side represents
+        return store._apply_dv(spark, df, version, buckets=buckets)
 
     def _align(df: DataFrame) -> DataFrame:
         # evolved schemas: columns missing from these footers read null
@@ -2317,8 +2584,8 @@ def changes_between(
             ]
         )
 
-    new = _read(new_paths, changed)
-    old = _read(old_paths, changed_old)
+    new = _read(new_paths, changed, v_to)
+    old = _read(old_paths, changed_old, v_from)
     keys = list(store.keys)
     if old is None:
         return _residual(
@@ -2338,7 +2605,7 @@ def changes_between(
     target_ids = sorted(
         r[0] for r in old.select(to_bucket.alias("__b")).distinct().collect()
     )
-    presence = _read(new_paths, target_ids)
+    presence = _read(new_paths, target_ids, v_to)
     if presence is None:
         gone = old
     else:

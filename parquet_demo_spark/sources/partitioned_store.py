@@ -530,6 +530,7 @@ class PartitionedParquetMergeStore:
         condition,
         partitions: tuple | dict | None = None,
         write_change_feed: bool = False,
+        deletion_vectors: bool = False,
     ) -> int:
         """DELETE WHERE, pruned to a partition range first.
 
@@ -546,7 +547,10 @@ class PartitionedParquetMergeStore:
         def _delete_one(pval: str) -> dict | None:
             child = self._pinned_child(parts[pval])
             v = child.delete(
-                spark, condition, write_change_feed=write_change_feed
+                spark,
+                condition,
+                write_change_feed=write_change_feed,
+                deletion_vectors=deletion_vectors,
             )
             if v is None:  # no match, no child commit burned
                 return None

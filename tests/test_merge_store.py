@@ -2132,3 +2132,142 @@ def test_compact_cluster_by_unknown_column_raises(spark, tmp_path):
     st.merge(spark.createDataFrame([Row(k=1, v=1, x=1, y=1)]))
     with pytest.raises(ValueError, match="cluster_by"):
         st.compact(spark, cluster_by=["nope"])
+
+
+# --- deletion vectors (Delta DV-style soft deletes, round 8) -------------
+
+
+def _dv_store(tmp_path):
+    st = ParquetMergeStore(
+        str(tmp_path / "dv"), keys=("k",), version_cols=("v",), num_buckets=4
+    )
+    st.merge(
+        spark_df_dv(
+            [(k, 1, f"p{k}") for k in range(20)]
+        )
+    )
+    return st
+
+
+def spark_df_dv(rows):
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        [Row(k=k, v=v, payload=p) for k, v, p in rows]
+    )
+
+
+def test_dv_delete_touches_no_data_dir(spark, tmp_path):
+    """A DV delete commits a new version whose every DATA dir is the
+    previous version's — only dv/ files are written — and reads,
+    counts, and history behave as if the rows were rewritten away."""
+    st = _dv_store(tmp_path)
+    v0 = st.current_version()
+    paths_before = st._bucket_paths(v0)
+    v1 = st.delete(spark, "k % 3 = 0", deletion_vectors=True)
+    assert v1 == v0 + 1
+    assert st._bucket_paths(v1) == paths_before  # no data dir touched
+    assert st._dv_entries(v1)  # vectors recorded
+    got = sorted(r.k for r in st.read(spark).collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+    assert st.count_rows() == len(got)  # footer count minus DV count
+    # time travel: the pre-delete snapshot still sees every row
+    assert st.read(spark, version=v0).count() == 20
+    # history records the mode
+    assert st._read_manifest(v1)["op_params"]["deletion_vectors"] is True
+
+
+def test_dv_delete_second_round_accumulates(spark, tmp_path):
+    """A second DV delete unions into per-bucket vectors (one dir per
+    bucket), never duplicates already-deleted PKs, and a no-match
+    delete stays a no-op."""
+    st = _dv_store(tmp_path)
+    st.delete(spark, "k < 5", deletion_vectors=True)
+    st.delete(spark, "k < 8", deletion_vectors=True)  # overlaps 0-4
+    got = sorted(r.k for r in st.read(spark).collect())
+    assert got == list(range(8, 20))
+    assert st.count_rows() == 12  # DV counts stay exact (no dup keys)
+    assert st.delete(spark, "k < 8", deletion_vectors=True) is None
+
+
+def test_dv_merge_materializes_and_can_resurrect(spark, tmp_path):
+    """A merge into a DV'd bucket materializes its soft deletes (entry
+    drops, deleted PKs stay gone) — and re-INSERTING a deleted PK
+    through a merge revives it as a fresh row."""
+    st = _dv_store(tmp_path)
+    st.delete(spark, "k < 10", deletion_vectors=True)
+    st.merge(spark_df_dv([(3, 2, "back")]))  # re-insert a deleted PK
+    rows = {r.k: r.payload for r in st.read(spark).collect()}
+    assert rows[3] == "back"
+    # other deleted keys in k=3's bucket stayed deleted through the
+    # rewrite; keys in untouched buckets keep their DV entries
+    assert set(rows) == {3} | set(range(10, 20))
+    # the merged bucket's entry dropped: its deletes are physical now
+    import pyspark.sql.functions as SF
+
+    dv_buckets = set(st._dv_entries(st.current_version()))
+    [merged_bucket] = [
+        r[0]
+        for r in spark_df_dv([(3, 2, "x")])
+        .select(SF.pmod(SF.hash("k"), SF.lit(4)))
+        .collect()
+    ]
+    assert merged_bucket not in dv_buckets
+
+
+def test_dv_cdc_and_changes_between(spark, tmp_path):
+    """DV deletes are ordinary CDC: the stored feed carries the deleted
+    rows, and changes_between sees a DV-only commit as deletes even
+    though no data dir changed."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _dv_store(tmp_path)
+    v0 = st.current_version()
+    v1 = st.delete(
+        spark, "k IN (2, 7)", deletion_vectors=True, write_change_feed=True
+    )
+    feed = st.change_feed(spark, v1)
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+        (2, "delete"),
+        (7, "delete"),
+    ]
+    ch = changes_between(st, spark, v0, v1)
+    assert sorted((r.k, r._change_type) for r in ch.collect()) == [
+        (2, "delete"),
+        (7, "delete"),
+    ]
+
+
+def test_dv_compact_materializes(spark, tmp_path):
+    """OPTIMIZE reads through the vectors: after compact, the DV
+    entries are gone, the deleted rows stay gone, and time travel to
+    the DV'd version still works."""
+    st = _dv_store(tmp_path)
+    vd = st.delete(spark, "k >= 15", deletion_vectors=True)
+    vc = st.compact(spark, min_files=1)
+    assert vc is not None
+    assert st._dv_entries(vc) == {}
+    assert sorted(r.k for r in st.read(spark).collect()) == list(range(15))
+    assert st.read(spark, version=vd).count() == 15
+    assert st.count_rows() == 15
+
+
+def test_dv_restore_and_vacuum(spark, tmp_path):
+    """RESTORE re-pins a DV'd snapshot (vectors included); vacuum keeps
+    dv dirs any kept manifest references and reclaims the rest."""
+    import os
+
+    st = _dv_store(tmp_path)
+    v1 = st.delete(spark, "k < 4", deletion_vectors=True)
+    st.merge(spark_df_dv([(50, 1, "new")]))  # v2 (carries v1's dv)
+    v3 = st.restore(v1)
+    assert sorted(r.k for r in st.read(spark).collect()) == list(
+        range(4, 20)
+    )
+    assert st._dv_entries(v3)  # restored WITH its vectors
+    removed = st.vacuum(keep_last=1)
+    # the dv dir is still referenced by the kept (restored) manifest
+    assert os.path.join("dv", f"v{v1:05d}") not in removed
+    assert os.path.isdir(os.path.join(st.root, "dv", f"v{v1:05d}"))
+    assert st.read(spark).count() == 16
