@@ -465,7 +465,9 @@ class ParquetMergeStore:
         cond = [
             F.col(k).eqNullSafe(F.col(f"__dv_{k}")) for k in self.keys
         ]
-        return df.join(dv, cond, "left_anti")
+        # vectors are small by design (deleted PKs, not rows):
+        # broadcast so the anti-join never shuffles the data side
+        return df.join(F.broadcast(dv), cond, "left_anti")
 
     def _dv_count(self, version: int) -> int:
         """Footer row count over the version's DV entries (each DV dir
@@ -1480,13 +1482,13 @@ class ParquetMergeStore:
             return self._delete_via_dv(
                 spark,
                 cur,
-                prior,
                 touched,
                 match,
                 cols,
                 write_change_feed,
                 condition,
                 where,
+                cand,
             )
 
         # phase 2: rewrite only the touched dirs
@@ -1569,33 +1571,30 @@ class ParquetMergeStore:
         self,
         spark: SparkSession,
         cur: int,
-        prior: dict[int, str],
         touched: list[int],
         match,
         cols: list[str],
         write_change_feed: bool,
         condition,
         where,
+        cand: DataFrame,
     ) -> int:
         """DV-mode phase 2: write the matching PKs as per-bucket
         deletion-vector files; no data dir is touched. The new DV dirs
         absorb the touched buckets' PRIOR DV keys (one dir per bucket
-        stays the invariant), untouched buckets keep their entries."""
+        stays the invariant), untouched buckets keep their entries.
+
+        Reuses phase 1's already-DV-filtered candidate frame — an
+        already-deleted PK can never re-enter a vector, and the whole
+        DV delete costs ONE scan of the candidate buckets plus a
+        PK-sized write (the rewrite mode pays a second scan AND the
+        touched buckets' full rewrite)."""
         new_version = cur + 1
-        # the matching rows, read once for the feed and the DV keys
-        # (cand was already DV-filtered, so an already-deleted PK can
-        # never re-enter a vector)
-        tdf = self._apply_dv(
-            spark,
-            self._read_aligned(
-                spark,
-                [os.path.join(self.root, prior[b]) for b in touched],
-                cur,
-            ),
-            cur,
-            buckets=list(touched),
-        )
-        matching = tdf.filter(match).localCheckpoint()
+        prior = self._bucket_paths(cur)  # re-referenced unchanged below
+        matching = cand.filter(match)
+        if write_change_feed:
+            # read twice below (feed + keys): pin it
+            matching = matching.localCheckpoint()
         rel_changes = None
         if write_change_feed:
             feed = matching.select(*cols).withColumn(
@@ -1803,6 +1802,7 @@ class ParquetMergeStore:
         cluster_by: list[str] | None = None,
         files_per_bucket: int = 4,
         zorder_bits: int = 6,
+        only_stale: bool = False,
     ) -> int | None:
         """OPTIMIZE: rewrite bucket dirs as a new snapshot version
         (atomic pointer swap — same isolation as merge).
@@ -1828,6 +1828,16 @@ class ParquetMergeStore:
         rewrites a bucket drops that bucket's file boxes (its dir is no
         longer clustered); re-run compact to re-cluster.
 
+        ``only_stale=True`` (with ``cluster_by``) is the INCREMENTAL
+        OPTIMIZE: rewrite only buckets with no recorded file boxes —
+        i.e. churned since the last clustered compact — leaving
+        already-clustered buckets untouched. A nightly OPTIMIZE on a
+        100 TB table then costs the day's churn, not the table; the
+        quantile pass still samples the stale buckets only, so cut
+        points may drift slightly from a full recluster's (boxes stay
+        exact either way — pruning is never wrong, merely a little
+        looser). No-op (None) when every bucket is already clustered.
+
         Time travel and CDC are unaffected in both modes: prior
         manifests still reference the old dirs, and ``changes_between``
         across a compaction emits nothing because every rewritten row
@@ -1846,6 +1856,11 @@ class ParquetMergeStore:
             rewrite = sorted(
                 b for b, rel in paths.items() if _n_files(rel) >= min_files
             )
+        elif only_stale:
+            # incremental OPTIMIZE: only buckets whose file boxes were
+            # dropped by a later rewrite (or never recorded)
+            boxed = set(self._prior_file_stats(cur_version))
+            rewrite = sorted(b for b in paths if b not in boxed)
         else:
             rewrite = sorted(paths)  # clustering touches every bucket
         if not rewrite:

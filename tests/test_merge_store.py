@@ -2271,3 +2271,45 @@ def test_dv_restore_and_vacuum(spark, tmp_path):
     assert os.path.join("dv", f"v{v1:05d}") not in removed
     assert os.path.isdir(os.path.join(st.root, "dv", f"v{v1:05d}"))
     assert st.read(spark).count() == 16
+
+
+def test_compact_cluster_only_stale_incremental(spark, tmp_path):
+    """Incremental OPTIMIZE: after a merge dirties one bucket, a
+    cluster_by + only_stale compact rewrites ONLY that bucket (the
+    others keep their dirs and boxes), restores full-table file boxes,
+    and a second incremental run is a no-op."""
+    n = 32
+    st = ParquetMergeStore(
+        str(tmp_path / "s"), keys=("k",), version_cols=("v",), num_buckets=2
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i * n + j, v=1, x=i, y=j) for i in range(n) for j in range(n)]
+        )
+    )
+    v1 = st.compact(spark, cluster_by=["x", "y"], files_per_bucket=4)
+    m1 = st._read_manifest(v1)
+    assert set(m1["file_stats"]) == {"0", "1"}
+    # dirty one bucket
+    st.merge(spark.createDataFrame([Row(k=0, v=2, x=0, y=0)]))
+    dirty = st._read_manifest(st.current_version())
+    [stale_b] = [b for b in ("0", "1") if b not in dirty["file_stats"]]
+    clean_b = "1" if stale_b == "0" else "0"
+    v3 = st.compact(
+        spark, cluster_by=["x", "y"], files_per_bucket=4, only_stale=True
+    )
+    m3 = st._read_manifest(v3)
+    # only the stale bucket rewrote; the clean one kept its dir + boxes
+    assert m3["bucket_paths"][clean_b] == dirty["bucket_paths"][clean_b]
+    assert m3["bucket_paths"][stale_b] != dirty["bucket_paths"][stale_b]
+    assert set(m3["file_stats"]) == {"0", "1"}
+    assert m3["file_stats"][clean_b] == m1["file_stats"][clean_b]
+    # fully boxed again: another incremental run is a no-op
+    assert (
+        st.compact(
+            spark, cluster_by=["x", "y"], files_per_bucket=4, only_stale=True
+        )
+        is None
+    )
+    # and the data is intact
+    assert st.count_rows() == n * n

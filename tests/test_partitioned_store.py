@@ -627,3 +627,38 @@ def test_partitioned_point_lookup_bloom_pruning(spark, tmp_path):
     rows = _rows(st.read(spark, where={"k": (1, 1)}))
     assert rows == [("d1", 1, 1, "d1/1")]
     assert st.files_read(where={"k": (1, 1)}) < st.files_read()
+
+
+def test_partitioned_dv_delete_touches_no_data_dirs(spark, tmp_path):
+    """delete_where(deletion_vectors=True) forwards to every in-scope
+    child: data dirs stay byte-identical, rows are gone, CDC sees the
+    deletes."""
+    st = _store(tmp_path)
+    st.merge(
+        _batch(spark, [("d1", 1), ("d1", 2), ("d2", 3), ("d2", 4)])
+    )
+    v0 = st.current_version()
+    data_dirs_before = {
+        p: st._child(e["dir"])._bucket_paths(e["version"])
+        for p, e in st._parts(v0).items()
+    }
+    v1 = st.delete_where(
+        spark, F.col("k") % 2 == 1, deletion_vectors=True
+    )
+    parts = st._parts(v1)
+    for p, e in parts.items():
+        child = st._child(e["dir"])
+        assert (
+            child._bucket_paths(e["version"]) == data_dirs_before[p]
+        )  # no data dir rewritten anywhere
+        assert child._dv_entries(e["version"])  # vectors per child
+    assert _rows(st.read(spark)) == [
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 4, 1, "d2/4"),
+    ]
+    ch = st.changes_between(spark, v0, v1)
+    assert sorted((r.day, r.k, r._change_type) for r in ch.collect()) == [
+        ("d1", 1, "delete"),
+        ("d2", 3, "delete"),
+    ]
+    assert st.count_rows() == 2
