@@ -1338,6 +1338,7 @@ class ParquetMergeStore:
         self,
         keys_df: DataFrame,
         write_change_feed: bool = False,
+        deletion_vectors: bool = False,
     ) -> int | None:
         """Drop the rows whose PK appears in ``keys_df`` — the
         join-shaped DELETE (vs :meth:`delete`'s predicate shape).
@@ -1350,11 +1351,65 @@ class ParquetMergeStore:
         committed version (a commit happens even when every key was
         unknown — the version records the applied batch, which is what
         an idempotent replication consumer wants).
+
+        ``deletion_vectors=True`` applies the retraction WITHOUT
+        rewriting any bucket: the present keys' PKs go straight into
+        per-bucket vectors (the :meth:`delete` DV machinery) — an
+        upstream feed's hourly retractions then cost PK-sized metadata
+        per batch instead of bucket rewrites, and the next natural
+        rewrite of each bucket absorbs them. Unknown keys are no-ops
+        in both modes.
         """
         spark = keys_df.sparkSession
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"empty merge store: {self.root}")
+        if deletion_vectors:
+            keyed = keys_df.select(*self.keys).dropDuplicates()
+            kb = keyed.withColumn(_BUCKET, self._bucket_expr())
+            touched = sorted(
+                r[0] for r in kb.select(_BUCKET).distinct().collect()
+            )
+            prior = self._bucket_paths(cur)
+            present = [
+                os.path.join(self.root, prior[b])
+                for b in touched
+                if b in prior
+            ]
+            if not present:
+                # every key routes to a bucket with no data: commit the
+                # applied batch with nothing to vector
+                matching = self.read(spark, version=cur).limit(0)
+            else:
+                snap = self._apply_dv(
+                    spark,
+                    self._read_aligned(spark, present, cur),
+                    cur,
+                    buckets=touched,
+                )
+                kr = keyed.select(
+                    *[F.col(k).alias(f"__del_{k}") for k in self.keys]
+                )
+                matching = snap.join(
+                    kr,
+                    [
+                        F.col(k).eqNullSafe(F.col(f"__del_{k}"))
+                        for k in self.keys
+                    ],
+                    "left_semi",
+                )
+            return self._commit_dv_delete(
+                spark,
+                cur,
+                matching,
+                touched,
+                write_change_feed,
+                op_params={
+                    "keys_batch": True,
+                    "touched_buckets": len(touched),
+                    "deletion_vectors": True,
+                },
+            )
         cols = self._read_manifest(cur)["columns"]
         # widen the key frame to the table schema (collapse needs
         # version cols; the values are irrelevant — every matched row
@@ -1589,9 +1644,37 @@ class ParquetMergeStore:
         DV delete costs ONE scan of the candidate buckets plus a
         PK-sized write (the rewrite mode pays a second scan AND the
         touched buckets' full rewrite)."""
+        return self._commit_dv_delete(
+            spark,
+            cur,
+            cand.filter(match),
+            touched,
+            write_change_feed,
+            op_params={
+                "condition": condition
+                if isinstance(condition, str)
+                else (None if condition is None else "<Column>"),
+                "where": {c: list(r) for c, r in (where or {}).items()},
+                "touched_buckets": len(touched),
+                "deletion_vectors": True,
+            },
+        )
+
+    def _commit_dv_delete(
+        self,
+        spark: SparkSession,
+        cur: int,
+        matching: DataFrame,
+        touched: list[int],
+        write_change_feed: bool,
+        op_params: dict,
+    ) -> int:
+        """Write ``matching`` rows' PKs as per-bucket vectors under
+        ``dv/v{N}`` and commit with every data dir re-referenced
+        unchanged (shared tail of the DV delete paths)."""
         new_version = cur + 1
-        prior = self._bucket_paths(cur)  # re-referenced unchanged below
-        matching = cand.filter(match)
+        prior = self._bucket_paths(cur)
+        cols = self._read_manifest(cur)["columns"]
         if write_change_feed:
             # read twice below (feed + keys): pin it
             matching = matching.localCheckpoint()
@@ -1637,14 +1720,7 @@ class ParquetMergeStore:
             change_feed=rel_changes,
             blooms={int(k): v for k, v in m.get("blooms", {}).items()},
             operation="delete",
-            op_params={
-                "condition": condition
-                if isinstance(condition, str)
-                else (None if condition is None else "<Column>"),
-                "where": {c: list(r) for c, r in (where or {}).items()},
-                "touched_buckets": len(touched),
-                "deletion_vectors": True,
-            },
+            op_params=op_params,
             file_stats=self._prior_file_stats(cur, ()),
             dv=dv,
         )

@@ -2313,3 +2313,34 @@ def test_compact_cluster_only_stale_incremental(spark, tmp_path):
     )
     # and the data is intact
     assert st.count_rows() == n * n
+
+
+def test_delete_keys_via_dv(spark, tmp_path):
+    """CDC retraction without rewrites: delete_keys(deletion_vectors=
+    True) vectors the present keys, no-ops the unknown ones, commits
+    the applied batch either way, and the feed carries the retracted
+    rows."""
+    st = _dv_store(tmp_path)
+    v0 = st.current_version()
+    paths_before = st._bucket_paths(v0)
+    keys = spark.createDataFrame(
+        [Row(k=2), Row(k=5), Row(k=999)]  # 999 unknown
+    )
+    v1 = st.delete_keys(keys, deletion_vectors=True, write_change_feed=True)
+    assert v1 == v0 + 1
+    assert st._bucket_paths(v1) == paths_before  # no data dir touched
+    got = sorted(r.k for r in st.read(spark).collect())
+    assert got == [k for k in range(20) if k not in (2, 5)]
+    assert st.count_rows() == 18
+    feed = st.change_feed(spark, v1)
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+        (2, "delete"),
+        (5, "delete"),
+    ]
+    # an all-unknown batch still commits (idempotent consumer) and
+    # changes nothing
+    v2 = st.delete_keys(
+        spark.createDataFrame([Row(k=777)]), deletion_vectors=True
+    )
+    assert v2 == v1 + 1
+    assert st.count_rows() == 18
