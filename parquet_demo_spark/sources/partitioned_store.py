@@ -365,6 +365,50 @@ class PartitionedParquetMergeStore:
         """Live partition values at a version (manifest-only)."""
         return sorted(self._parts(version))
 
+    def version_at(self, timestamp: float) -> int:
+        """Newest global version committed at or before ``timestamp``
+        (epoch seconds) — Delta's timestampAsOf, at the table level."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"empty partitioned store: {self.root}")
+        best = None
+        for v in range(cur + 1):
+            try:
+                m = self._read_manifest(v)
+            except ValueError:
+                continue  # vacuumed below the keep window
+            if m.get("committed_at", 0) <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {timestamp}"
+            )
+        return best
+
+    def describe_history(self) -> list[dict]:
+        """Commit log of the committed global versions, oldest first —
+        operation, parameters, wall-clock commit time, partition count
+        (the child's DESCRIBE HISTORY, one level up)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for v in range(cur + 1):
+            try:
+                m = self._read_manifest(v)
+            except ValueError:
+                continue
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation", "unknown"),
+                    "op_params": m.get("op_params", {}),
+                    "committed_at": m.get("committed_at"),
+                    "n_partitions": len(m.get("partitions", {})),
+                }
+            )
+        return out
+
     # -- write side -------------------------------------------------------
 
     def merge(
@@ -650,6 +694,7 @@ class PartitionedParquetMergeStore:
         version: int | None = None,
         partitions: tuple | dict | None = None,
         where: dict | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Snapshot read; ``partitions=(lo, hi)`` prunes child stores by
         manifest before any file is listed; ``where`` (column →
@@ -658,7 +703,15 @@ class PartitionedParquetMergeStore:
         [min, max] provably exclude the range are skipped without their
         directories ever being opened — the Iceberg manifest-list
         design), then via the surviving children's own min/max/bloom
-        bucket pruning."""
+        bucket pruning. ``timestamp`` (epoch seconds) time-travels to
+        the newest version committed at or before it (mutually
+        exclusive with ``version``)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass either version or timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         parts = self._parts(version)
         if not parts:
             raise ValueError(

@@ -662,3 +662,30 @@ def test_partitioned_dv_delete_touches_no_data_dirs(spark, tmp_path):
         ("d2", 3, "delete"),
     ]
     assert st.count_rows() == 2
+
+
+def test_partitioned_timestamp_travel_and_history(spark, tmp_path):
+    """Table-level timestampAsOf + DESCRIBE HISTORY parity with the
+    child store."""
+    import time
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0
+    t_between = time.time()
+    time.sleep(0.05)
+    st.merge(_batch(spark, [("d2", 2)]))  # v1
+    st.drop_partition("d1")  # v2
+    assert st.version_at(t_between) == 0
+    assert st.version_at(time.time()) == 2
+    assert _rows(st.read(spark, timestamp=t_between)) == [
+        ("d1", 1, 1, "d1/1")
+    ]
+    with pytest.raises(ValueError, match="not both"):
+        st.read(spark, version=1, timestamp=t_between)
+    hist = st.describe_history()
+    assert [h["operation"] for h in hist] == [
+        "merge",
+        "merge",
+        "drop_partition",
+    ]
+    assert hist[-1]["n_partitions"] == 1
