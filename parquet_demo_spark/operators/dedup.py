@@ -37,7 +37,7 @@ from parquet_demo_spark.functions import (
     qround,
     tokens,
 )
-from parquet_demo_spark.registry import register
+from parquet_demo_spark.registry import register, register_phases
 
 # ---------------------------------------------------------------------------
 # S23 exact dedup
@@ -129,15 +129,16 @@ def _sig_sql(band: int) -> str:
     return " + ".join(terms)
 
 
-def _minhash_cand_ctes(doc_where: str = "") -> str:
+def _minhash_cand_ctes(doc_where: str = "", src: str = "documents") -> str:
     """CTE chain ``toks → sh → dict → th → mh → bands → cand`` shared by
-    the q43 count oracle and the q76 clustering oracle."""
+    the q43 count oracle, the q76 clustering oracle, and (with
+    ``src='winning'``) the q166 stream-maintenance oracle."""
     return f"""
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z]+'),
                      t -> t <> '') AS tk
-  FROM documents {doc_where}
+  FROM {src} {doc_where}
 ),
 sh AS (
   SELECT doc_id,
@@ -191,12 +192,31 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """docs(doc_id, text) → distinct candidate pairs (doc_a < doc_b)."""
+    return band_candidate_pairs(minhash_band_signatures(docs))
+
+
+def minhash_band_signatures(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, band, sig): the LSH banding state.
+
+    Factored out of :func:`minhash_candidate_pairs` so streaming
+    maintenance (q166) encodes micro-batches with the SAME frozen hash
+    family — stream-maintained band rows are bit-identical to a batch
+    rebuild over the same winning edits. Docs with fewer than two
+    tokens produce no shingles and therefore no band rows (an emptied
+    doc drops out of the index entirely).
+    """
     # Bind the token array to a column BEFORE referencing it inside the
     # shingle lambda: an unbound expression is re-evaluated on every
     # element_at call → O(tokens²) per doc (measured 15× slower).
     base = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
     )
+    # < 2 tokens ⇒ no bigram shingles; filtering BEFORE the transform
+    # also keeps sequence(1, size-1) ascending — Spark's sequence runs
+    # DESCENDING when start > stop, so an empty token array would
+    # otherwise drive element_at out of bounds (hit by q166's
+    # edited-to-empty documents; plain corpora never produce it)
+    base = base.filter(F.size("tk") >= 2)
     tk = F.col("tk")
     # distinct bigram shingles per doc, built inside the row (no shuffle)
     shingles = F.array_distinct(
@@ -228,9 +248,20 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             out = out + t
         return out.cast("bigint")
 
-    bands = mh.select(
-        "doc_id", F.lit(0).alias("band"), sig(0).alias("sig")
-    ).unionAll(mh.select("doc_id", F.lit(1).alias("band"), sig(1).alias("sig")))
+    return mh.select(
+        "doc_id", F.lit(0).cast("bigint").alias("band"), sig(0).alias("sig")
+    ).unionAll(
+        mh.select(
+            "doc_id", F.lit(1).cast("bigint").alias("band"), sig(1).alias("sig")
+        )
+    )
+
+
+def band_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) → distinct candidate pairs (doc_a < doc_b).
+
+    Pairs only form inside a (band, sig) bucket — the equi-join keys —
+    never via all-pairs comparison, so cost tracks bucket sizes."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -999,3 +1030,258 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup-index maintenance (q166) — the q155/q160 recipe for LSH
+# ---------------------------------------------------------------------------
+
+
+def stream_maintain_dedup_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain a persisted MinHash-LSH band table from a document
+    edit stream — the third leg of the streaming-maintenance trilogy
+    (text index q155, ANN codes q160, now the dedup index).
+
+    Source rows: (doc_id, text, edit_ts). Per micro-batch:
+
+    1. collapse to the latest edit per doc WITHIN the batch, then drop
+       docs whose stored band rows already carry a NEWER edit_ts —
+       doc-level last-write-wins, so out-of-order arrival and
+       foreachBatch's at-least-once redelivery both converge to the
+       latest-edit index;
+    2. encode the winners with the FROZEN hash family
+       (:func:`minhash_band_signatures` — the same arithmetic as the
+       batch build, so stream-maintained rows are bit-identical to a
+       rebuild over the same winning edits);
+    3. commit ONE atomic merge: fresh (band, doc_id, sig) rows
+       update-or-insert; stale keys ride along as tombstone rows
+       (NULL sig — a real signature is never NULL) and a
+       matched-delete clause drops them, covering docs edited to
+       nothing (< 2 tokens ⇒ no shingles ⇒ no band rows). A crash can
+       never leave a doc half-replaced, and replaying a batch is
+       idempotent.
+
+    Scale: each batch costs its winners' signatures (per-doc array
+    ops, one groupBy) plus a PK-bucket-pruned rewrite of the touched
+    (band, doc_id) buckets — never a touch of the rest of the index.
+    Near-dup candidates against the maintained table come from
+    :func:`band_candidate_pairs` (or a batch-vs-store equi-join on
+    (band, sig) for incremental "what does today's data collide with"
+    checks); a 100 TB corpus' dedup index follows the day's edits
+    without a rebuild.
+    """
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("doc_id").orderBy(F.col("edit_ts").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        empty_store = store.current_version() is None
+        stored = None if empty_store else store.read(spark)
+        if stored is not None:
+            cur_ts = stored.groupBy("doc_id").agg(
+                F.max("edit_ts").alias("__cur_ts")
+            )
+            latest = (
+                latest.join(cur_ts, "doc_id", "left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("edit_ts") > F.col("__cur_ts"))
+                )
+                .drop("__cur_ts")
+            )
+        winners = latest.localCheckpoint()  # read by encode + tombstones
+        if winners.isEmpty():
+            return
+        fresh = minhash_band_signatures(
+            winners.select("doc_id", "text")
+        ).join(winners.select("doc_id", "edit_ts"), "doc_id")
+        if empty_store:
+            if not fresh.isEmpty():
+                store.merge(fresh.select("band", "doc_id", "sig", "edit_ts"))
+            return
+        stale = (
+            stored.join(winners.select("doc_id"), "doc_id", "left_semi")
+            .select("band", "doc_id")
+            .join(
+                fresh.select("band", "doc_id"),
+                ["band", "doc_id"],
+                "left_anti",
+            )
+        )
+        types = {f.name: f.dataType for f in stored.schema.fields}
+        tombstones = stale.select(
+            *[
+                F.col(c)
+                if c in ("band", "doc_id")
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in stored.columns
+            ]
+        )
+        src = fresh.select(*stored.columns).unionByName(tombstones)
+        if src.isEmpty():
+            return
+        store.merge_into(
+            src,
+            matched=[("delete", "s.sig IS NULL"), ("update", None)],
+            not_matched_insert="s.sig IS NOT NULL",
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_Q166_ORACLE = f"""
+WITH winning AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 120)
+              WHEN doc_id % 11 = 0 THEN ''
+              ELSE text END AS text
+  FROM documents
+),
+{_minhash_cand_ctes(src="winning")}
+SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM bands)
+         AS n_indexed_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bands) AS n_band_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs
+"""
+
+
+@register(
+    "q166_dedup_stream_maintenance",
+    oracle=_Q166_ORACLE,
+    doc="Streaming incremental MinHash-LSH dedup-index maintenance, "
+    "hash-checked end-to-end — the q155 recipe (readStream -> "
+    "foreachBatch -> ONE atomic tombstone-riding merge per batch) "
+    "applied to the (band, doc_id)-keyed signature store: batch 0 "
+    "indexes every document (edit_ts=1), batch 1 re-edits every "
+    "doc_id%%7 doc to its 120-char prefix (edit_ts=3, signatures "
+    "change in place), batch 2 delivers LATE edits: a stale "
+    "edit_ts=2 rewrite of the %%7 docs (must NOT apply — doc-level "
+    "LWW) and an edit_ts=2 emptying of the %%11 docs (their band "
+    "rows must disappear via tombstone-delete). The final "
+    "(n_indexed_docs, n_band_rows, n_candidate_pairs) triple "
+    "hash-checks against an oracle that runs the FROZEN hash family "
+    "over only each doc's winning edit — covering micro-batch "
+    "sequencing, LWW, signature replacement, emptied-doc removal, "
+    "and LSH banding in one row. Scale: each batch pays its winners' "
+    "signatures + a bucket-pruned rewrite, never the index; "
+    "candidates stay banded equi-joins. operators/dedup.py "
+    "stream_maintain_dedup_index.",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    return _q166_read(spark, sf, _q166_build(spark, sf))
+
+
+def _q166_build(spark: SparkSession, sf: str):
+    """Build phase: the three deterministic edit-batch source files
+    (same edit scenario as q155, driving the dedup index instead)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from parquet_demo_spark.operators.merge import _scratch_root
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = _scratch_root("q166", sf)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("edit_ts", T.LongType()),
+        ]
+    )
+    b0 = docs.select(
+        F.col("doc_id").cast("bigint"),
+        "text",
+        F.lit(1).cast("bigint").alias("edit_ts"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("bigint"),
+        F.substring("text", 1, 120).alias("text"),
+        F.lit(3).cast("bigint").alias("edit_ts"),
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.lit("stale edit that must not apply").alias("text"),
+            F.lit(2).cast("bigint").alias("edit_ts"),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0)
+            ).select(
+                F.col("doc_id").cast("bigint"),
+                F.lit("").alias("text"),
+                F.lit(2).cast("bigint").alias("edit_ts"),
+            )
+        )
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        d = os.path.join(root, f"scratch{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(d)
+    return root, src, schema
+
+
+_Q166_RUN_N = [0]
+
+
+def _q166_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the maintenance stream into a fresh store,
+    then the (docs, band rows, candidate pairs) summary of the
+    committed state."""
+    import os
+
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    root, src, schema = state
+    _Q166_RUN_N[0] += 1
+    n = _Q166_RUN_N[0]
+    store = ParquetMergeStore(
+        os.path.join(root, f"lsh{n}"),
+        keys=("band", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=8,
+    )
+    q = stream_maintain_dedup_index(
+        spark, src, schema, store, os.path.join(root, f"ckpt{n}")
+    )
+    q.awaitTermination()
+    bands = store.read(spark).select("doc_id", "band", "sig")
+    n_docs = bands.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_indexed_docs"),
+        F.count("*").cast("bigint").alias("n_band_rows"),
+    )
+    n_pairs = band_candidate_pairs(bands).agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    )
+    return n_docs.crossJoin(n_pairs)
+
+
+register_phases("q166_dedup_stream_maintenance", _q166_build, _q166_read)
