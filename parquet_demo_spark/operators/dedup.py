@@ -1285,3 +1285,107 @@ def _q166_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q166_dedup_stream_maintenance", _q166_build, _q166_read)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup check against the maintained index (q167)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_candidates(
+    incoming: DataFrame, stored_bands: DataFrame
+) -> DataFrame:
+    """New docs (doc_id, text) × stored band table → distinct
+    (new_doc, corpus_doc) collision candidates.
+
+    THE production dedup flow at 100 TB: today's batch is encoded with
+    the frozen hash family and equi-joined against the STORED corpus
+    index on (band, sig) — cost is the batch's signatures plus one
+    shuffle join against band rows, never a corpus re-encode and never
+    an all-pairs comparison. Docs already present in the index should
+    be excluded from ``stored_bands`` (or filtered out of the result)
+    by the caller; self-matches (same doc_id) are dropped here.
+    """
+    fresh = minhash_band_signatures(incoming).select(
+        F.col("doc_id").alias("new_doc"), "band", "sig"
+    )
+    corpus = stored_bands.select(
+        F.col("doc_id").alias("corpus_doc"), "band", "sig"
+    )
+    return (
+        fresh.join(corpus, ["band", "sig"])
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+
+
+_Q167_ORACLE = f"""
+WITH {_minhash_cand_ctes()},
+cross_pairs AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_pairs) AS n_cross_pairs,
+       (SELECT CAST(COUNT(DISTINCT new_doc) AS BIGINT) FROM cross_pairs)
+         AS n_flagged_new_docs
+"""
+
+
+@register(
+    "q167_incremental_dedup_check",
+    oracle=_Q167_ORACLE,
+    doc="Incremental near-dup admission check — the production flow a "
+    "100 TB training corpus actually runs: the corpus (doc_id%%5<>0) "
+    "is indexed ONCE into the (band, doc_id)-keyed signature store; "
+    "the incoming batch (doc_id%%5=0) is encoded with the frozen hash "
+    "family and equi-joined against the STORED band table on "
+    "(band, sig), so admission costs the batch's signatures + one "
+    "shuffle join — never a corpus re-encode, never all-pairs. "
+    "Returns (collision pairs, flagged new docs), hash-checked "
+    "against an oracle that bands the full corpus fresh. "
+    "operators/dedup.py incremental_dedup_candidates.",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    return _q167_read(spark, sf, _q167_build(spark, sf))
+
+
+def _q167_build(spark: SparkSession, sf: str):
+    """Build phase: batch-index the corpus half into a fresh store."""
+    import os
+
+    from parquet_demo_spark.operators.merge import _scratch_root
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = _scratch_root("q167", sf)
+    store = ParquetMergeStore(
+        os.path.join(root, "lsh"),
+        keys=("band", "doc_id"),
+        num_buckets=8,
+    )
+    corpus_bands = minhash_band_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0)
+    ).select("band", "doc_id", "sig")
+    store.merge(corpus_bands)
+    return store
+
+
+def _q167_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    """Operation under test: admit the incoming batch through the
+    stored index."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    cand = incremental_dedup_candidates(
+        incoming, store.read(spark).select("doc_id", "band", "sig")
+    )
+    return cand.agg(
+        F.count("*").cast("bigint").alias("n_cross_pairs"),
+        F.countDistinct("new_doc").cast("bigint").alias(
+            "n_flagged_new_docs"
+        ),
+    )
+
+
+register_phases("q167_incremental_dedup_check", _q167_build, _q167_read)
