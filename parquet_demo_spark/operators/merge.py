@@ -1589,3 +1589,122 @@ def _q165_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q165_deletion_vectors", _q165_build, _q165_read)
+
+
+@register(
+    "q168_partitioned_time_travel",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    head_ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    ),
+    asof_ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev WHERE event_id % 2 = 0
+    )
+    SELECT 'asof' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM asof_ranked WHERE rn = 1 GROUP BY event_type
+    UNION ALL
+    SELECT 'head' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM head_ranked WHERE rn = 1 GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+    doc="Table-level timestampAsOf on the partitioned store, "
+    "hash-checked (Delta time travel one level above the children): "
+    "commit 1 merges the even-event_id half, a wall-clock instant is "
+    "captured, commit 2 merges the rest (upserting colliding PKs by "
+    "(ts, event_id) LWW); read(timestamp=t_between) must resolve to "
+    "the commit-1 snapshot via the global manifests' committed_at — "
+    "no child is opened to decide — while the head read sees the "
+    "upserted union. Both snapshots' per-event_type aggregates hash "
+    "against LWW oracles over the even subset and the full table. "
+    "sources/partitioned_store.py version_at/read(timestamp).",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    return _q168_read(spark, sf, _q168_build(spark, sf))
+
+
+def _q168_build(spark: SparkSession, sf: str):
+    """Build phase: two timed commits with the instant captured between."""
+    import time
+
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q168", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))
+    time.sleep(0.05)  # clock resolution fence around the captured instant
+    t_between = time.time()
+    time.sleep(0.05)
+    # conditional: an odd row only overwrites a colliding even PK when
+    # NEWER by (ts, event_id) — so head ≡ LWW over the full table, the
+    # oracle's head_ranked definition
+    store.merge(ev.filter(F.col("event_id") % 2 != 0), conditional=True)
+    return store, t_between
+
+
+def _q168_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the as-of read next to the head read."""
+    store, t_between = state
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"),
+                "event_type",
+                "n_keys",
+                "sum_event_id",
+                "value_cents",
+            )
+        )
+
+    asof = _agg(store.read(spark, timestamp=t_between), "asof")
+    head = _agg(store.read(spark), "head")
+    return asof.unionByName(head).orderBy("snapshot", "event_type")
+
+
+register_phases("q168_partitioned_time_travel", _q168_build, _q168_read)
