@@ -68,6 +68,8 @@ COLLECT_QUERIES = {"q59_approx_distinct", "q59b_approx_quantiles"}
 SINGLE_READ_QUERIES = {
     "q155_stream_index_maintenance",
     "q157_stream_partitioned_ingest",
+    "q160_ann_stream_maintenance",
+    "q166_dedup_stream_maintenance",
 }
 
 _TABLES = (

@@ -231,6 +231,23 @@ class ParquetMergeStore:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def _evolved_flag(self, version: int, columns: list[str]) -> bool:
+        """Sticky schema-evolution marker for a commit at ``version``.
+
+        True once any committed column set differs from its
+        predecessor's; a manifest predating the flag reads as True
+        (conservative: the slow-but-always-correct mergeSchema path).
+        """
+        if version == 0:
+            return False
+        try:
+            prev = self._read_manifest(version - 1)
+        except (FileNotFoundError, ValueError):
+            return True
+        return bool(prev.get("evolved", True)) or list(
+            prev["columns"]
+        ) != list(columns)
+
     def _commit(
         self,
         version: int,
@@ -258,6 +275,14 @@ class ParquetMergeStore:
             # from different versions may carry different physical
             # schemas after an evolution — this is the authoritative set
             "columns": columns,
+            # STICKY evolution marker: False until some commit changes
+            # the column set, True from then on (even through restores —
+            # old-schema dirs may stay referenced until every bucket
+            # rewrites). Readers use it to skip the mergeSchema footer
+            # union — a per-file cost that's pure waste on the
+            # overwhelmingly common never-evolved table — and read
+            # bucket dirs with the writer-declared schema directly.
+            "evolved": self._evolved_flag(version, columns),
             # JSON keys are strings; normalize on read
             "bucket_paths": {str(k): v for k, v in bucket_paths.items()},
             # per-bucket column [min, max] (footer-derived, JSON-safe
@@ -630,7 +655,14 @@ class ParquetMergeStore:
         introducing commit wrote it, and every later rewrite preserves
         it. Footer-only work; no data scan.
         """
-        cols = self._read_manifest(version)["columns"]
+        m = self._read_manifest(version)
+        cols = m["columns"]
+        if not m.get("evolved", True):
+            # never-evolved table (the overwhelmingly common case):
+            # every referenced dir carries exactly the manifest schema,
+            # so the mergeSchema footer union — a per-FILE cost — buys
+            # nothing; read with the writer-declared schema directly
+            return spark.read.parquet(*paths).select(*cols)
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         missing = [c for c in cols if c not in df.columns]
         if not missing:
@@ -2650,7 +2682,13 @@ def changes_between(
         ]
         if not present:
             return None
-        df = spark.read.option("mergeSchema", "true").parquet(*present)
+        # never-evolved table: skip the per-file mergeSchema footer
+        # union (same fast path as _read_aligned; the sticky manifest
+        # flag at v_to covers every earlier version's dirs too)
+        if store._read_manifest(v_to).get("evolved", True):
+            df = spark.read.option("mergeSchema", "true").parquet(*present)
+        else:
+            df = spark.read.parquet(*present)
         # that version's deletion vectors: soft-deleted rows are not
         # part of the snapshot this side represents
         return store._apply_dv(spark, df, version, buckets=buckets)

@@ -178,3 +178,36 @@ def test_short_doc_produces_no_band_rows(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in snap.select("doc_id").distinct().collect()
     ) == [3]
+
+
+def test_incremental_candidates_equal_cross_subset_of_batch(spark):
+    """incremental admission ≡ the incoming×corpus restriction of the
+    full batch candidate set (same frozen family both ways)."""
+    from parquet_demo_spark.catalog import load
+    from parquet_demo_spark.operators.dedup import (
+        incremental_dedup_candidates,
+        minhash_candidate_pairs,
+    )
+
+    docs = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    got = sorted(
+        tuple(r)
+        for r in incremental_dedup_candidates(
+            incoming, minhash_band_signatures(corpus)
+        ).collect()
+    )
+    full = minhash_candidate_pairs(docs)
+    want = sorted(
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in (
+            (r["doc_a"], r["doc_b"]) for r in full.collect()
+        )
+        if (a % 5 == 0) != (b % 5 == 0)
+    )
+    assert got == sorted(set(want))
