@@ -2261,7 +2261,9 @@ class ParquetMergeStore:
         # is exact
         return total - self._dv_count(v)
 
-    def shallow_clone(self, dst_root: str) -> "ParquetMergeStore":
+    def shallow_clone(
+        self, dst_root: str, version: int | None = None
+    ) -> "ParquetMergeStore":
         """Zero-copy clone (Delta SHALLOW CLONE, a public design): a new
         store whose v0 manifest references THIS store's current data
         dirs by absolute path — no data moves.
@@ -2275,6 +2277,12 @@ class ParquetMergeStore:
         itself never crosses into the source (liveness is computed
         against the clone's own data dir).
 
+        ``version`` clones an EARLIER committed snapshot (Delta's
+        CLONE ... VERSION AS OF); the partitioned store uses this to
+        clone each child at its globally PINNED version rather than
+        the child's possibly-ahead HEAD. Raises if that snapshot's
+        data dirs were vacuumed.
+
         The dev-branch workflow this enables at 100 TB: clone the
         production table in O(metadata), experiment destructively,
         throw the clone away.
@@ -2282,7 +2290,32 @@ class ParquetMergeStore:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"cannot clone an empty store: {self.root}")
-        m = self._read_manifest(cur)
+        if version is None:
+            version = cur
+        elif not (0 <= int(version) <= cur):
+            raise ValueError(
+                f"cannot clone v{version}: committed versions are 0..{cur}"
+            )
+        cur = int(version)
+        try:
+            m = self._read_manifest(cur)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {cur} does not exist in {self.root}"
+            ) from None
+        missing = sorted(
+            rel
+            for rel in list(m["bucket_paths"].values())
+            + list(m.get("dv", {}).values())
+            if not os.path.isdir(
+                rel if os.path.isabs(rel) else os.path.join(self.root, rel)
+            )
+        )
+        if missing:
+            raise ValueError(
+                f"cannot clone v{cur}: data dirs {missing[:3]} no longer "
+                "exist (vacuumed)"
+            )
         clone = ParquetMergeStore(
             dst_root,
             keys=tuple(m["keys"]),
@@ -2628,8 +2661,15 @@ def changes_between(
     qualifying post-image — and filters the emitted rows.
     """
     v_to = store.current_version() if v_to is None else v_to
-    if v_to is None or v_from > v_to:
+    if v_to is None or v_from < 0 or v_to < 0:
         raise ValueError(f"bad version range: {v_from}..{v_to}")
+    # A BACKWARD span (v_from > v_to) is equally well-defined: the diff
+    # is "the changes that transform snapshot@v_from into snapshot@v_to"
+    # — every comparison below is between the two snapshots, never along
+    # the commit log. RESTORE is the producer of backward spans: a
+    # consumer reading changes across a table rollback sees the net
+    # revert as ordinary signed rows (re-inserts of reverted deletes,
+    # deletes of rolled-back inserts).
     old_paths = store._bucket_paths(v_from)
     new_paths = store._bucket_paths(v_to)
     dv_from = store._dv_entries(v_from)
@@ -2683,9 +2723,10 @@ def changes_between(
         if not present:
             return None
         # never-evolved table: skip the per-file mergeSchema footer
-        # union (same fast path as _read_aligned; the sticky manifest
-        # flag at v_to covers every earlier version's dirs too)
-        if store._read_manifest(v_to).get("evolved", True):
+        # union (same fast path as _read_aligned; the sticky flag at
+        # the NEWER endpoint covers both sides' dirs — on a backward
+        # span v_from is the newer, possibly-evolved one)
+        if store._read_manifest(max(v_from, v_to)).get("evolved", True):
             df = spark.read.option("mergeSchema", "true").parquet(*present)
         else:
             df = spark.read.parquet(*present)

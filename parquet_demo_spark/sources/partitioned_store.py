@@ -686,6 +686,130 @@ class PartitionedParquetMergeStore:
         )
         return new_version
 
+    def restore(self, target_version: int) -> int:
+        """Delta-style RESTORE at the TABLE level: re-commit an earlier
+        global version's state as a NEW commit. Metadata-only — the new
+        manifest re-pins exactly the target's {partition: (dir, child
+        version, stats)} entries, so dropped partitions reappear and
+        later merges/deletes across ANY number of partitions are undone
+        in one manifest write + pointer swap, no data file touched (the
+        child's own restore law, one level up; reverting a bad backfill
+        on a 100 TB table costs O(1)).
+
+        History is preserved: the rolled-back global versions stay
+        time-travelable until :meth:`vacuum`, and
+        ``changes_between(bad, restored)`` shows consumers the net
+        revert as ordinary signed row diffs. A child whose HEAD sits
+        ahead of a re-pinned (lower) version needs no rewrite here —
+        the next write through ``_pinned_child`` restores it to the pin
+        before building on it, exactly as for a crashed writer.
+
+        No-op (returns the current version, burns nothing) when the
+        target IS the head. Raises — before any commit — if the target
+        manifest, a pinned child dir, or a pinned child-version
+        manifest was removed by vacuum.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"cannot restore an empty partitioned store: {self.root}"
+            )
+        target_version = int(target_version)
+        if target_version == cur:
+            return cur
+        if not (0 <= target_version < cur):
+            raise ValueError(
+                f"cannot restore to v{target_version}: committed "
+                f"versions are 0..{cur}"
+            )
+        parts = self._parts(target_version)  # raises if vacuumed
+        for pval, e in sorted(parts.items()):
+            cdir = os.path.join(self.root, e["dir"])
+            if not os.path.isdir(cdir):
+                raise ValueError(
+                    f"cannot restore to v{target_version}: child dir "
+                    f"{e['dir']} (partition {pval!r}) was removed by "
+                    "vacuum"
+                )
+            child_manifest = self._child(e["dir"])._manifest_path(
+                int(e["version"])
+            )
+            if not os.path.exists(child_manifest):
+                raise ValueError(
+                    f"cannot restore to v{target_version}: child "
+                    f"{e['dir']} no longer has v{e['version']} "
+                    "(vacuumed inside the child)"
+                )
+        new_version = cur + 1
+        self._commit(
+            new_version,
+            parts,
+            "restore",
+            {"to_version": target_version},
+        )
+        return new_version
+
+    def shallow_clone(
+        self, dst_root: str
+    ) -> "PartitionedParquetMergeStore":
+        """Zero-copy TABLE clone (Delta SHALLOW CLONE over a partitioned
+        table): a new partitioned store whose v0 manifest pins, for
+        every live partition, a child that is itself a shallow clone of
+        the source child AT ITS GLOBALLY PINNED version — absolute-path
+        references, no data moved, cost O(partitions x metadata)
+        regardless of table size.
+
+        Cloning the PIN (not the child HEAD) matters: a crashed writer
+        can leave child versions above the global pin, and a clone of
+        the head would leak that aborted transaction's rows into the
+        new table — the same fencing rule ``_pinned_child`` applies to
+        writes. The clone is independently writable (copy-on-write
+        inside each child; fresh global manifest chain) and carries the
+        rolled-up partition stats unchanged, since it pins identical
+        data. Vacuum on the SOURCE can strand a clone's references
+        (Delta's caveat); vacuum on the clone never crosses into the
+        source.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"cannot clone an empty partitioned store: {self.root}"
+            )
+        parts = self._parts(cur)
+        clone = PartitionedParquetMergeStore(
+            dst_root,
+            keys=self.keys,
+            partition_col=(
+                self.partition_cols[0]
+                if len(self.partition_cols) == 1
+                else self.partition_cols
+            ),
+            version_cols=self.version_cols,
+            num_buckets=self.num_buckets,
+            bloom_cols=self.bloom_cols,
+            write_concurrency=self.write_concurrency,
+        )
+        if clone.current_version() is not None:
+            raise ValueError(f"clone target not empty: {dst_root}")
+        new_parts = {}
+        for pval, e in sorted(parts.items()):
+            self._child(e["dir"]).shallow_clone(
+                os.path.join(dst_root, e["dir"]),
+                version=int(e["version"]),
+            )
+            new_parts[pval] = {
+                "dir": e["dir"],
+                "version": 0,
+                "stats": dict(e.get("stats", {})),
+            }
+        clone._commit(
+            0,
+            new_parts,
+            "clone",
+            {"source": self.root, "source_version": cur},
+        )
+        return clone
+
     # -- read side --------------------------------------------------------
 
     def read(

@@ -2344,3 +2344,37 @@ def test_delete_keys_via_dv(spark, tmp_path):
     )
     assert v2 == v1 + 1
     assert st.count_rows() == 18
+
+
+def test_changes_between_backward_span_is_the_inverse_diff(
+    spark, tmp_path
+):
+    """A BACKWARD span (v_from > v_to) — what a consumer reads across a
+    RESTORE — is the snapshot diff in that direction: rolled-back
+    inserts surface as deletes, reverted updates as updates back to the
+    old row, reverted deletes as re-inserts."""
+    from parquet_demo_spark.sources.merge_store import changes_between
+
+    st = _store(tmp_path, num_buckets=4)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )  # v0
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=2, payload="a2"), Row(k=9, v=1, payload="new")]
+        )
+    )  # v1: update k=1, insert k=9
+    st.delete(spark, "k = 2")  # v2: delete k=2
+    ch = changes_between(st, spark, 2, 0, include_preimages=True)
+    got = sorted((r.k, r.payload, r._change_type) for r in ch.collect())
+    assert got == [
+        (1, "a", "update_postimage"),  # reverted back to the v0 row
+        (1, "a2", "update_preimage"),
+        (2, "b", "insert"),  # the reverted delete re-inserts
+        (9, "new", "delete"),  # the rolled-back insert deletes
+    ]
+    # forward and backward spans are each other's inverse (net zero)
+    fwd = changes_between(st, spark, 0, 2)
+    assert fwd.count() == 3  # update k=1, insert k=9, delete k=2

@@ -689,3 +689,150 @@ def test_partitioned_timestamp_travel_and_history(spark, tmp_path):
         "drop_partition",
     ]
     assert hist[-1]["n_partitions"] == 1
+
+
+def test_table_restore_is_metadata_only_and_undoes_drops(spark, tmp_path):
+    """Table-level RESTORE: one manifest re-pin undoes merges AND
+    drops across partitions; no data file moves; history preserved."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # v0
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=1, v=2, payload="edited")]
+        )
+    )  # v1: upsert
+    st.drop_partition("d2")  # v2
+    files_before = sum(len(fs) for _, _, fs in os.walk(st.root))
+    v3 = st.restore(0)
+    assert v3 == 3
+    # metadata-only: exactly one new file — the v3 manifest (the
+    # _latest pointer is swapped in place)
+    walked = sum(len(fs) for _, _, fs in os.walk(st.root))
+    assert walked == files_before + 1
+    # the restored head IS the v0 state: drop undone, upsert reverted
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 2, 1, "d2/2"),
+    ]
+    # rolled-back versions stay time-travelable
+    assert _rows(st.read(spark, version=2)) == [("d1", 1, 2, "edited")]
+    # CDC shows the net revert as signed diffs
+    ch = st.changes_between(spark, 2, 3)
+    kinds = sorted((r.day, r.k, r._change_type) for r in ch.collect())
+    assert ("d2", 2, "insert") in kinds  # the resurrected partition
+    # history records the restore
+    assert st.describe_history()[-1] == {
+        "version": 3,
+        "operation": "restore",
+        "op_params": {"to_version": 0},
+        "committed_at": st.describe_history()[-1]["committed_at"],
+        "n_partitions": 2,
+    }
+
+
+def test_table_restore_noop_and_error_paths(spark, tmp_path):
+    st = _store(tmp_path)
+    with pytest.raises(ValueError, match="empty"):
+        st.restore(0)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0
+    assert st.restore(0) == 0  # restoring HEAD burns no version
+    assert st.current_version() == 0
+    with pytest.raises(ValueError, match="committed versions"):
+        st.restore(5)
+    with pytest.raises(ValueError, match="committed versions"):
+        st.restore(-1)
+
+
+def test_table_restore_refuses_vacuumed_target(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0
+    st.drop_partition("d1")  # v1
+    st.merge(_batch(spark, [("d2", 2)]))  # v2
+    st.vacuum(keep_last=1)  # removes p=d1 child and old manifests
+    with pytest.raises(ValueError, match="vacuum"):
+        st.restore(0)
+    # head still intact after the refused restore
+    assert st.current_version() == 2
+    assert _rows(st.read(spark)) == [("d2", 2, 1, "d2/2")]
+
+
+def test_table_restore_writes_build_on_the_restored_pin(spark, tmp_path):
+    """After a restore leaves child HEADs above their pins, the next
+    write must build on the PIN (the _pinned_child fence), not fold the
+    rolled-back rows back in."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0, child v0
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=9, v=1, payload="late")])
+    )  # v1, child v1
+    st.restore(0)  # v2: child pinned back to v0; child HEAD is v1
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=3, v=1, payload="new")])
+    )  # v3 builds on child v0
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 3, 1, "new"),
+    ]
+
+
+def test_table_shallow_clone_zero_copy_and_divergent(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))  # v0
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="edit")])
+    )  # v1
+    data_files_before = sum(
+        len(fs)
+        for root, _, fs in os.walk(st.root)
+        if "parquet" in root or any(f.endswith(".parquet") for f in fs)
+    )
+    cl = st.shallow_clone(str(tmp_path / "clone"))
+    # zero-copy: no parquet file written under the clone root
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(str(tmp_path / "clone"))
+        for f in fs
+    )
+    # source data untouched
+    assert (
+        sum(
+            len(fs)
+            for root, _, fs in os.walk(st.root)
+            if "parquet" in root or any(f.endswith(".parquet") for f in fs)
+        )
+        == data_files_before
+    )
+    assert _rows(cl.read(spark)) == _rows(st.read(spark))
+    assert cl.describe_history()[0]["operation"] == "clone"
+    # the clone diverges copy-on-write; the source never sees it
+    cl.merge(
+        spark.createDataFrame([Row(day="d3", k=7, v=1, payload="only")])
+    )
+    cl.delete_where(spark, "k = 2")
+    assert _rows(cl.read(spark)) == [
+        ("d1", 1, 2, "edit"),
+        ("d3", 7, 1, "only"),
+    ]
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "edit"),
+        ("d2", 2, 1, "d2/2"),
+    ]
+    with pytest.raises(ValueError, match="not empty"):
+        st.shallow_clone(str(tmp_path / "clone"))
+
+
+def test_table_shallow_clone_pins_not_child_heads(spark, tmp_path):
+    """A crashed writer's orphan child version above the global pin must
+    not leak into a clone — the clone follows the PIN."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))  # v0, child v0
+    # simulate the crashed writer: child advances, global commit never
+    # happens
+    child = st._child(st._parts()["d1"]["dir"])
+    child.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=666, v=1, payload="aborted")]
+        )
+    )
+    cl = st.shallow_clone(str(tmp_path / "clone2"))
+    assert _rows(cl.read(spark)) == [("d1", 1, 1, "d1/1")]
