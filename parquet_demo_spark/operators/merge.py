@@ -1708,3 +1708,200 @@ def _q168_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q168_partitioned_time_travel", _q168_build, _q168_read)
+
+
+def _event_type_agg(df: DataFrame, tag: str) -> DataFrame:
+    """Shared per-event_type aggregate for the store-snapshot queries:
+    one stable fingerprint (key count, id sum, cents sum) per snapshot
+    side, hashable against a DuckDB oracle."""
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            F.lit(tag).alias("snapshot"),
+            "event_type",
+            "n_keys",
+            "sum_event_id",
+            "value_cents",
+        )
+    )
+
+
+def _week_events(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+
+
+@register(
+    "q169_partitioned_restore",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    even_ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    full_ranked AS (
+      SELECT wk, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT 'head_restored' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM even_ranked WHERE rn = 1 GROUP BY event_type
+    UNION ALL
+    SELECT 'pre_restore' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM full_ranked
+    WHERE rn = 1
+      AND wk <> (SELECT MIN(CAST(wk AS VARCHAR)) FROM ev)
+    GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+    doc="Table-level RESTORE on the partitioned store, hash-checked "
+    "(Delta RESTORE one level above the children): commit 1 merges "
+    "the even-event_id half, commit 2 upserts the rest (LWW by "
+    "(ts, event_id)), commit 3 drops the oldest week partition, then "
+    "restore(0) re-pins the v0 manifest as commit 4 — metadata-only, "
+    "undoing the upserts AND resurrecting the dropped partition in "
+    "one pointer swap. The head must hash against the even-half LWW "
+    "oracle; the pre-restore snapshot (time travel to v2) against "
+    "full LWW minus the dropped week. "
+    "sources/partitioned_store.py restore().",
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    return _q169_read(spark, sf, _q169_build(spark, sf))
+
+
+def _q169_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = _week_events(spark, sf)
+    store = PartitionedParquetMergeStore(
+        _scratch_root("q169", sf),
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))  # v0
+    store.merge(ev.filter(F.col("event_id") % 2 != 0), conditional=True)
+    store.drop_partition(min(store.partitions()))  # v2
+    restored = store.restore(0)  # v3: one manifest write
+    assert restored == 3 and store.describe_history()[-1][
+        "operation"
+    ] == "restore"
+    return store
+
+
+def _q169_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    head = _event_type_agg(store.read(spark), "head_restored")
+    pre = _event_type_agg(store.read(spark, version=2), "pre_restore")
+    return head.unionByName(pre).orderBy("snapshot", "event_type")
+
+
+register_phases("q169_partitioned_restore", _q169_build, _q169_read)
+
+
+@register(
+    "q170_partitioned_clone",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT wk, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT 'clone' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked
+    WHERE rn = 1 AND value >= 30.0
+      AND wk <> (SELECT MIN(CAST(wk AS VARCHAR)) FROM ev)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'source' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+    doc="Table-level SHALLOW CLONE on the partitioned store, "
+    "hash-checked: the clone (zero-copy, child stores cloned at their "
+    "global pins) is mutated destructively — the oldest week dropped, "
+    "low values deleted — while the source must still hash against "
+    "the untouched full-LWW oracle (copy-on-write isolation; the "
+    "dev-branch-at-100 TB workflow). "
+    "sources/partitioned_store.py shallow_clone().",
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    return _q170_read(spark, sf, _q170_build(spark, sf))
+
+
+def _q170_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = _week_events(spark, sf)
+    root = _scratch_root("q170", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev)  # v0: full LWW state
+    clone = store.shallow_clone(root + "_clone")
+    clone.drop_partition(min(clone.partitions()))
+    clone.delete_where(spark, "value < 30.0")
+    return store, clone
+
+
+def _q170_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    store, clone = state
+    src = _event_type_agg(store.read(spark), "source")
+    cl = _event_type_agg(clone.read(spark), "clone")
+    return cl.unionByName(src).orderBy("snapshot", "event_type")
+
+
+register_phases("q170_partitioned_clone", _q170_build, _q170_read)
