@@ -121,6 +121,7 @@ class PartitionedParquetMergeStore:
         num_buckets: int = 8,
         bloom_cols: tuple[str, ...] = (),
         write_concurrency: int = 8,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         # a string means one partition column; a tuple is HIVE-style
         # multi-level partitioning, e.g. (date, source) — real retention
@@ -155,6 +156,13 @@ class PartitionedParquetMergeStore:
         # jobs in parallel) — deliberately outside the config-mismatch
         # validation below
         self.write_concurrency = max(1, int(write_concurrency))
+        # CHECK constraints are TABLE properties (name -> SQL boolean),
+        # persisted in the global manifest and forwarded to every child,
+        # so each child write enforces them on its merged post-state;
+        # merge() additionally validates the incoming BATCH up front so
+        # a violating multi-partition backfill fails before ANY child
+        # commits (no partial-transaction cleanup needed)
+        self.constraints: dict[str, str] = dict(constraints or {})
         os.makedirs(root, exist_ok=True)
         committed = self.current_version()
         if committed is not None:
@@ -191,6 +199,25 @@ class PartitionedParquetMergeStore:
                     f"different config: {mismatches} (constructor value, "
                     "manifest value)"
                 )
+            # constraints are mutable table properties, not config: new
+            # names add (validated against each child's snapshot on its
+            # first write — the child's deferred add_constraint law);
+            # silently REDEFINING a persisted one would weaken the
+            # table's invariant, so that raises (the child's own rule)
+            persisted = m.get("constraints", {})
+            conflicts = {
+                n: (self.constraints[n], persisted[n])
+                for n in self.constraints
+                if n in persisted and persisted[n] != self.constraints[n]
+            }
+            if conflicts:
+                raise ValueError(
+                    f"partitioned store at {root} already persists "
+                    f"constraints with different expressions: {conflicts} "
+                    "(constructor value, manifest value); drop the "
+                    "constraint or change it via add_constraint"
+                )
+            self.constraints = {**persisted, **self.constraints}
 
     # -- global pointer / manifest (the child's commit protocol, reused) --
 
@@ -246,6 +273,7 @@ class PartitionedParquetMergeStore:
             "partitions": dict(parts),
             "operation": operation,
             "op_params": op_params or {},
+            "constraints": self.constraints,
             "committed_at": __import__("time").time(),
         }
         try:
@@ -287,6 +315,7 @@ class PartitionedParquetMergeStore:
             version_cols=self.version_cols,
             num_buckets=self.num_buckets,
             bloom_cols=self.bloom_cols,
+            constraints=self.constraints,
         )
 
     def _pinned_child(self, entry: dict) -> ParquetMergeStore:
@@ -445,6 +474,12 @@ class PartitionedParquetMergeStore:
         ]
         if lacking:
             raise ValueError(f"batch lacks partition column(s) {lacking}")
+        # fail-fast CHECK validation of the whole BATCH, before routing:
+        # a violating multi-partition backfill must raise before ANY
+        # child commits (children re-validate their merged post-state —
+        # the full invariant — but by then sibling partitions may have
+        # committed; this one agg job keeps the failure atomic)
+        self._validate_batch(upserts, "merge batch")
         pexprs = [
             F.col(c).cast("string").alias(c) for c in self.partition_cols
         ]
@@ -686,6 +721,58 @@ class PartitionedParquetMergeStore:
         )
         return new_version
 
+    def _validate_batch(self, df: DataFrame, context: str) -> None:
+        """One aggregate over ``df``: per-constraint violation counts
+        (SQL CHECK null semantics — a NULL predicate is satisfied)."""
+        if not self.constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), 1
+                ).otherwise(0)
+            ).alias(n)
+            for n, e in self.constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: row[n] for n in self.constraints if row[n]}
+        if bad:
+            raise ValueError(
+                f"CHECK constraint violation in {context}: "
+                f"{bad} (constraint -> violating rows); "
+                f"expressions: { {n: self.constraints[n] for n in bad} }"
+            )
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> None:
+        """Register a table-level CHECK constraint (SQL boolean over
+        table columns) — the child's add_constraint law, one level up.
+
+        The EXISTING table snapshot (all live partitions) is validated
+        first; a constraint the current data violates raises and
+        registers nothing. The constraint reaches the global manifest
+        at the next commit and every child's manifest on its next
+        write (children receive it through construction), so both
+        levels carry the invariant independently.
+        """
+        if not name.isidentifier():
+            raise ValueError(
+                f"constraint name must be an identifier: {name}"
+            )
+        probe = {name: expr}
+        if self.current_version() is not None and self._parts(
+            self.current_version()
+        ):
+            saved, self.constraints = self.constraints, probe
+            try:
+                self._validate_batch(
+                    self.read(spark), f"add_constraint({name})"
+                )
+            finally:
+                self.constraints = saved
+        self.constraints = {**self.constraints, **probe}
+
     def restore(self, target_version: int) -> int:
         """Delta-style RESTORE at the TABLE level: re-commit an earlier
         global version's state as a NEW commit. Metadata-only — the new
@@ -791,6 +878,9 @@ class PartitionedParquetMergeStore:
         )
         if clone.current_version() is not None:
             raise ValueError(f"clone target not empty: {dst_root}")
+        # a clone is the same table: it carries the CHECK constraints
+        # (the child clones already carry theirs from their manifests)
+        clone.constraints = dict(self.constraints)
         new_parts = {}
         for pval, e in sorted(parts.items()):
             self._child(e["dir"]).shallow_clone(
