@@ -1891,6 +1891,12 @@ def _q170_build(spark: SparkSession, sf: str):
         num_buckets=4,
     )
     store.merge(ev)  # v0: full LWW state
+    # _scratch_root cleans ROOT on rerun but the clone is a SIBLING dir;
+    # clear it too or a second build in the same process hits
+    # shallow_clone's "target not empty" guard (re-entrancy: bench and
+    # the registry invariants both build twice per process)
+    if os.path.exists(root + "_clone"):
+        shutil.rmtree(root + "_clone")
     clone = store.shallow_clone(root + "_clone")
     clone.drop_partition(min(clone.partitions()))
     clone.delete_where(spark, "value < 30.0")
@@ -1905,3 +1911,150 @@ def _q170_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q170_partitioned_clone", _q170_build, _q170_read)
+
+
+@register(
+    "q171_partitioned_schema_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    wm AS (SELECT MAX(wk) AS wmax FROM ev),
+    even_w AS (
+      SELECT wk, user_id, event_type, event_id, value,
+             CAST(NULL AS VARCHAR) AS band, 1 AS prio
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ),
+    odd_w AS (
+      SELECT wk, user_id, event_type, event_id, value,
+             'b' || CAST(event_id % 3 AS VARCHAR) AS band, 2 AS prio
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+        WHERE event_id % 2 = 1 AND wk = (SELECT wmax FROM wm))
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                     ORDER BY prio DESC) AS rn2
+        FROM (SELECT * FROM even_w UNION ALL SELECT * FROM odd_w))
+      WHERE rn2 = 1
+    )
+    SELECT 'full' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(COUNT(band) AS BIGINT) AS n_banded,
+           CAST(6 AS BIGINT) AS n_cols_g0,
+           CAST(7 AS BIGINT) AS n_cols_head
+    FROM final GROUP BY event_type
+    UNION ALL
+    SELECT 'pre_evolution_weeks', event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(band) AS BIGINT),
+           CAST(6 AS BIGINT), CAST(7 AS BIGINT)
+    FROM final WHERE wk <> (SELECT wmax FROM wm) GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+    doc="TABLE-level schema evolution on the partitioned store "
+    "(VERDICT r8 #3 / next-round #2): the even event_ids seed every "
+    "week's child with the 6-column schema; a widening batch (odd "
+    "event_ids, new band column) merges with allow_schema_evolution="
+    "True into ONLY the newest week — untouched children keep their "
+    "narrow physical schema. The whole-table read must align every "
+    "child to the global manifest's evolved column set with TYPED "
+    "null backfill (partitioned_store._aligned_union — previously a "
+    "plain unionByName raised AnalysisException: a successful write "
+    "that left the table unreadable), and a read pruned to the "
+    "pre-evolution weeks — where NO selected child carries the new "
+    "column — backfills its type from the manifest record. Both "
+    "snapshots plus the g0/head manifest column counts are "
+    "hash-checked. Scale: the evolution costs the batch's one "
+    "partition; every other child is untouched metadata. "
+    "sources/partitioned_store.py merge/_aligned_union/_columns_at.",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    return _q171_read(spark, sf, _q171_build(spark, sf))
+
+
+def _q171_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = _week_events(spark, sf)
+    root = _scratch_root("q171", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))  # g0: 6 cols
+    wmax = max(
+        r[0] for r in ev.select(F.max("wk")).collect()
+    )
+    band = F.concat(
+        F.lit("b"), (F.col("event_id") % 3).cast("string")
+    ).alias("band")
+    store.merge(
+        ev.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("wk") == wmax)
+        ).withColumn("band", band),
+        allow_schema_evolution=True,
+    )  # g1: 7 cols, ONE touched partition
+    return store, wmax
+
+
+def _q171_agg(df: DataFrame, tag: str) -> DataFrame:
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.count("band").cast("bigint").alias("n_banded"),
+        )
+        .withColumn("snapshot", F.lit(tag))
+    )
+
+
+def _q171_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    store, wmax = state
+    n_g0 = len(store._columns_at(0))
+    n_head = len(store._columns_at(store.current_version()))
+    pre_weeks = [p for p in store.partitions() if p != wmax]
+    full = _q171_agg(store.read(spark), "full")
+    pre = _q171_agg(
+        store.read(spark, partitions=(min(pre_weeks), max(pre_weeks))),
+        "pre_evolution_weeks",
+    )
+    return (
+        full.unionByName(pre)
+        .withColumn("n_cols_g0", F.lit(n_g0).cast("bigint"))
+        .withColumn("n_cols_head", F.lit(n_head).cast("bigint"))
+        .select(
+            "snapshot", "event_type", "n_keys", "sum_event_id",
+            "value_cents", "n_banded", "n_cols_g0", "n_cols_head",
+        )
+        .orderBy("snapshot", "event_type")
+    )
+
+
+register_phases(
+    "q171_partitioned_schema_evolution", _q171_build, _q171_read
+)

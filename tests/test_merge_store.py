@@ -379,8 +379,14 @@ def test_changes_from_empty_and_noop(spark, tmp_path):
     same = changes_between(st, spark, 0, 0)
     assert same.count() == 0
     assert "_change_type" in same.columns
-    with pytest.raises(ValueError):
+    # backward spans (v_from > v_to) are LEGAL when both versions exist
+    # (see test_changes_between_backward_span_is_the_inverse_diff); here
+    # v_from=1 exceeds head=0, which must be a clean ValueError — never
+    # a FileNotFoundError from a missing manifest
+    with pytest.raises(ValueError, match="exceeds head"):
         changes_between(st, spark, 1, 0)
+    with pytest.raises(ValueError, match="exceeds head"):
+        changes_between(st, spark, 0, 5)
 
 
 def test_changes_after_schema_evolution(spark, tmp_path):
@@ -1944,6 +1950,49 @@ def test_shallow_clone_carries_constraints(spark, tmp_path):
         num_buckets=4,
     )
     assert reopened.constraints == {"v_pos": "v > 0"}
+
+
+def test_shallow_clone_of_evolved_store_inherits_evolved_flag(
+    spark, tmp_path
+):
+    """ADVICE r8 (high): cloning an EVOLVED store must carry the sticky
+    evolved marker into the clone's v0. The cloned snapshot still
+    references pre-evolution bucket dirs (fewer physical columns); a
+    False flag would take _read_aligned's no-mergeSchema fast path over
+    mixed-schema dirs and either raise or silently null evolved values."""
+    st = _store(tmp_path, num_buckets=2)
+    # v0: two keys routed to DIFFERENT buckets, pre-evolution schema
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )
+    # v1: widen ONE key — the other bucket's dir keeps the old physical
+    # schema and stays referenced (mixed-schema snapshot)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=2, payload="a", extra=7)]),
+        allow_schema_evolution=True,
+    )
+    clone = st.shallow_clone(str(tmp_path / "clone"))
+    assert clone._read_manifest(0)["evolved"] is True
+    got = sorted(
+        (r.k, r.v, r.payload, r.extra)
+        for r in clone.read(spark).collect()
+    )
+    assert got == [(1, 2, "a", 7), (2, 1, "b", None)]
+    # sticky through later clone commits with unchanged columns
+    clone.merge(
+        spark.createDataFrame([Row(k=3, v=1, payload="c", extra=9)])
+    )
+    assert clone._read_manifest(1)["evolved"] is True
+    # a never-evolved source still clones with the fast-path flag off
+    st2 = ParquetMergeStore(
+        str(tmp_path / "plain"), keys=("k",), version_cols=("v",),
+        num_buckets=2,
+    )
+    st2.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    c2 = st2.shallow_clone(str(tmp_path / "plain_clone"))
+    assert c2._read_manifest(0)["evolved"] is False
 
 
 # -- WHEN NOT MATCHED BY SOURCE (Delta/SQL:2003 MERGE, VERDICT r6 #2) --------

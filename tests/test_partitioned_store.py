@@ -836,3 +836,144 @@ def test_table_shallow_clone_pins_not_child_heads(spark, tmp_path):
     )
     cl = st.shallow_clone(str(tmp_path / "clone2"))
     assert _rows(cl.read(spark)) == [("d1", 1, 1, "d1/1")]
+
+
+# -- table-level schema evolution (VERDICT r8 #3 / next-round #2) -----------
+
+
+def test_partitioned_subset_evolution_keeps_table_readable(spark, tmp_path):
+    """A widening merge routed to a SUBSET of partitions must leave the
+    whole table readable: untouched children keep their narrow physical
+    schema and the read aligns them to the evolved table schema with
+    typed-null backfill (VERDICT r8 #3 — previously a successful write
+    made every whole-table read raise AnalysisException)."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=2, v=1, payload="d1/2", extra=7)]
+        ),
+        allow_schema_evolution=True,
+    )
+    snap = st.read(spark)
+    assert snap.columns == ["day", "k", "v", "payload", "extra"]
+    got = sorted((r.day, r.k, r.extra) for r in snap.collect())
+    assert got == [("d1", 1, None), ("d1", 2, 7), ("d2", 1, None)]
+    # pruned read touching ONLY the pre-evolution partition still
+    # presents the table schema, with a REAL type on the null column
+    # (an untyped NullType would reach the parquet writer downstream)
+    narrow = st.read(spark, partitions=("d2", "d2"))
+    assert narrow.columns == ["day", "k", "v", "payload", "extra"]
+    assert dict(narrow.dtypes)["extra"] == "bigint"
+    assert [r.extra for r in narrow.collect()] == [None]
+    # the zero-row branch aligns too
+    empty = st.read(spark, partitions=("zz", "zz"))
+    assert empty.columns == snap.columns and empty.count() == 0
+
+
+def test_partitioned_strict_mode_rejects_drift_routed_to_new_partition(
+    spark, tmp_path
+):
+    """The table-level strict check: a widened batch routed ONLY to a
+    NEW partition creates a fresh child that would accept the wide
+    schema without any child-level mismatch — the TABLE must reject it
+    (or, with the flag, widen the global record)."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    wide = spark.createDataFrame(
+        [Row(day="d9", k=1, v=1, payload="x", extra=1)]
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        st.merge(wide)
+    st.merge(wide, allow_schema_evolution=True)
+    assert st.read(spark).columns == ["day", "k", "v", "payload", "extra"]
+    # narrower batches matching a pre-evolution child also need the flag
+    with pytest.raises(ValueError, match="schema drift"):
+        st.merge(_batch(spark, [("d1", 2)]))
+
+
+def test_partitioned_cdc_restore_clone_across_evolution(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))  # g0
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d2", k=2, v=1, payload="d2/2", extra=5)]
+        ),
+        allow_schema_evolution=True,
+    )  # g1
+    # CDC across the evolution boundary: aligned to the WIDER schema
+    cdc = st.changes_between(spark, 0, 1)
+    assert cdc.columns == ["day", "k", "v", "payload", "extra",
+                           "_change_type"]
+    assert [(r.day, r.k, r.extra, r._change_type)
+            for r in cdc.collect()] == [("d2", 2, 5, "insert")]
+    # RESTORE across the boundary: the restored commit presents the
+    # TARGET's (pre-evolution) schema, not the head's
+    st.restore(0)
+    assert st.read(spark).columns == ["day", "k", "v", "payload"]
+    # ...and restoring forward again re-widens
+    st.restore(1)
+    assert st.read(spark).columns == ["day", "k", "v", "payload", "extra"]
+    # SHALLOW CLONE of the evolved table inherits the schema record and
+    # reads identically (including the evolved flag inside each child)
+    cl = st.shallow_clone(str(tmp_path / "evoclone"))
+    assert sorted(
+        (r.day, r.k, r.extra) for r in cl.read(spark).collect()
+    ) == [("d1", 1, None), ("d2", 1, None), ("d2", 2, 5)]
+
+
+def test_partitioned_evolution_widen_narrow_interleaving(spark, tmp_path):
+    """Widen/narrow batch interleavings at the TABLE level (mirror of
+    the child's model-equivalence law): batches may add 'extra' or omit
+    'payload'; the final snapshot equals the dict model and the column
+    order is stored-then-new."""
+    from pyspark.sql import types as T
+
+    st = _store(tmp_path, num_buckets=2)
+    model: dict[tuple, dict] = {}
+    model_cols = ["day", "k", "v"]
+    seq = [
+        # (rows as (day, k, v, payload), with_extra, drop_payload)
+        ([("d1", 1, 1, "a"), ("d2", 1, 1, "b")], False, False),
+        ([("d1", 1, 2, "c"), ("d3", 1, 1, "d")], True, False),
+        ([("d2", 1, 2, None), ("d2", 2, 1, None)], False, True),
+        ([("d3", 1, 2, "e"), ("d1", 2, 1, "f")], True, False),
+    ]
+    for rows, with_extra, drop_payload in seq:
+        fields = [
+            ("day", T.StringType()),
+            ("k", T.LongType()),
+            ("v", T.LongType()),
+        ]
+        if not drop_payload:
+            fields.append(("payload", T.StringType()))
+        if with_extra:
+            fields.append(("extra", T.LongType()))
+        schema = T.StructType([T.StructField(n, t) for n, t in fields])
+        data = []
+        for day, k, v, p in rows:
+            d = {"day": day, "k": k, "v": v, "payload": p,
+                 "extra": k * 100 + v if with_extra else None}
+            data.append(tuple(d[n] for n, _ in fields))
+        st.merge(
+            spark.createDataFrame(data, schema),
+            allow_schema_evolution=True,
+        )
+        for n, _ in fields:
+            if n not in model_cols:
+                model_cols.append(n)
+        for day, k, v, p in rows:
+            pk = (day, k)
+            if pk not in model or v >= model[pk]["v"]:
+                model[pk] = {
+                    "day": day, "k": k, "v": v,
+                    "payload": None if drop_payload else p,
+                    "extra": k * 100 + v if with_extra else None,
+                }
+    snap = st.read(spark)
+    assert snap.columns == model_cols
+    got = {(r.day, r.k): {c: r[c] for c in model_cols}
+           for r in snap.collect()}
+    want = {pk: {c: rec.get(c) for c in model_cols}
+            for pk, rec in model.items()}
+    assert got == want

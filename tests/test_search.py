@@ -284,3 +284,75 @@ def test_stream_maintained_index_equals_fresh_after_out_of_order_edits(
         ).collect()
     }
     assert got_search == {3: 3}
+
+
+def test_stale_edit_after_emptying_is_rejected_text_index(spark, tmp_path):
+    """ADVICE r8 (medium), text leg: a doc edited-to-empty loses every
+    posting row but must KEEP its LWW watermark, so a later out-of-order
+    STALE edit cannot re-index stale text. Also pins that stale-key
+    discovery comes from the watermark's recorded term set (no postings
+    scan): doc 1's edit removes a term, whose posting must tombstone."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from parquet_demo_spark.operators.search import stream_maintain_index
+    from parquet_demo_spark.sources.merge_store import (
+        ParquetMergeStore,
+        admission_watermarks,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("edit_ts", T.LongType()),
+        ]
+    )
+    batches = [
+        [
+            Row(doc_id=1, text="alpha beta gamma", edit_ts=1),
+            Row(doc_id=2, text="delta epsilon", edit_ts=1),
+        ],
+        [Row(doc_id=2, text="", edit_ts=5)],  # emptied at ts=5
+        [
+            # STALE (3 < 5) arriving AFTER the emptying: must NOT apply
+            Row(doc_id=2, text="stale resurrection", edit_ts=3),
+            # doc 1 re-edit drops 'gamma': its posting must tombstone
+            # via the watermark's term set, not an index scan
+            Row(doc_id=1, text="alpha beta", edit_ts=2),
+        ],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        [part] = glob.glob(os.path.join(scratch, "part-*.parquet"))
+        shutil.move(part, str(src / f"batch{i}.parquet"))
+    store = ParquetMergeStore(
+        str(tmp_path / "idx_store"),
+        keys=("term", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=8,
+    )
+    q = stream_maintain_index(
+        spark, str(src), schema, store, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r.term, r.doc_id)
+        for r in store.read(spark).select("term", "doc_id").collect()
+    )
+    assert got == [("alpha", 1), ("beta", 1)]
+    # watermark rows survive the emptying, with term sets current
+    wm = admission_watermarks(store, keys=("doc_id",))
+    rows = {
+        r.doc_id: (r.edit_ts, sorted(r.terms))
+        for r in wm.read(spark).collect()
+    }
+    assert rows == {1: (2, ["alpha", "beta"]), 2: (5, [])}
