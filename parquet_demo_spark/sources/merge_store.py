@@ -75,6 +75,23 @@ _BLOOM_MAX_BITS = 1 << 17  # 16 KiB of bits per (bucket, column) cap
 _BLOOM_K = 5
 
 
+def _writer_token() -> str:
+    """Unique per-commit-attempt suffix for data/changes/dv dir names.
+
+    Artifact dirs used to be named by the writer's ASSUMED version
+    (``data/v00005``): two optimistic writers that both read head v4
+    would both write ``data/v00005`` with mode=overwrite — the CAS
+    loser clobbers the winner's files BEFORE the manifest conflict is
+    even detected, so a rebase-and-retry could commit a manifest whose
+    referenced dirs hold the other writer's data. Paths are opaque
+    (referenced by manifest; vacuum liveness is path-set-based), so a
+    unique suffix makes concurrent attempts physically disjoint and
+    the version prefix stays for human debuggability."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
+
+
 def _bloom_bytes(v) -> bytes:
     """Canonical byte encoding for bloom hashing (int/str/bytes only —
     float equality lookups are a bug upstream, not a skipping target)."""
@@ -100,7 +117,18 @@ def _bloom_positions(v, m: int, k: int):
 
 def _bloom_build(values, m: int | None = None, k: int = _BLOOM_K):
     """Bloom dict {m, k, bits(b64)} over ``values`` (nulls skipped), or
-    None when no value is hashable (all-null or unsupported type)."""
+    None when no value is hashable (all-null or unsupported type).
+
+    ``m`` defaults to the FIXED ``_BLOOM_MAX_BITS``: uniform sizing is
+    what makes blooms COMPOSABLE — same m and k means the partition-
+    level rollup is a bitwise OR of bucket bitmaps (see ``_bloom_or``),
+    so a partitioned table can skip whole child stores on point
+    lookups without opening their manifests. The former adaptive
+    sizing (16 bits/distinct value) produced per-bucket m values that
+    could never be unioned; the cost of uniformity is a constant
+    ~22 KB b64 per (bucket, bloom column) manifest entry — metadata,
+    and only for explicitly opted-in bloom_cols.
+    """
     import base64
 
     vals = [v for v in values if v is not None]
@@ -108,7 +136,7 @@ def _bloom_build(values, m: int | None = None, k: int = _BLOOM_K):
         return None
     try:
         if m is None:
-            m = min(_BLOOM_MAX_BITS, max(64, 16 * len(set(vals))))
+            m = _BLOOM_MAX_BITS
         bits = bytearray((m + 7) // 8)
         for v in vals:
             for pos in _bloom_positions(v, m, k):
@@ -116,6 +144,25 @@ def _bloom_build(values, m: int | None = None, k: int = _BLOOM_K):
     except TypeError:
         return None
     return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_or(blooms: list[dict]) -> dict | None:
+    """Bitwise-OR union of bloom dicts — exact for membership ("maybe
+    contains any of the inputs' values"). Requires identical (m, k)
+    (uniform by construction since the fixed-m sizing; pre-uniform
+    manifests mix sizes and the caller must skip — conservative)."""
+    import base64
+
+    if not blooms:
+        return None
+    m, k = blooms[0]["m"], blooms[0]["k"]
+    if any(b["m"] != m or b["k"] != k for b in blooms[1:]):
+        return None
+    acc = bytearray(base64.b64decode(blooms[0]["bits"]))
+    for b in blooms[1:]:
+        for i, byte in enumerate(base64.b64decode(b["bits"])):
+            acc[i] |= byte
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(acc)).decode()}
 
 
 def _bloom_maybe_contains(bloom: dict, v) -> bool:
@@ -324,17 +371,27 @@ class ParquetMergeStore:
         }
         # optimistic concurrency: O_EXCL manifest creation is the CAS.
         # Two writers that both read version N-1 both target N; exactly
-        # one creates N's manifest, the other gets a clean conflict
-        # instead of silently stealing the pointer (lost update).
+        # one creates N's manifest. The loser REBASES when its write is
+        # provably disjoint from everything committed since its base
+        # (Delta-style conflict resolution — see _try_rebase), else
+        # gets a clean conflict instead of silently stealing the
+        # pointer (lost update).
         try:
             fh = open(self._manifest_path(version), "x")
         except FileExistsError:
             committed = self.current_version()
+            if (
+                committed is not None
+                and committed >= version
+                and self._try_rebase(version, manifest)
+            ):
+                return
             raise ConcurrentWriteConflict(
                 f"version {version} already has a manifest (committed "
                 f"pointer: {committed}): "
                 + (
-                    "another writer won this commit — re-read and retry"
+                    "another writer won this commit with an OVERLAPPING "
+                    "footprint — re-read and retry"
                     if committed is not None and committed >= version
                     else "a concurrent writer is mid-commit, or a "
                     "crashed commit left an orphan (clean_orphans() "
@@ -346,13 +403,142 @@ class ParquetMergeStore:
             fh.flush()
             os.fsync(fh.fileno())
         # the commit point: readers see the new version only after this
-        # atomic replace succeeds
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_latest.")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(version))
+        # atomic replace succeeds — with a monotonic fix-up: two racing
+        # replaces can land out of order, and a pointer REGRESSION
+        # would make the newer committed version look like an orphan
+        while True:
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_latest.")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(version))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._pointer)
+            cur = self.current_version()
+            if cur is not None and cur >= version:
+                break
+
+    # rebase-safe commits: effects confined to their touched buckets.
+    # restore re-pins the WHOLE table (semantic conflict with any
+    # concurrent write); rebucket changes the bucket count (every PK
+    # moves); clone v0 has no concurrent predecessor.
+    _REBASE_SAFE_OPS = frozenset(
+        {"merge", "merge_into", "delete", "delete_keys", "compact"}
+    )
+
+    def _touched_between(self, older: dict, newer: dict) -> set[int]:
+        """Bucket ids whose data dir OR deletion vector differs between
+        two manifests — the commit's footprint."""
+        a_paths = {int(k): v for k, v in older.get("bucket_paths", {}).items()}
+        b_paths = {int(k): v for k, v in newer.get("bucket_paths", {}).items()}
+        a_dv = {int(k): v for k, v in older.get("dv", {}).items()}
+        b_dv = {int(k): v for k, v in newer.get("dv", {}).items()}
+        return {
+            b
+            for b in set(a_paths) | set(b_paths)
+            if a_paths.get(b) != b_paths.get(b) or a_dv.get(b) != b_dv.get(b)
+        }
+
+    def _try_rebase(self, version: int, manifest: dict) -> bool:
+        """Delta-style rebase of a CAS-losing commit (VERDICT r8 #6).
+
+        The loser's write is replayable on the new head iff (a) its own
+        footprint — buckets whose dir or DV it changed vs its BASE
+        (version-1) — is disjoint from every bucket any intervening
+        commit touched, (b) nobody changed the schema, bucket count, or
+        constraints underneath it, and (c) both sides ran rebase-safe
+        operations. Then the loser's touched buckets overlay the head's
+        manifest verbatim (its rewrites were computed from base state
+        those commits provably didn't touch — unique artifact-dir names
+        mean the winner's files were never clobbered), and the commit
+        retries at head+1. Anything else stays a
+        ConcurrentWriteConflict.
+        """
+        if manifest["operation"] not in self._REBASE_SAFE_OPS:
+            return False
+        head = self.current_version()
+        if head is None or head < version:
+            return False
+        base_m = (
+            {"bucket_paths": {}, "dv": {}}
+            if version == 0
+            else self._read_manifest(version - 1)
+        )
+        ours = self._touched_between(base_m, manifest)
+        prev = base_m
+        for v in range(version, head + 1):
+            try:
+                m = self._read_manifest(v)
+            except (FileNotFoundError, ValueError):
+                return False
+            if m.get("operation", "merge") not in self._REBASE_SAFE_OPS:
+                return False
+            if self._touched_between(prev, m) & ours:
+                return False
+            prev = m
+        head_m = prev
+        if (
+            head_m["num_buckets"] != manifest["num_buckets"]
+            or list(head_m["columns"]) != list(manifest["columns"])
+            or head_m.get("constraints", {}) != manifest["constraints"]
+        ):
+            return False
+        # overlay OUR footprint onto the head's maps (string keys)
+        ours_s = {str(b) for b in ours}
+        rebased = dict(head_m)
+        for field in ("bucket_paths", "stats", "blooms", "file_stats", "dv"):
+            merged = {
+                k: v
+                for k, v in head_m.get(field, {}).items()
+                if k not in ours_s
+            }
+            merged.update(
+                {
+                    k: v
+                    for k, v in manifest.get(field, {}).items()
+                    if k in ours_s
+                }
+            )
+            rebased[field] = merged
+        for field in (
+            "change_feed",
+            "operation",
+            "op_params",
+            "committed_at",
+        ):
+            rebased[field] = manifest[field]
+        # sticky evolution marker: conservative OR of both lineages
+        # (columns are equal, but the flag may be True from history)
+        rebased["evolved"] = bool(manifest["evolved"]) or bool(
+            head_m.get("evolved", True)
+        )
+        rebased["op_params"] = {
+            **manifest["op_params"],
+            "rebased_from": version,
+        }
+        rebased["version"] = head + 1
+        os.makedirs(
+            os.path.join(self.root, f"v{head + 1:05d}"), exist_ok=True
+        )
+        try:
+            fh = open(self._manifest_path(head + 1), "x")
+        except FileExistsError:
+            # someone landed head+1 meanwhile: recurse one level up
+            return self._try_rebase(head + 1, rebased)
+        with fh:
+            json.dump(rebased, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, self._pointer)
+        while True:
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_latest.")
+            with os.fdopen(fd, "w") as fh2:
+                fh2.write(str(head + 1))
+                fh2.flush()
+                os.fsync(fh2.fileno())
+            os.replace(tmp, self._pointer)
+            cur = self.current_version()
+            if cur is not None and cur >= head + 1:
+                break
+        return True
 
     def _bucket_paths(self, version: int) -> dict[int, str]:
         m = self._read_manifest(version)
@@ -970,11 +1156,11 @@ class ParquetMergeStore:
         rel_changes = None
         if write_change_feed:
             feed = self._derive_changes(ranked, batch, columns)
-            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            rel_changes = os.path.join("changes", f"v{new_version:05d}-{_writer_token()}")
             feed.write.mode("overwrite").parquet(
                 os.path.join(self.root, rel_changes)
             )
-        rel_data = os.path.join("data", f"v{new_version:05d}")
+        rel_data = os.path.join("data", f"v{new_version:05d}-{_writer_token()}")
         out_dir = os.path.join(self.root, rel_data)
         # invariant holds inductively: untouched buckets passed this
         # check when they were written, so validating only the rows
@@ -1347,12 +1533,12 @@ class ParquetMergeStore:
             feed = post.unionByName(pre).unionByName(inserts).unionByName(
                 deletes
             )
-            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            rel_changes = os.path.join("changes", f"v{new_version:05d}-{_writer_token()}")
             feed.write.mode("overwrite").parquet(
                 os.path.join(self.root, rel_changes)
             )
 
-        rel_data = os.path.join("data", f"v{new_version:05d}")
+        rel_data = os.path.join("data", f"v{new_version:05d}-{_writer_token()}")
         out_dir = os.path.join(self.root, rel_data)
         self._validate_constraints(out, "merge_into")
         out.withColumn(_BUCKET, self._bucket_expr()).write.mode(
@@ -1654,12 +1840,12 @@ class ParquetMergeStore:
             feed = tdf.filter(match).select(*cols).withColumn(
                 "_change_type", F.lit("delete")
             )
-            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            rel_changes = os.path.join("changes", f"v{new_version:05d}-{_writer_token()}")
             feed.write.mode("overwrite").parquet(
                 os.path.join(self.root, rel_changes)
             )
         keep = tdf.filter(~match).withColumn(_BUCKET, self._bucket_expr())
-        rel_data = os.path.join("data", f"v{new_version:05d}")
+        rel_data = os.path.join("data", f"v{new_version:05d}-{_writer_token()}")
         out_dir = os.path.join(self.root, rel_data)
         keep.write.mode("overwrite").partitionBy(_BUCKET).parquet(out_dir)
 
@@ -1774,7 +1960,7 @@ class ParquetMergeStore:
             feed = matching.select(*cols).withColumn(
                 "_change_type", F.lit("delete")
             )
-            rel_changes = os.path.join("changes", f"v{new_version:05d}")
+            rel_changes = os.path.join("changes", f"v{new_version:05d}-{_writer_token()}")
             feed.write.mode("overwrite").parquet(
                 os.path.join(self.root, rel_changes)
             )
@@ -1789,7 +1975,7 @@ class ParquetMergeStore:
             new_keys = new_keys.unionByName(
                 spark.read.parquet(*old_touched_dirs).select(*self.keys)
             )
-        rel_dv = os.path.join("dv", f"v{new_version:05d}")
+        rel_dv = os.path.join("dv", f"v{new_version:05d}-{_writer_token()}")
         out_dir = os.path.join(self.root, rel_dv)
         (
             new_keys.dropDuplicates()
@@ -1934,7 +2120,7 @@ class ParquetMergeStore:
         try:
             batch = snapshot.withColumn(_BUCKET, self._bucket_expr())
             new_version = cur + 1
-            rel_data = os.path.join("data", f"v{new_version:05d}")
+            rel_data = os.path.join("data", f"v{new_version:05d}-{_writer_token()}")
             out_dir = os.path.join(self.root, rel_data)
             batch.write.mode("overwrite").partitionBy(_BUCKET).parquet(
                 out_dir
@@ -2051,7 +2237,7 @@ class ParquetMergeStore:
             buckets=list(rewrite),
         ).withColumn(_BUCKET, self._bucket_expr())
         new_version = cur_version + 1
-        rel_data = os.path.join("data", f"v{new_version:05d}")
+        rel_data = os.path.join("data", f"v{new_version:05d}-{_writer_token()}")
         out_dir = os.path.join(self.root, rel_data)
         if cluster_by is None:
             # hash-repartition on the bucket id: each bucket lands

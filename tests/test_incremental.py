@@ -312,7 +312,9 @@ def test_change_feed_absent_raises_and_vacuum_reclaims(spark, tmp_path):
         write_change_feed=True,
     )
     removed = st.vacuum(keep_last=1)
-    assert os.path.join("changes", "v00000") in removed
+    assert any(
+        r.startswith(os.path.join("changes", "v00000")) for r in removed
+    )  # dirs carry a per-commit writer-token suffix
     # the kept version's feed still reads
     assert st.change_feed(spark, 2).count() == 2  # pre + post
 

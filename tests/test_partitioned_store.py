@@ -977,3 +977,188 @@ def test_partitioned_evolution_widen_narrow_interleaving(spark, tmp_path):
     want = {pk: {c: rec.get(c) for c in model_cols}
             for pk, rec in model.items()}
     assert got == want
+
+
+# -- global-manifest bloom rollup (VERDICT r8 #7) ----------------------------
+
+
+def test_point_lookup_prunes_partitions_via_global_bloom_rollup(
+    spark, tmp_path
+):
+    """The global manifest's per-partition bloom (OR of the child's
+    bucket blooms) must prune whole child stores on a point lookup
+    BEFORE any child manifest is opened — min/max of a hash-scattered
+    key never prunes, so this is the only manifest-level lever."""
+    st = _store(tmp_path, bloom_cols=("k",))
+    # overlapping k ranges: [0, 100] in every partition, so the stats
+    # rollup cannot exclude any partition for k=7
+    st.merge(
+        _batch(
+            spark,
+            [("d1", 0), ("d1", 7), ("d1", 100),
+             ("d2", 0), ("d2", 51), ("d2", 100),
+             ("d3", 0), ("d3", 52), ("d3", 100)],
+        )
+    )
+    parts = st._parts()
+    # every entry carries a rolled-up bloom for k
+    assert all("k" in (e.get("blooms") or {}) for e in parts.values())
+    sel = st._stats_select(parts, sorted(parts), {"k": (7, 7)})
+    assert sel == ["d1"]  # d2/d3 bloom-pruned at the GLOBAL manifest
+    # stats alone would keep all three (overlapping ranges)
+    stripped = {
+        p: {**e, "blooms": {}} for p, e in parts.items()
+    }
+    assert st._stats_select(stripped, sorted(parts), {"k": (7, 7)}) == [
+        "d1", "d2", "d3",
+    ]
+    # and the read is exact
+    assert _rows(st.read(spark, where={"k": (7, 7)})) == [
+        ("d1", 7, 1, "d1/7")
+    ]
+    # rollup survives clone and delete_where re-rollups
+    cl = st.shallow_clone(str(tmp_path / "blclone"))
+    assert st._stats_select(
+        cl._parts(), sorted(cl._parts()), {"k": (7, 7)}
+    ) == ["d1"]
+
+
+# -- concurrent disjoint-partition writers (VERDICT r8 #6) -------------------
+
+
+def test_concurrent_writers_on_disjoint_partitions_both_commit(
+    spark, tmp_path
+):
+    """Two ingest jobs landing on DIFFERENT partitions commit different
+    child stores and only collide on the global pointer CAS — the
+    loser must rebase (overlay its partition entries on the new head)
+    instead of raising, with serialized history intact."""
+    st1 = _store(tmp_path)
+    st1.merge(_batch(spark, [("d1", 1), ("d2", 1), ("d3", 1)]))
+    st2 = PartitionedParquetMergeStore(
+        str(tmp_path / "pstore"),
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    orig = st2._commit
+
+    def delayed(*a, **kw):
+        if not getattr(st2, "_raced", False):
+            st2._raced = True
+            st1.merge(
+                spark.createDataFrame(
+                    [Row(day="d1", k=2, v=1, payload="win-d1")]
+                )
+            )
+        return orig(*a, **kw)
+
+    st2._commit = delayed
+    st2.merge(
+        spark.createDataFrame([Row(day="d2", k=2, v=1, payload="lose-d2")])
+    )
+    assert st2.current_version() == 2
+    m = st2._read_manifest(2)
+    assert m["op_params"].get("rebased_from") == 1
+    rows = _rows(st2.read(spark))
+    assert ("d1", 2, 1, "win-d1") in rows and ("d2", 2, 1, "lose-d2") in rows
+    assert ("d1", 1, 1, "d1/1") in rows and ("d3", 5, 1, "d3/5") not in rows
+    assert len(rows) == 5
+
+
+def test_concurrent_writers_on_same_partition_conflict(spark, tmp_path):
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st1 = _store(tmp_path)
+    st1.merge(_batch(spark, [("d1", 1)]))
+    st2 = PartitionedParquetMergeStore(
+        str(tmp_path / "pstore"),
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    orig = st2._commit
+
+    def delayed(*a, **kw):
+        if not getattr(st2, "_raced", False):
+            st2._raced = True
+            st1.merge(
+                spark.createDataFrame(
+                    [Row(day="d1", k=9, v=1, payload="win")]
+                )
+            )
+        return orig(*a, **kw)
+
+    st2._commit = delayed
+    with pytest.raises(ConcurrentWriteConflict, match="overlapping"):
+        st2.merge(
+            spark.createDataFrame([Row(day="d1", k=8, v=1, payload="lose")])
+        )
+
+
+# -- ADVICE r8 (low): typed dict scoping + separator in single-col values ---
+
+
+def test_dict_scoping_compares_numeric_bounds_numerically(spark, tmp_path):
+    """A numeric (lo, hi) bound on a partition column must scope
+    numerically: lexicographic '9' > '10' silently dropped partition 10
+    from a (9, 12) range before."""
+    st = PartitionedParquetMergeStore(
+        str(tmp_path / "num"),
+        keys=("src", "k"),
+        partition_col="src",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(src=s, k=1, v=1, payload=f"s{s}") for s in (2, 9, 10, 12, 30)]
+        )
+    )
+    got = sorted(
+        r.src for r in st.read(spark, partitions={"src": (9, 12)}).collect()
+    )
+    assert got == [9, 10, 12]
+    # string bounds stay lexicographic (documented): every rendered
+    # value sorts within ["10", "9"] here — including "2" and "30",
+    # which a numeric (10, 9) range would exclude
+    got_lex = sorted(
+        r.src
+        for r in st.read(spark, partitions={"src": ("10", "9")}).collect()
+    )
+    assert got_lex == [2, 9, 10, 12, 30]
+    # numeric bound over a non-numeric component raises, never mis-scopes
+    st2 = _store(tmp_path)
+    st2.merge(_batch(spark, [("d1", 1)]))
+    with pytest.raises(ValueError, match="non-numeric partition"):
+        st2.read(spark, partitions={"day": (1, 2)})
+
+
+def test_separator_allowed_in_single_column_partition_values(
+    spark, tmp_path
+):
+    """ADVICE r8: '|' is only the composite separator for MULTI-column
+    stores; a single-column store whose values contain it must stay
+    fully writable/readable (backward compatibility with stores that
+    predate composite keys)."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="a|b", k=1, v=1, payload="x"),
+             Row(day="plain", k=1, v=1, payload="y")]
+        )
+    )
+    assert sorted(st.partitions()) == ["a|b", "plain"]
+    assert _rows(st.read(spark, partitions=("a|b", "a|b"))) == [
+        ("a|b", 1, 1, "x")
+    ]
+    # dict scoping splits with maxsplit → the value survives intact
+    assert _rows(st.read(spark, partitions={"day": ("a|b", "a|b")})) == [
+        ("a|b", 1, 1, "x")
+    ]
+    st.drop_partition("a|b")
+    assert st.partitions() == ["plain"]
