@@ -1410,6 +1410,21 @@ def build_admission_layout(
     )
 
 
+def append_admission_layout(delta: DataFrame, table: str) -> None:
+    """Incrementally maintain the bucketed admission layout: append a
+    day's new band rows with ``insertInto`` — Spark writes the delta
+    bucketed by the table's recorded (band, sig) spec, so the
+    no-Exchange join property survives the append (plan-asserted in
+    tests). Append-ONLY by design: an edited doc's superseded
+    signatures remain until the next :func:`build_admission_layout`
+    rebuild, surfacing only as extra LSH candidates — false positives
+    the verify stage (q122's Jaccard gate) already filters, never
+    false negatives. The rebuild cadence trades storage for candidate
+    precision, exactly like a search index's segment merges.
+    """
+    delta.select("band", "sig", "doc_id").write.insertInto(table)
+
+
 _Q167_ORACLE = f"""
 WITH {_minhash_cand_ctes()},
 cross_pairs AS (

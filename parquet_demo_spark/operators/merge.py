@@ -2058,3 +2058,94 @@ def _q171_read(spark: SparkSession, sf: str, state) -> DataFrame:
 register_phases(
     "q171_partitioned_schema_evolution", _q171_build, _q171_read
 )
+
+
+@register(
+    "q172_pk_probe_point_read",
+    oracle="""
+    WITH lww AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id % 3 = 0
+    ),
+    surviving AS (
+      SELECT l.* FROM lww l
+      JOIN probe p
+        ON l.user_id = p.user_id AND l.event_type = p.event_type
+      WHERE l.user_id % 5 <> 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM surviving GROUP BY event_type ORDER BY event_type
+    """,
+    doc="PK-probe point read through deletion vectors, hash-checked: "
+    "the full events LWW state is merged into a (user_id, event_type)"
+    "-keyed store, the user_id%%5 keys are DV-deleted (PK-sized "
+    "metadata, no rewrite), and probe(keys_df) — the bucket-pruned "
+    "point read that powers streaming-admission watermark lookups — "
+    "fetches exactly the user_id%%3 keys' surviving rows: present "
+    "keys return their LWW row, DV-deleted keys return nothing, "
+    "absent keys are no-ops. Scale: the probe collects its keys' "
+    "bucket ids (<= num_buckets ints) and opens ONLY those dirs — a "
+    "batch probing a 100 TB store reads its buckets, never the "
+    "table (plan evidence in tests/test_dedup_stream.py "
+    "test_admission_probe_reads_only_batch_buckets). "
+    "sources/merge_store.py probe.",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    return _q172_read(spark, sf, _q172_build(spark, sf))
+
+
+def _q172_build(spark: SparkSession, sf: str) -> ParquetMergeStore:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q172", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev)
+    store.delete_keys(
+        ev.filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "event_type")
+        .distinct(),
+        deletion_vectors=True,
+    )
+    return store
+
+
+def _q172_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    probe_keys = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        store.probe(spark, probe_keys)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q172_pk_probe_point_read", _q172_build, _q172_read)

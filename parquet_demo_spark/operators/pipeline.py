@@ -1145,3 +1145,138 @@ def q84c(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_Q173_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                     % 4 AS VARCHAR) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '')) AS BIGINT) AS tok,
+         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+totals AS (
+  SELECT grp, CAST(SUM(tok) AS BIGINT) AS tokens_total FROM base GROUP BY grp
+),
+w AS (
+  SELECT grp, tokens_total,
+         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
+                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
+                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END AS wt
+  FROM totals
+),
+b AS (SELECT MIN(tokens_total / wt) AS budget FROM w),
+need AS (
+  SELECT grp, tokens_total,
+         CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens
+  FROM w
+),
+ranked AS (
+  SELECT base.*, SUM(tok) OVER (PARTITION BY grp ORDER BY h, doc_id) AS cum
+  FROM base
+),
+sel AS (
+  SELECT r.grp, r.tok FROM ranked r JOIN need n USING (grp)
+  WHERE r.cum - r.tok < n.need_tokens
+)
+SELECT n.grp,
+       CAST(COUNT(s.tok) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(s.tok), 0) AS BIGINT) AS tokens_kept,
+       n.tokens_total, n.need_tokens
+FROM need n LEFT JOIN sel s ON n.grp = s.grp
+GROUP BY n.grp, n.tokens_total, n.need_tokens
+ORDER BY n.grp
+"""
+
+
+@register(
+    "q173_corpus_mixture",
+    oracle=_Q173_ORACLE,
+    doc="Training-corpus mixture builder (the Dolma/Pile-style "
+    "weighted-source recipe): sources fold into 4 groups with target "
+    "token weights (0.4/0.3/0.2/0.1); the token budget is the largest "
+    "achievable WITHOUT up-sampling (min over groups of total/weight), "
+    "and each group keeps a deterministic hash-ordered PREFIX of its "
+    "docs until the group's token need is met — the doc crossing the "
+    "boundary is kept (closed prefix). Selection order is the frozen "
+    "cross-engine poly_hash of doc_id, so the mixture is reproducible "
+    "bit-for-bit across engines and epochs; per-group kept "
+    "docs/tokens vs totals/needs are hash-checked. Scale: one "
+    "token-count pass, one tiny broadcast of per-group needs, one "
+    "sort per group (the honest cost of an EXACT budget); the no-sort "
+    "approximate path — keep docs where pmod(hash, M)/M < "
+    "need/total — drops the per-group sort when a few-percent "
+    "mass error is acceptable at 100 TB. operators/pipeline.py.",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("g"),
+            (
+                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+            ).cast("string"),
+        ).alias("grp"),
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("tok"),
+        poly_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wt = (
+        F.when(F.col("grp") == "g0", F.lit(0.4))
+        .when(F.col("grp") == "g1", F.lit(0.3))
+        .when(F.col("grp") == "g2", F.lit(0.2))
+        .otherwise(F.lit(0.1))
+        .cast("double")
+    )
+    totals = base.groupBy("grp").agg(
+        F.sum("tok").cast("bigint").alias("tokens_total")
+    )
+    w = totals.withColumn("wt", wt)
+    budget = w.agg(
+        F.min(F.col("tokens_total") / F.col("wt")).alias("budget")
+    )
+    need = (
+        w.crossJoin(F.broadcast(budget))
+        .select(
+            "grp",
+            "tokens_total",
+            F.floor(F.col("wt") * F.col("budget"))
+            .cast("bigint")
+            .alias("need_tokens"),
+        )
+    )
+    win = W.partitionBy("grp").orderBy("h", "doc_id")
+    sel = (
+        base.withColumn("cum", F.sum("tok").over(win))
+        .join(F.broadcast(need), "grp")
+        .filter(F.col("cum") - F.col("tok") < F.col("need_tokens"))
+    )
+    return (
+        need.join(
+            sel.groupBy("grp").agg(
+                F.count("*").cast("bigint").alias("n_docs_kept"),
+                F.sum("tok").cast("bigint").alias("tokens_kept"),
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(F.col("tokens_kept"), F.lit(0).cast("bigint")).alias(
+                "tokens_kept"
+            ),
+            "tokens_total",
+            "need_tokens",
+        )
+        .orderBy("grp")
+    )

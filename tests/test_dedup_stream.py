@@ -328,3 +328,53 @@ def test_admission_layout_join_has_no_exchange_on_stored_side(
         assert "Exchange" not in ln, f"stored side shuffles: {ln.strip()}"
     finally_rows = sorted(tuple(r) for r in cand.collect())
     assert all(a == 1000 for a, _ in finally_rows) and finally_rows
+
+
+def test_admission_layout_append_keeps_bucketing(spark, tmp_path):
+    """append_admission_layout maintains the layout incrementally:
+    insertInto writes the delta bucketed by the table's (band, sig)
+    spec, new rows are join-visible, and the stored side STAYS
+    Exchange-free after the append."""
+    from parquet_demo_spark.operators.dedup import (
+        append_admission_layout,
+        build_admission_layout,
+        incremental_dedup_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"{_T0} filler{i} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    table = "admission_layout_append_test"
+    build_admission_layout(
+        minhash_band_signatures(corpus), table, buckets=4
+    )
+    n0 = spark.table(table).count()
+    delta_docs = spark.createDataFrame(
+        [(500, _T0)], "doc_id long, text string"
+    )
+    append_admission_layout(minhash_band_signatures(delta_docs), table)
+    assert spark.table(table).count() == n0 + 2  # both bands appended
+    incoming = spark.createDataFrame(
+        [(1000, _T0)], "doc_id long, text string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = incremental_dedup_candidates(
+            incoming, spark.table(table).select("doc_id", "band", "sig")
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    lines = plan.splitlines()
+    [scan_i] = [
+        i for i, ln in enumerate(lines) if "Scan parquet" in ln and table in ln
+    ]
+    [smj_i] = [i for i, ln in enumerate(lines) if "SortMergeJoin" in ln]
+    for ln in lines[smj_i + 1 : scan_i]:
+        if not ln.lstrip().startswith(":"):
+            assert "Exchange" not in ln, f"stored side shuffles: {ln.strip()}"
+    # the appended doc is now a candidate for the identical incoming doc
+    assert (500 in {r.corpus_doc for r in cand.collect()})
