@@ -2149,3 +2149,94 @@ def _q172_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q172_pk_probe_point_read", _q172_build, _q172_read)
+
+
+@register(
+    "q174_partitioned_pk_probe",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    lww AS (
+      SELECT * FROM (
+        SELECT wk, user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY wk, user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT DISTINCT wk, user_id, event_type FROM ev WHERE user_id % 3 = 0
+    ),
+    surviving AS (
+      SELECT l.* FROM lww l
+      JOIN probe p ON l.wk = p.wk AND l.user_id = p.user_id
+                  AND l.event_type = p.event_type
+      WHERE l.value >= 20.0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT wk) AS BIGINT) AS n_weeks,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM surviving GROUP BY event_type ORDER BY event_type
+    """,
+    doc="TABLE-level PK-probe point read, hash-checked through a "
+    "DV-delete: the week-partitioned events store (partition col wk "
+    "is a PK column, so every probe key names its partition exactly) "
+    "DV-deletes value<20 rows, then probe(keys_df) fetches the "
+    "user_id%%3 keys' surviving LWW rows — partition-pruned to the "
+    "keys' weeks, bucket-pruned inside each child, DV-deleted keys "
+    "absent. The composition a 100 TB lookup actually takes: a "
+    "thousand-key batch opens its partitions' buckets, never a table "
+    "listing. sources/partitioned_store.py probe.",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    return _q174_read(spark, sf, _q174_build(spark, sf))
+
+
+def _q174_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = _week_events(spark, sf)
+    root = _scratch_root("q174", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev)
+    store.delete_where(spark, "value < 20.0", deletion_vectors=True)
+    return store
+
+
+def _q174_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    probe_keys = (
+        _week_events(spark, sf)
+        .filter(F.col("user_id") % 3 == 0)
+        .select("wk", "user_id", "event_type")
+        .distinct()
+    )
+    return (
+        store.probe(spark, probe_keys)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("wk").cast("bigint").alias("n_weeks"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q174_partitioned_pk_probe", _q174_build, _q174_read)

@@ -1280,3 +1280,191 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+_Q175_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                     % 4 AS VARCHAR) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '')) AS BIGINT) AS tok,
+         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+totals AS (
+  SELECT grp, CAST(SUM(tok) AS BIGINT) AS tokens_total FROM base GROUP BY grp
+),
+w AS (
+  SELECT grp, tokens_total,
+         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
+                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
+                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END AS wt
+  FROM totals
+),
+b AS (SELECT MAX(tokens_total / wt) AS budget FROM w),
+need AS (
+  SELECT grp, tokens_total,
+         CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens
+  FROM w
+),
+plan_t AS (
+  SELECT grp, tokens_total, need_tokens,
+         CAST(FLOOR(need_tokens / tokens_total) AS BIGINT)
+           AS full_epochs,
+         need_tokens - CAST(FLOOR(need_tokens / tokens_total) AS BIGINT)
+           * tokens_total AS rem_tokens
+  FROM need
+),
+full_rows AS (
+  SELECT b.grp, b.tok,
+         unnest(generate_series(0, CAST(p.full_epochs AS INT) - 1)) AS epoch
+  FROM base b JOIN plan_t p USING (grp)
+  WHERE p.full_epochs > 0
+),
+ranked AS (
+  SELECT base.*, SUM(tok) OVER (PARTITION BY grp ORDER BY h, doc_id) AS cum
+  FROM base
+),
+rem_rows AS (
+  SELECT r.grp, r.tok, CAST(p.full_epochs AS INT) AS epoch
+  FROM ranked r JOIN plan_t p USING (grp)
+  WHERE p.rem_tokens > 0 AND r.cum - r.tok < p.rem_tokens
+),
+mixture AS (
+  SELECT grp, tok, epoch FROM full_rows
+  UNION ALL SELECT grp, tok, epoch FROM rem_rows
+)
+SELECT p.grp,
+       CAST(COUNT(m.tok) AS BIGINT) AS n_rows_sampled,
+       CAST(COALESCE(SUM(m.tok), 0) AS BIGINT) AS tokens_sampled,
+       CAST(COUNT(DISTINCT m.epoch) AS BIGINT) AS n_epochs,
+       p.tokens_total, p.need_tokens
+FROM plan_t p LEFT JOIN mixture m ON p.grp = m.grp
+GROUP BY p.grp, p.tokens_total, p.need_tokens
+ORDER BY p.grp
+"""
+
+
+@register(
+    "q175_epoch_mixture_upsampling",
+    oracle=_Q175_ORACLE,
+    doc="Epoch-repeat mixture with UP-sampling — q173's complement for "
+    "the regime where the token budget exceeds small sources' totals "
+    "(the multi-epoch training recipe): budget = max over groups of "
+    "total/weight (the LARGEST source is consumed exactly once), each "
+    "group contributes floor(need/total) FULL epochs (explode over a "
+    "sequence — no data duplication until the scan materializes the "
+    "epoch column) plus a deterministic hash-ordered closed-prefix "
+    "remainder tagged as the final partial epoch. Per-group sampled "
+    "rows/tokens/epoch-count vs totals/needs hash-checked; same "
+    "frozen poly_hash order as q173, so the two mixtures compose. "
+    "Scale: full epochs are a zero-shuffle row multiplier at scan "
+    "time; only the remainder pays the per-group sort. "
+    "operators/pipeline.py.",
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("g"),
+            (
+                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+            ).cast("string"),
+        ).alias("grp"),
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("tok"),
+        poly_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wt = (
+        F.when(F.col("grp") == "g0", F.lit(0.4))
+        .when(F.col("grp") == "g1", F.lit(0.3))
+        .when(F.col("grp") == "g2", F.lit(0.2))
+        .otherwise(F.lit(0.1))
+        .cast("double")
+    )
+    totals = base.groupBy("grp").agg(
+        F.sum("tok").cast("bigint").alias("tokens_total")
+    )
+    w = totals.withColumn("wt", wt)
+    budget = w.agg(
+        F.max(F.col("tokens_total") / F.col("wt")).alias("budget")
+    )
+    plan = (
+        w.crossJoin(F.broadcast(budget))
+        .select(
+            "grp",
+            "tokens_total",
+            F.floor(F.col("wt") * F.col("budget"))
+            .cast("bigint")
+            .alias("need_tokens"),
+        )
+        .withColumn(
+            "full_epochs",
+            (F.col("need_tokens") / F.col("tokens_total"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "rem_tokens",
+            F.col("need_tokens")
+            - F.col("full_epochs") * F.col("tokens_total"),
+        )
+    )
+    full_rows = (
+        base.join(F.broadcast(plan), "grp")
+        .filter(F.col("full_epochs") > 0)
+        .select(
+            "grp",
+            "tok",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("int"),
+                    (F.col("full_epochs") - 1).cast("int"),
+                )
+            ).alias("epoch"),
+        )
+    )
+    win = W.partitionBy("grp").orderBy("h", "doc_id")
+    rem_rows = (
+        base.withColumn("cum", F.sum("tok").over(win))
+        .join(F.broadcast(plan), "grp")
+        .filter(
+            (F.col("rem_tokens") > 0)
+            & (F.col("cum") - F.col("tok") < F.col("rem_tokens"))
+        )
+        .select(
+            "grp", "tok", F.col("full_epochs").cast("int").alias("epoch")
+        )
+    )
+    mixture = full_rows.unionByName(rem_rows)
+    return (
+        plan.join(
+            mixture.groupBy("grp").agg(
+                F.count("*").cast("bigint").alias("n_rows_sampled"),
+                F.sum("tok").cast("bigint").alias("tokens_sampled"),
+                F.countDistinct("epoch").cast("bigint").alias("n_epochs"),
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            F.coalesce(
+                F.col("n_rows_sampled"), F.lit(0).cast("bigint")
+            ).alias("n_rows_sampled"),
+            F.coalesce(
+                F.col("tokens_sampled"), F.lit(0).cast("bigint")
+            ).alias("tokens_sampled"),
+            F.coalesce(F.col("n_epochs"), F.lit(0).cast("bigint")).alias(
+                "n_epochs"
+            ),
+            "tokens_total",
+            "need_tokens",
+        )
+        .orderBy("grp")
+    )

@@ -1427,6 +1427,63 @@ class PartitionedParquetMergeStore:
             )
         return total
 
+    def probe(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Table-level PK-probe point read: partition-prune, then
+        bucket-prune (the child's :meth:`ParquetMergeStore.probe`).
+
+        Partition columns are PK columns (the table's routing
+        invariant), so each probe key names its partition exactly — a
+        batch of K keys opens only its partitions' children, and
+        within each child only the keys' buckets. The distinct-
+        partition collect is metadata-sized (# touched partitions,
+        same as merge routing); children absent from the manifest are
+        no-ops; results align to the table schema (typed-null backfill
+        across any evolution boundary). At 100 TB: a thousand-key
+        probe touches a handful of dirs, never a listing of the table.
+        """
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"empty partitioned store: {self.root}")
+        lacking = [c for c in self.keys if c not in keys_df.columns]
+        if lacking:
+            raise ValueError(f"probe keys lack PK column(s) {lacking}")
+        parts = self._parts(v)
+        keys = keys_df.select(*self.keys).distinct()
+        pexprs = [
+            F.col(c).cast("string").alias(c) for c in self.partition_cols
+        ]
+        pval_rows = [
+            tuple(r) for r in keys.select(*pexprs).distinct().collect()
+        ]
+        hit = sorted(
+            pv
+            for pv in {_composite(row) for row in pval_rows}
+            if pv in parts
+        )
+        if not hit:
+            any_p = sorted(parts)[0]
+            df = self._child(parts[any_p]["dir"]).read(
+                spark, version=parts[any_p]["version"]
+            )
+            return self._aligned_union(spark, [df], v).limit(0)
+        pcol = F.concat_ws(
+            _SEP, *[F.col(c).cast("string") for c in self.partition_cols]
+        )
+        dfs = [
+            self._child(parts[pv]["dir"]).probe(
+                spark,
+                keys.filter(pcol == pv),
+                version=parts[pv]["version"],
+            )
+            for pv in hit
+        ]
+        return self._aligned_union(spark, dfs, v)
+
     def count_rows(
         self,
         version: int | None = None,

@@ -1162,3 +1162,59 @@ def test_separator_allowed_in_single_column_partition_values(
     ]
     st.drop_partition("a|b")
     assert st.partitions() == ["plain"]
+
+
+# -- table-level PK probe (round 9) ------------------------------------------
+
+
+def test_partitioned_probe_opens_only_the_keys_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """probe() must partition-prune from the keys themselves (partition
+    cols are PK cols): keys naming one partition invoke exactly one
+    child probe; absent partitions are no-ops; results are exact."""
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1), ("d3", 1)]))
+    calls = []
+    orig = ParquetMergeStore.probe
+
+    def counting(self, *a, **kw):
+        calls.append(self.root)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ParquetMergeStore, "probe", counting)
+    keys = spark.createDataFrame(
+        [Row(day="d2", k=1), Row(day="d2", k=999), Row(day="zz", k=1)]
+    )
+    got = _rows(st.probe(spark, keys))
+    assert got == [("d2", 1, 1, "d2/1")]
+    assert len(calls) == 1 and calls[0].endswith("p=d2")
+    # zero matching partitions: schema-only empty frame, no child probe
+    calls.clear()
+    empty = st.probe(spark, spark.createDataFrame([Row(day="zz", k=1)]))
+    assert empty.count() == 0 and empty.columns == [
+        "day", "k", "v", "payload",
+    ]
+    assert calls == []
+
+
+def test_partitioned_probe_aligns_across_evolution(spark, tmp_path):
+    """A probe spanning the evolution boundary presents the TABLE
+    schema: rows from pre-evolution children typed-null backfill."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=2, v=1, payload="d1/2", extra=7)]
+        ),
+        allow_schema_evolution=True,
+    )
+    keys = spark.createDataFrame(
+        [Row(day="d1", k=2), Row(day="d2", k=1)]
+    )
+    got = sorted(
+        (r.day, r.k, r.extra) for r in st.probe(spark, keys).collect()
+    )
+    assert got == [("d1", 2, 7), ("d2", 1, None)]
