@@ -75,6 +75,42 @@ _BLOOM_MAX_BITS = 1 << 17  # 16 KiB of bits per (bucket, column) cap
 _BLOOM_K = 5
 
 
+# committed manifests are IMMUTABLE (created with O_EXCL, never
+# rewritten — vacuum/clean_orphans only delete), so parsed JSON can be
+# cached by path process-wide. Metadata-heavy paths (_parts on every
+# partitioned read, stats/bloom pruning, CDC version walks) re-read the
+# same manifests constantly; with per-partition bloom rollups a global
+# manifest is tens of KB per partition, and re-parsing it per operation
+# is pure waste. A stat() guard on each hit keeps deletions honest
+# (a vacuumed version must raise, not serve from cache) at ~1000x less
+# cost than the parse.
+_MANIFEST_CACHE: dict[str, tuple[tuple, dict]] = {}
+_MANIFEST_CACHE_MAX = 512
+
+
+def _load_manifest(path: str) -> dict:
+    # validate by stat signature, not bare existence: a version number
+    # can be REUSED at the same path (orphan manifest deleted by
+    # clean_orphans, then a later writer commits that version) — the
+    # (inode, mtime, size) tuple distinguishes the generations
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        _MANIFEST_CACHE.pop(path, None)  # vacuumed underneath us
+        raise
+    sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+    cached = _MANIFEST_CACHE.get(path)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    with open(path) as fh:
+        m = json.load(fh)
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        # FIFO bound — eviction order is irrelevant for correctness
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[path] = (sig, m)
+    return m
+
+
 def _writer_token() -> str:
     """Unique per-commit-attempt suffix for data/changes/dv dir names.
 
@@ -275,8 +311,7 @@ class ParquetMergeStore:
         return os.path.join(self.root, f"v{version:05d}", "manifest.json")
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as fh:
-            return json.load(fh)
+        return _load_manifest(self._manifest_path(version))
 
     def _evolved_flag(self, version: int, columns: list[str]) -> bool:
         """Sticky schema-evolution marker for a commit at ``version``.

@@ -243,9 +243,14 @@ class PartitionedParquetMergeStore:
         return os.path.join(self.root, f"v{version:05d}", "manifest.json")
 
     def _read_manifest(self, version: int) -> dict:
+        from parquet_demo_spark.sources.merge_store import _load_manifest
+
         try:
-            with open(self._manifest_path(version)) as fh:
-                return json.load(fh)
+            # same immutable-manifest cache as the child store: global
+            # manifests carry per-partition stats + bloom rollups (tens
+            # of KB per partition) and _parts re-reads them on every
+            # operation — parse once per (path, stat signature)
+            return _load_manifest(self._manifest_path(version))
         except FileNotFoundError:
             cur = self.current_version()
             raise ValueError(
