@@ -1152,9 +1152,15 @@ def dedup_index_batch_applier(spark: SparkSession, store):
         winners = latest.localCheckpoint()  # read by encode + tombstones
         if winners.isEmpty():
             return
-        fresh = minhash_band_signatures(
-            winners.select("doc_id", "text")
-        ).join(winners.select("doc_id", "edit_ts"), "doc_id")
+        # materialize the encoding ONCE: it feeds the emptiness check,
+        # the tombstone anti-join, and the merge — without the
+        # checkpoint the minhash (the batch's expensive step) would
+        # recompute per consumer
+        fresh = (
+            minhash_band_signatures(winners.select("doc_id", "text"))
+            .join(winners.select("doc_id", "edit_ts"), "doc_id")
+            .localCheckpoint()
+        )
         empty_store = store.current_version() is None
         if empty_store:
             if not fresh.isEmpty():

@@ -650,10 +650,14 @@ def stream_maintain_index(
         winners = latest.localCheckpoint()  # read twice below
         if winners.isEmpty():
             return
-        fresh = inverted_index(
-            winners.select("doc_id", "text", "edit_ts")
-        ).drop("bucket").join(
-            winners.select("doc_id", "edit_ts"), "doc_id"
+        # materialize the postings ONCE: they feed the stale anti-join,
+        # the merge source, and the watermark term sets — three
+        # consumers that would each re-tokenize the batch otherwise
+        fresh = (
+            inverted_index(winners.select("doc_id", "text", "edit_ts"))
+            .drop("bucket")
+            .join(winners.select("doc_id", "edit_ts"), "doc_id")
+            .localCheckpoint()
         )
         if store.current_version() is None:
             store.merge(fresh)

@@ -2386,10 +2386,14 @@ def stream_maintain_ann_index(
                 ).alias("codes")
             )
         )
+        # materialize the encoding ONCE: the broadcast-argmin crossJoins
+        # are the batch's expensive step and both the merge and the
+        # tombstone typing consume the frame
         enc = (
             ups.join(cells, "vec_id")
             .join(codes, "vec_id")
             .select("vec_id", "edit_ts", "cid", "codes", "e")
+            .localCheckpoint()
         )
         if store.current_version() is None:
             # deletes against an empty store are no-ops by definition
