@@ -1468,3 +1468,139 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+_Q176_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                     % 4 AS VARCHAR) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '')) AS BIGINT) AS tok,
+         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 10000 AS hb
+  FROM documents
+),
+totals AS (
+  SELECT grp, CAST(SUM(tok) AS BIGINT) AS tokens_total FROM base GROUP BY grp
+),
+w AS (
+  SELECT grp, tokens_total,
+         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
+                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
+                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END AS wt
+  FROM totals
+),
+b AS (SELECT MIN(tokens_total / wt) AS budget FROM w),
+need AS (
+  SELECT grp, tokens_total,
+         CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens,
+         CAST(FLOOR(CAST(10000 AS DOUBLE)
+                    * FLOOR(wt * (SELECT budget FROM b))
+                    / tokens_total) AS BIGINT) AS keep_bp
+  FROM w
+),
+sel AS (
+  SELECT b.grp, b.tok FROM base b JOIN need n USING (grp)
+  WHERE b.hb < n.keep_bp
+)
+SELECT n.grp,
+       CAST(COUNT(s.tok) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(s.tok), 0) AS BIGINT) AS tokens_kept,
+       n.tokens_total, n.need_tokens, n.keep_bp
+FROM need n LEFT JOIN sel s ON n.grp = s.grp
+GROUP BY n.grp, n.tokens_total, n.need_tokens, n.keep_bp
+ORDER BY n.grp
+"""
+
+
+@register(
+    "q176_approx_mixture_nosort",
+    oracle=_Q176_ORACLE,
+    doc="The NO-SORT approximate mixture — q173's 100 TB path made "
+    "first-class and hash-checked: instead of the exact per-group "
+    "cumulative-prefix (one sort per group), keep docs whose "
+    "poly_hash falls under floor(10000 * need/total) of 10000 hash "
+    "buckets — a pure FILTER, zero shuffle beyond the token-total "
+    "agg, deterministic and engine-independent. Token mass tracks the "
+    "target within sampling error (each doc is an independent "
+    "keep/drop; the per-group kept tokens are reported against "
+    "need_tokens so the error is visible in the checked row, not "
+    "hidden). The exact q173 and this filter share the same hash, so "
+    "a pipeline can prototype with the filter and switch to the exact "
+    "prefix without re-shuffling doc identity. operators/pipeline.py.",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("g"),
+            (
+                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+            ).cast("string"),
+        ).alias("grp"),
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("tok"),
+        (poly_hash(F.col("doc_id").cast("string")) % 10000).alias("hb"),
+    )
+    wt = (
+        F.when(F.col("grp") == "g0", F.lit(0.4))
+        .when(F.col("grp") == "g1", F.lit(0.3))
+        .when(F.col("grp") == "g2", F.lit(0.2))
+        .otherwise(F.lit(0.1))
+        .cast("double")
+    )
+    totals = base.groupBy("grp").agg(
+        F.sum("tok").cast("bigint").alias("tokens_total")
+    )
+    w = totals.withColumn("wt", wt)
+    budget = w.agg(
+        F.min(F.col("tokens_total") / F.col("wt")).alias("budget")
+    )
+    need = (
+        w.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "need_tokens",
+            F.floor(F.col("wt") * F.col("budget")).cast("bigint"),
+        )
+        .select(
+            "grp",
+            "tokens_total",
+            "need_tokens",
+            F.floor(
+                F.lit(10000.0)
+                * F.col("need_tokens")
+                / F.col("tokens_total")
+            )
+            .cast("bigint")
+            .alias("keep_bp"),
+        )
+    )
+    sel = base.join(F.broadcast(need), "grp").filter(
+        F.col("hb") < F.col("keep_bp")
+    )
+    return (
+        need.join(
+            sel.groupBy("grp").agg(
+                F.count("*").cast("bigint").alias("n_docs_kept"),
+                F.sum("tok").cast("bigint").alias("tokens_kept"),
+            ),
+            "grp",
+            "left",
+        )
+        .select(
+            "grp",
+            F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(F.col("tokens_kept"), F.lit(0).cast("bigint")).alias(
+                "tokens_kept"
+            ),
+            "tokens_total",
+            "need_tokens",
+            "keep_bp",
+        )
+        .orderBy("grp")
+    )
