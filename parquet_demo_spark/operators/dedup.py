@@ -1166,26 +1166,35 @@ def dedup_index_batch_applier(spark: SparkSession, store):
             if not fresh.isEmpty():
                 store.merge(fresh.select("band", "doc_id", "sig", "edit_ts"))
         else:
-            # stale keys WITHOUT reading the index: encoding emits all
-            # N_BANDS rows or none per doc, so only winners whose new
-            # encoding is empty have stale rows — every band of theirs.
-            # Tombstones for never-indexed empty docs are no-match
-            # deletes (harmless by merge_into's matched-only law).
+            # stale keys WITHOUT reading the index: the frozen family
+            # emits one row per band or none per doc, so only winners
+            # whose new encoding is empty have stale rows — every band
+            # of theirs. Band ids come from the family itself (not
+            # range(count): nothing guarantees contiguity), and column
+            # types from the encoded frame's own schema (the stream's
+            # caller-supplied schema may not be bigint-shaped).
+            band_ids = sorted(
+                {bnd for _, _, _, bnd, _ in _MINHASH_PARAMS}
+            )
+            types = {f.name: f.dataType for f in fresh.schema.fields}
             emptied = winners.select("doc_id").join(
                 fresh.select("doc_id"), "doc_id", "left_anti"
             )
             tombstones = emptied.select(
                 F.explode(
                     F.array(
-                        *[F.lit(b).cast("bigint") for b in range(N_BANDS)]
+                        *[
+                            F.lit(b).cast(types["band"])
+                            for b in band_ids
+                        ]
                     )
                 ).alias("band"),
-                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("doc_id").cast(types["doc_id"]).alias("doc_id"),
             ).select(
                 "band",
                 "doc_id",
-                F.lit(None).cast("bigint").alias("sig"),
-                F.lit(None).cast("bigint").alias("edit_ts"),
+                F.lit(None).cast(types["sig"]).alias("sig"),
+                F.lit(None).cast(types["edit_ts"]).alias("edit_ts"),
             )
             src = fresh.select(
                 "band", "doc_id", "sig", "edit_ts"

@@ -1147,14 +1147,33 @@ def q84c(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_Q173_ORACLE = f"""
-WITH base AS (
+# --- corpus mixture builders (q173 exact / q175 epoch-repeat / q176 ---------
+# approx): ONE shared scaffolding — the group fold, token counts, frozen
+# hash, weight table, and need derivation are load-bearing for the
+# "mixtures compose bit-for-bit" claim, so they exist exactly once on
+# each side (Spark helpers + one oracle CTE string) instead of three
+# drifting copies.
+
+_MIX_WEIGHTS = [("g0", 0.4), ("g1", 0.3), ("g2", 0.2), ("g3", 0.1)]
+
+
+def _mix_ctes(budget_fn: str) -> str:
+    """Shared DuckDB CTE chain: base docs (group, token count, frozen
+    hash + its 10000-bucket fold), per-group totals, weights, budget
+    (MIN = largest achievable without up-sampling, MAX = consume the
+    largest source exactly once), and integer token needs."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN CAST({w} AS DOUBLE)"
+        for g, w in _MIX_WEIGHTS[:-1]
+    )
+    return f"""base AS (
   SELECT doc_id,
          'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
                      % 4 AS VARCHAR) AS grp,
          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
                               t -> t <> '')) AS BIGINT) AS tok,
-         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
+         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} AS h,
+         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 10000 AS hb
   FROM documents
 ),
 totals AS (
@@ -1162,18 +1181,86 @@ totals AS (
 ),
 w AS (
   SELECT grp, tokens_total,
-         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
-                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
-                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
-                  ELSE CAST(0.1 AS DOUBLE) END AS wt
+         CASE grp {cases}
+                  ELSE CAST({_MIX_WEIGHTS[-1][1]} AS DOUBLE) END AS wt
   FROM totals
 ),
-b AS (SELECT MIN(tokens_total / wt) AS budget FROM w),
+b AS (SELECT {budget_fn}(tokens_total / wt) AS budget FROM w),
 need AS (
   SELECT grp, tokens_total,
          CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens
   FROM w
-),
+)"""
+
+
+def _mixture_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, grp, tok, h, hb): group fold, token count, frozen hash."""
+    h = poly_hash(F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("g"),
+            (
+                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
+            ).cast("string"),
+        ).alias("grp"),
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("tok"),
+        h.alias("h"),
+        (h % 10000).alias("hb"),
+    )
+
+
+def _mixture_need(base: DataFrame, budget_fn) -> DataFrame:
+    """(grp, tokens_total, need_tokens) for the target weights under a
+    budget rule (F.min: no up-sampling; F.max: largest source = one
+    epoch)."""
+    wt = F.col("grp")
+    expr = None
+    for g, w in _MIX_WEIGHTS[:-1]:
+        expr = (
+            F.when(wt == g, F.lit(w))
+            if expr is None
+            else expr.when(wt == g, F.lit(w))
+        )
+    expr = expr.otherwise(F.lit(_MIX_WEIGHTS[-1][1])).cast("double")
+    totals = base.groupBy("grp").agg(
+        F.sum("tok").cast("bigint").alias("tokens_total")
+    )
+    w = totals.withColumn("wt", expr)
+    budget = w.agg(
+        budget_fn(F.col("tokens_total") / F.col("wt")).alias("budget")
+    )
+    return (
+        w.crossJoin(F.broadcast(budget))
+        .select(
+            "grp",
+            "tokens_total",
+            F.floor(F.col("wt") * F.col("budget"))
+            .cast("bigint")
+            .alias("need_tokens"),
+        )
+    )
+
+
+def _mix_agg_left(need: DataFrame, grouped: DataFrame, cols) -> DataFrame:
+    """need LEFT JOIN per-group aggregates, zero-backfilled (a group
+    whose selection is empty still reports its totals/needs)."""
+    out = need.join(grouped, "grp", "left")
+    return out.select(
+        "grp",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+            for c in cols
+        ],
+        "tokens_total",
+        "need_tokens",
+    )
+
+
+_Q173_ORACLE = f"""
+WITH {_mix_ctes("MIN")},
 ranked AS (
   SELECT base.*, SUM(tok) OVER (PARTITION BY grp ORDER BY h, doc_id) AS cum
   FROM base
@@ -1206,109 +1293,34 @@ ORDER BY n.grp
     "bit-for-bit across engines and epochs; per-group kept "
     "docs/tokens vs totals/needs are hash-checked. Scale: one "
     "token-count pass, one tiny broadcast of per-group needs, one "
-    "sort per group (the honest cost of an EXACT budget); the no-sort "
-    "approximate path — keep docs where pmod(hash, M)/M < "
-    "need/total — drops the per-group sort when a few-percent "
-    "mass error is acceptable at 100 TB. operators/pipeline.py.",
+    "sort per group (the honest cost of an EXACT budget); q176 is the "
+    "no-sort approximate sibling. operators/pipeline.py.",
 )
 def q173(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
-    base = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("g"),
-            (
-                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
-            ).cast("string"),
-        ).alias("grp"),
-        F.size(F.filter(tokens("text"), lambda t: t != ""))
-        .cast("bigint")
-        .alias("tok"),
-        poly_hash(F.col("doc_id").cast("string")).alias("h"),
+    base = _mixture_base(
+        load(spark, sf, "documents").select("doc_id", "text", "source")
     )
-    wt = (
-        F.when(F.col("grp") == "g0", F.lit(0.4))
-        .when(F.col("grp") == "g1", F.lit(0.3))
-        .when(F.col("grp") == "g2", F.lit(0.2))
-        .otherwise(F.lit(0.1))
-        .cast("double")
-    )
-    totals = base.groupBy("grp").agg(
-        F.sum("tok").cast("bigint").alias("tokens_total")
-    )
-    w = totals.withColumn("wt", wt)
-    budget = w.agg(
-        F.min(F.col("tokens_total") / F.col("wt")).alias("budget")
-    )
-    need = (
-        w.crossJoin(F.broadcast(budget))
-        .select(
-            "grp",
-            "tokens_total",
-            F.floor(F.col("wt") * F.col("budget"))
-            .cast("bigint")
-            .alias("need_tokens"),
-        )
-    )
+    need = _mixture_need(base, F.min)
     win = W.partitionBy("grp").orderBy("h", "doc_id")
     sel = (
         base.withColumn("cum", F.sum("tok").over(win))
         .join(F.broadcast(need), "grp")
         .filter(F.col("cum") - F.col("tok") < F.col("need_tokens"))
     )
-    return (
-        need.join(
-            sel.groupBy("grp").agg(
-                F.count("*").cast("bigint").alias("n_docs_kept"),
-                F.sum("tok").cast("bigint").alias("tokens_kept"),
-            ),
-            "grp",
-            "left",
-        )
-        .select(
-            "grp",
-            F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
-                "n_docs_kept"
-            ),
-            F.coalesce(F.col("tokens_kept"), F.lit(0).cast("bigint")).alias(
-                "tokens_kept"
-            ),
-            "tokens_total",
-            "need_tokens",
-        )
-        .orderBy("grp")
-    )
+    return _mix_agg_left(
+        need,
+        sel.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias("n_docs_kept"),
+            F.sum("tok").cast("bigint").alias("tokens_kept"),
+        ),
+        ["n_docs_kept", "tokens_kept"],
+    ).orderBy("grp")
 
 
 _Q175_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id,
-         'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
-                     % 4 AS VARCHAR) AS grp,
-         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                              t -> t <> '')) AS BIGINT) AS tok,
-         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents
-),
-totals AS (
-  SELECT grp, CAST(SUM(tok) AS BIGINT) AS tokens_total FROM base GROUP BY grp
-),
-w AS (
-  SELECT grp, tokens_total,
-         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
-                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
-                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
-                  ELSE CAST(0.1 AS DOUBLE) END AS wt
-  FROM totals
-),
-b AS (SELECT MAX(tokens_total / wt) AS budget FROM w),
-need AS (
-  SELECT grp, tokens_total,
-         CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens
-  FROM w
-),
+WITH {_mix_ctes("MAX")},
 plan_t AS (
   SELECT grp, tokens_total, need_tokens,
          CAST(FLOOR(need_tokens / tokens_total) AS BIGINT)
@@ -1367,43 +1379,11 @@ ORDER BY p.grp
 def q175(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
-    base = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("g"),
-            (
-                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
-            ).cast("string"),
-        ).alias("grp"),
-        F.size(F.filter(tokens("text"), lambda t: t != ""))
-        .cast("bigint")
-        .alias("tok"),
-        poly_hash(F.col("doc_id").cast("string")).alias("h"),
-    )
-    wt = (
-        F.when(F.col("grp") == "g0", F.lit(0.4))
-        .when(F.col("grp") == "g1", F.lit(0.3))
-        .when(F.col("grp") == "g2", F.lit(0.2))
-        .otherwise(F.lit(0.1))
-        .cast("double")
-    )
-    totals = base.groupBy("grp").agg(
-        F.sum("tok").cast("bigint").alias("tokens_total")
-    )
-    w = totals.withColumn("wt", wt)
-    budget = w.agg(
-        F.max(F.col("tokens_total") / F.col("wt")).alias("budget")
+    base = _mixture_base(
+        load(spark, sf, "documents").select("doc_id", "text", "source")
     )
     plan = (
-        w.crossJoin(F.broadcast(budget))
-        .select(
-            "grp",
-            "tokens_total",
-            F.floor(F.col("wt") * F.col("budget"))
-            .cast("bigint")
-            .alias("need_tokens"),
-        )
+        _mixture_need(base, F.max)
         .withColumn(
             "full_epochs",
             (F.col("need_tokens") / F.col("tokens_total"))
@@ -1442,75 +1422,36 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     mixture = full_rows.unionByName(rem_rows)
-    return (
-        plan.join(
-            mixture.groupBy("grp").agg(
-                F.count("*").cast("bigint").alias("n_rows_sampled"),
-                F.sum("tok").cast("bigint").alias("tokens_sampled"),
-                F.countDistinct("epoch").cast("bigint").alias("n_epochs"),
-            ),
-            "grp",
-            "left",
-        )
-        .select(
-            "grp",
-            F.coalesce(
-                F.col("n_rows_sampled"), F.lit(0).cast("bigint")
-            ).alias("n_rows_sampled"),
-            F.coalesce(
-                F.col("tokens_sampled"), F.lit(0).cast("bigint")
-            ).alias("tokens_sampled"),
-            F.coalesce(F.col("n_epochs"), F.lit(0).cast("bigint")).alias(
-                "n_epochs"
-            ),
-            "tokens_total",
-            "need_tokens",
-        )
-        .orderBy("grp")
-    )
+    return _mix_agg_left(
+        plan,
+        mixture.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias("n_rows_sampled"),
+            F.sum("tok").cast("bigint").alias("tokens_sampled"),
+            F.countDistinct("epoch").cast("bigint").alias("n_epochs"),
+        ),
+        ["n_rows_sampled", "tokens_sampled", "n_epochs"],
+    ).orderBy("grp")
 
 
 _Q176_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id,
-         'g' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
-                     % 4 AS VARCHAR) AS grp,
-         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                              t -> t <> '')) AS BIGINT) AS tok,
-         {poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 10000 AS hb
-  FROM documents
-),
-totals AS (
-  SELECT grp, CAST(SUM(tok) AS BIGINT) AS tokens_total FROM base GROUP BY grp
-),
-w AS (
-  SELECT grp, tokens_total,
-         CASE grp WHEN 'g0' THEN CAST(0.4 AS DOUBLE)
-                  WHEN 'g1' THEN CAST(0.3 AS DOUBLE)
-                  WHEN 'g2' THEN CAST(0.2 AS DOUBLE)
-                  ELSE CAST(0.1 AS DOUBLE) END AS wt
-  FROM totals
-),
-b AS (SELECT MIN(tokens_total / wt) AS budget FROM w),
-need AS (
-  SELECT grp, tokens_total,
-         CAST(FLOOR(wt * (SELECT budget FROM b)) AS BIGINT) AS need_tokens,
-         CAST(FLOOR(CAST(10000 AS DOUBLE)
-                    * FLOOR(wt * (SELECT budget FROM b))
-                    / tokens_total) AS BIGINT) AS keep_bp
-  FROM w
+WITH {_mix_ctes("MIN")},
+keep AS (
+  SELECT grp, tokens_total, need_tokens,
+         CAST(FLOOR(CAST(10000 AS DOUBLE) * need_tokens / tokens_total)
+              AS BIGINT) AS keep_bp
+  FROM need
 ),
 sel AS (
-  SELECT b.grp, b.tok FROM base b JOIN need n USING (grp)
-  WHERE b.hb < n.keep_bp
+  SELECT b.grp, b.tok FROM base b JOIN keep k USING (grp)
+  WHERE b.hb < k.keep_bp
 )
-SELECT n.grp,
+SELECT k.grp,
        CAST(COUNT(s.tok) AS BIGINT) AS n_docs_kept,
        CAST(COALESCE(SUM(s.tok), 0) AS BIGINT) AS tokens_kept,
-       n.tokens_total, n.need_tokens, n.keep_bp
-FROM need n LEFT JOIN sel s ON n.grp = s.grp
-GROUP BY n.grp, n.tokens_total, n.need_tokens, n.keep_bp
-ORDER BY n.grp
+       k.tokens_total, k.need_tokens, k.keep_bp
+FROM keep k LEFT JOIN sel s ON k.grp = s.grp
+GROUP BY k.grp, k.tokens_total, k.need_tokens, k.keep_bp
+ORDER BY k.grp
 """
 
 
@@ -1531,76 +1472,33 @@ ORDER BY n.grp
     "prefix without re-shuffling doc identity. operators/pipeline.py.",
 )
 def q176(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
-    base = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("g"),
-            (
-                F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4
-            ).cast("string"),
-        ).alias("grp"),
-        F.size(F.filter(tokens("text"), lambda t: t != ""))
-        .cast("bigint")
-        .alias("tok"),
-        (poly_hash(F.col("doc_id").cast("string")) % 10000).alias("hb"),
+    base = _mixture_base(
+        load(spark, sf, "documents").select("doc_id", "text", "source")
     )
-    wt = (
-        F.when(F.col("grp") == "g0", F.lit(0.4))
-        .when(F.col("grp") == "g1", F.lit(0.3))
-        .when(F.col("grp") == "g2", F.lit(0.2))
-        .otherwise(F.lit(0.1))
-        .cast("double")
+    keep = _mixture_need(base, F.min).withColumn(
+        "keep_bp",
+        F.floor(
+            F.lit(10000.0) * F.col("need_tokens") / F.col("tokens_total")
+        ).cast("bigint"),
     )
-    totals = base.groupBy("grp").agg(
-        F.sum("tok").cast("bigint").alias("tokens_total")
-    )
-    w = totals.withColumn("wt", wt)
-    budget = w.agg(
-        F.min(F.col("tokens_total") / F.col("wt")).alias("budget")
-    )
-    need = (
-        w.crossJoin(F.broadcast(budget))
-        .withColumn(
-            "need_tokens",
-            F.floor(F.col("wt") * F.col("budget")).cast("bigint"),
-        )
-        .select(
-            "grp",
-            "tokens_total",
-            "need_tokens",
-            F.floor(
-                F.lit(10000.0)
-                * F.col("need_tokens")
-                / F.col("tokens_total")
-            )
-            .cast("bigint")
-            .alias("keep_bp"),
-        )
-    )
-    sel = base.join(F.broadcast(need), "grp").filter(
+    sel = base.join(F.broadcast(keep), "grp").filter(
         F.col("hb") < F.col("keep_bp")
     )
-    return (
-        need.join(
-            sel.groupBy("grp").agg(
-                F.count("*").cast("bigint").alias("n_docs_kept"),
-                F.sum("tok").cast("bigint").alias("tokens_kept"),
-            ),
-            "grp",
-            "left",
-        )
-        .select(
-            "grp",
-            F.coalesce(F.col("n_docs_kept"), F.lit(0).cast("bigint")).alias(
-                "n_docs_kept"
-            ),
-            F.coalesce(F.col("tokens_kept"), F.lit(0).cast("bigint")).alias(
-                "tokens_kept"
-            ),
-            "tokens_total",
-            "need_tokens",
-            "keep_bp",
-        )
-        .orderBy("grp")
+    out = _mix_agg_left(
+        keep,
+        sel.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias("n_docs_kept"),
+            F.sum("tok").cast("bigint").alias("tokens_kept"),
+        ),
+        ["n_docs_kept", "tokens_kept"],
     )
+    return out.join(
+        keep.select("grp", "keep_bp"), "grp"
+    ).select(
+        "grp",
+        "n_docs_kept",
+        "tokens_kept",
+        "tokens_total",
+        "need_tokens",
+        "keep_bp",
+    ).orderBy("grp")

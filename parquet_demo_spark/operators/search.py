@@ -660,7 +660,12 @@ def stream_maintain_index(
             .localCheckpoint()
         )
         if store.current_version() is None:
-            store.merge(fresh)
+            # an all-tokenless first batch produces no postings; merging
+            # it would commit a zero-bucket v0 (no file to derive a
+            # schema from on later reads) — skip, the watermark below
+            # still records the edits
+            if not fresh.isEmpty():
+                store.merge(fresh)
         else:
             # ONE atomic commit per batch: stale keys ride along as
             # tombstone rows (NULL tf — a real posting's tf is always

@@ -2396,8 +2396,13 @@ def stream_maintain_ann_index(
             .localCheckpoint()
         )
         if store.current_version() is None:
-            # deletes against an empty store are no-ops by definition
-            store.merge(enc)
+            # deletes against an empty store are no-ops by definition;
+            # an all-delete first batch also encodes NOTHING — merging
+            # the empty frame would commit a zero-bucket v0 with no
+            # file to derive a schema from, so skip (the watermark
+            # below still records the deletes' timestamps)
+            if not enc.isEmpty():
+                store.merge(enc)
         else:
             # ONE atomic commit per batch: deletes ride as tombstone
             # rows (NULL cid) through the same merge the upserts use —

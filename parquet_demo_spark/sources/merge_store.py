@@ -343,7 +343,7 @@ class ParquetMergeStore:
         file_stats: dict[int, dict] | None = None,
         dv: dict[int, str] | None = None,
         evolved: bool | None = None,
-    ) -> None:
+    ) -> int:
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
         manifest = {
@@ -415,12 +415,14 @@ class ParquetMergeStore:
             fh = open(self._manifest_path(version), "x")
         except FileExistsError:
             committed = self.current_version()
-            if (
-                committed is not None
-                and committed >= version
-                and self._try_rebase(version, manifest)
-            ):
-                return
+            if committed is not None and committed >= version:
+                # a successful rebase commits at a HIGHER version — the
+                # caller must return THAT number, not its stale
+                # pre-race target (which now names the competitor's
+                # commit; pinning or reading it would lose this write)
+                rebased_to = self._try_rebase(version, manifest)
+                if rebased_to is not None:
+                    return rebased_to
             raise ConcurrentWriteConflict(
                 f"version {version} already has a manifest (committed "
                 f"pointer: {committed}): "
@@ -437,6 +439,10 @@ class ParquetMergeStore:
             json.dump(manifest, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
+        self._swap_pointer(version)
+        return version
+
+    def _swap_pointer(self, version: int) -> None:
         # the commit point: readers see the new version only after this
         # atomic replace succeeds — with a monotonic fix-up: two racing
         # replaces can land out of order, and a pointer REGRESSION
@@ -473,8 +479,10 @@ class ParquetMergeStore:
             if a_paths.get(b) != b_paths.get(b) or a_dv.get(b) != b_dv.get(b)
         }
 
-    def _try_rebase(self, version: int, manifest: dict) -> bool:
+    def _try_rebase(self, version: int, manifest: dict) -> int | None:
         """Delta-style rebase of a CAS-losing commit (VERDICT r8 #6).
+        Returns the version the rebased commit landed at, or None when
+        the conflict is real (the caller raises).
 
         The loser's write is replayable on the new head iff (a) its own
         footprint — buckets whose dir or DV it changed vs its BASE
@@ -489,10 +497,10 @@ class ParquetMergeStore:
         ConcurrentWriteConflict.
         """
         if manifest["operation"] not in self._REBASE_SAFE_OPS:
-            return False
+            return None
         head = self.current_version()
         if head is None or head < version:
-            return False
+            return None
         base_m = (
             {"bucket_paths": {}, "dv": {}}
             if version == 0
@@ -504,11 +512,11 @@ class ParquetMergeStore:
             try:
                 m = self._read_manifest(v)
             except (FileNotFoundError, ValueError):
-                return False
+                return None
             if m.get("operation", "merge") not in self._REBASE_SAFE_OPS:
-                return False
+                return None
             if self._touched_between(prev, m) & ours:
-                return False
+                return None
             prev = m
         head_m = prev
         if (
@@ -516,7 +524,7 @@ class ParquetMergeStore:
             or list(head_m["columns"]) != list(manifest["columns"])
             or head_m.get("constraints", {}) != manifest["constraints"]
         ):
-            return False
+            return None
         # overlay OUR footprint onto the head's maps (string keys)
         ours_s = {str(b) for b in ours}
         rebased = dict(head_m)
@@ -563,17 +571,8 @@ class ParquetMergeStore:
             json.dump(rebased, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
-        while True:
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_latest.")
-            with os.fdopen(fd, "w") as fh2:
-                fh2.write(str(head + 1))
-                fh2.flush()
-                os.fsync(fh2.fileno())
-            os.replace(tmp, self._pointer)
-            cur = self.current_version()
-            if cur is not None and cur >= head + 1:
-                break
-        return True
+        self._swap_pointer(head + 1)
+        return head + 1
 
     def _bucket_paths(self, version: int) -> dict[int, str]:
         m = self._read_manifest(version)
@@ -1013,6 +1012,14 @@ class ParquetMergeStore:
             .collect()
         )
         paths = self._bucket_paths(v)
+        if not paths:
+            # a zero-bucket commit (e.g. an all-empty first batch):
+            # there is no file to derive a schema from — surface that
+            # instead of handing spark.read.parquet an empty path list
+            raise ValueError(
+                f"store at {self.root} has no data buckets at v{v}; "
+                "nothing to probe"
+            )
         hit = [b for b in touched if b in paths]
         if not hit:
             # no probe key's bucket exists: schema-only empty frame
@@ -1235,7 +1242,7 @@ class ParquetMergeStore:
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
             blooms[b] = self._dir_blooms(rel)
-        self._commit(
+        return self._commit(
             new_version,
             bucket_paths,
             columns,
@@ -1251,7 +1258,6 @@ class ParquetMergeStore:
             file_stats=self._prior_file_stats(cur_version, touched),
             dv=self._prior_dv(cur_version, touched),
         )
-        return new_version
 
     def merge_into(
         self,
@@ -1626,7 +1632,7 @@ class ParquetMergeStore:
             # empty batch: nothing touched, nothing written — still a
             # legal commit referencing only prior dirs
             pass
-        self._commit(
+        return self._commit(
             new_version,
             bucket_paths,
             cols,
@@ -1644,7 +1650,6 @@ class ParquetMergeStore:
             file_stats=self._prior_file_stats(cur_version, touched),
             dv=self._prior_dv(cur_version, touched),
         )
-        return new_version
 
     def delete_keys(
         self,
@@ -1914,7 +1919,7 @@ class ParquetMergeStore:
             bucket_paths = {0: rel_data}
             stats = {}
             blooms = {}
-        self._commit(
+        return self._commit(
             new_version,
             bucket_paths,
             cols,
@@ -1932,7 +1937,6 @@ class ParquetMergeStore:
             file_stats=self._prior_file_stats(cur, touched),
             dv=self._prior_dv(cur, touched),
         )
-        return new_version
 
     def _delete_via_dv(
         self,
@@ -2024,7 +2028,7 @@ class ParquetMergeStore:
             if d.startswith(f"{_BUCKET}="):
                 dv[int(d.split("=", 1)[1])] = os.path.join(rel_dv, d)
         m = self._read_manifest(cur)
-        self._commit(
+        return self._commit(
             new_version,
             prior,  # every data dir re-referenced unchanged
             cols,
@@ -2036,7 +2040,6 @@ class ParquetMergeStore:
             file_stats=self._prior_file_stats(cur, ()),
             dv=dv,
         )
-        return new_version
 
     def _derive_changes(
         self, ranked: DataFrame | None, batch: DataFrame, cols: list[str]
@@ -2169,7 +2172,7 @@ class ParquetMergeStore:
                 bucket_paths[b] = rel
                 stats[b] = self._dir_column_stats(rel)
                 blooms[b] = self._dir_blooms(rel)
-            self._commit(
+            committed = self._commit(
                 new_version,
                 bucket_paths,
                 cols,
@@ -2181,7 +2184,7 @@ class ParquetMergeStore:
         except BaseException:
             self.num_buckets = old_b
             raise
-        return new_version
+        return committed
 
     def compact(
         self,
@@ -2339,7 +2342,7 @@ class ParquetMergeStore:
             stats = {}
             blooms = {}
             file_stats = {}
-        self._commit(
+        return self._commit(
             new_version,
             bucket_paths,
             cols,
@@ -2353,7 +2356,6 @@ class ParquetMergeStore:
             file_stats=file_stats,
             dv=self._prior_dv(cur_version, rewrite),
         )
-        return new_version
 
     def restore(self, target_version: int) -> int:
         """Delta-style RESTORE: re-commit an earlier snapshot's state as
@@ -2413,7 +2415,7 @@ class ParquetMergeStore:
         old_b = self.num_buckets
         self.num_buckets = int(m["num_buckets"])
         try:
-            self._commit(
+            committed = self._commit(
                 cur + 1,
                 bucket_paths,
                 m["columns"],
@@ -2432,7 +2434,7 @@ class ParquetMergeStore:
         except BaseException:
             self.num_buckets = old_b
             raise
-        return cur + 1
+        return committed
 
     # -- CHECK constraints (Delta-style, validated at write time) -------
 

@@ -267,7 +267,7 @@ class PartitionedParquetMergeStore:
         op_params: dict | None = None,
         columns: list[str] | None = None,
         column_types: dict[str, str] | None = None,
-    ) -> None:
+    ) -> int:
         # table-level schema record (name order + simpleString types):
         # the authoritative column set at this global version. After a
         # widening merge routed to a SUBSET of partitions, untouched
@@ -311,12 +311,13 @@ class PartitionedParquetMergeStore:
             fh = open(self._manifest_path(version), "x")
         except FileExistsError:
             committed = self.current_version()
-            if (
-                committed is not None
-                and committed >= version
-                and self._try_rebase(version, manifest)
-            ):
-                return
+            if committed is not None and committed >= version:
+                # a successful rebase lands at a HIGHER version — the
+                # caller must return THAT number, not its stale
+                # pre-race target (the competitor's commit)
+                rebased_to = self._try_rebase(version, manifest)
+                if rebased_to is not None:
+                    return rebased_to
             raise ConcurrentWriteConflict(
                 f"global version {version} already has a manifest "
                 "(another writer won with an overlapping partition "
@@ -327,6 +328,7 @@ class PartitionedParquetMergeStore:
             fh.flush()
             os.fsync(fh.fileno())
         self._swap_pointer(version)
+        return version
 
     def _swap_pointer(self, version: int) -> None:
         # atomic replace with a monotonic fix-up: two racing replaces
@@ -357,7 +359,7 @@ class PartitionedParquetMergeStore:
         a, b = older.get("partitions", {}), newer.get("partitions", {})
         return {p for p in set(a) | set(b) if a.get(p) != b.get(p)}
 
-    def _try_rebase(self, version: int, manifest: dict) -> bool:
+    def _try_rebase(self, version: int, manifest: dict) -> int | None:
         """Delta-style rebase of a CAS-losing GLOBAL commit (VERDICT r8
         #6): two ingest jobs landing on DISJOINT partitions — different
         dates, different sources — each committed their own child
@@ -369,10 +371,10 @@ class PartitionedParquetMergeStore:
         operations (restore) stay conflicts.
         """
         if manifest["operation"] not in self._REBASE_SAFE_OPS:
-            return False
+            return None
         head = self.current_version()
         if head is None or head < version:
-            return False
+            return None
         base_m = (
             {"partitions": {}} if version == 0
             else self._read_manifest(version - 1)
@@ -383,11 +385,11 @@ class PartitionedParquetMergeStore:
             try:
                 m = self._read_manifest(v)
             except (FileNotFoundError, ValueError):
-                return False
+                return None
             if m.get("operation", "merge") not in self._REBASE_SAFE_OPS:
-                return False
+                return None
             if self._touched_partitions(prev, m) & ours:
-                return False
+                return None
             prev = m
         head_m = prev
         if (
@@ -396,7 +398,7 @@ class PartitionedParquetMergeStore:
             or head_m.get("column_types") != manifest.get("column_types")
             or head_m.get("constraints", {}) != manifest["constraints"]
         ):
-            return False
+            return None
         rebased = dict(head_m)
         merged = {
             p: e
@@ -435,7 +437,7 @@ class PartitionedParquetMergeStore:
             fh.flush()
             os.fsync(fh.fileno())
         self._swap_pointer(head + 1)
-        return True
+        return head + 1
 
     def _parts(self, version: int | None = None) -> dict[str, dict]:
         """{partition value: {"dir": child dir name, "version": child
@@ -839,7 +841,7 @@ class PartitionedParquetMergeStore:
                 "blooms": self._child_blooms_rollup(child, v),
             }
             new_version = 0 if cur is None else cur + 1
-            self._commit(
+            return self._commit(
                 new_version,
                 parts,
                 "merge",
@@ -847,7 +849,6 @@ class PartitionedParquetMergeStore:
                 columns=g_cols,
                 column_types=g_types,
             )
-            return new_version
 
         # ONE Spark job routes the whole batch (VERDICT r7 #1's
         # composite-write design): shuffle on the composite value and
@@ -930,7 +931,7 @@ class PartitionedParquetMergeStore:
             shutil.rmtree(staging, ignore_errors=True)
         parts.update(results)
         new_version = 0 if cur is None else cur + 1
-        self._commit(
+        return self._commit(
             new_version,
             parts,
             "merge",
@@ -938,7 +939,6 @@ class PartitionedParquetMergeStore:
             columns=g_cols,
             column_types=g_types,
         )
-        return new_version
 
     def delete_where(
         self,
@@ -992,7 +992,7 @@ class PartitionedParquetMergeStore:
             # nothing matched anywhere: mirror the child's no-op law
             return cur
         new_version = cur + 1
-        self._commit(
+        return self._commit(
             new_version,
             parts,
             "delete_where",
@@ -1005,7 +1005,6 @@ class PartitionedParquetMergeStore:
                 "touched": touched,
             },
         )
-        return new_version
 
     def drop_partition(self, pval) -> int:
         """Metadata-only retention: commit a global version WITHOUT the
@@ -1026,13 +1025,12 @@ class PartitionedParquetMergeStore:
             raise ValueError(f"no live partition {pval!r}")
         dropped_child_version = parts.pop(pval)
         new_version = cur + 1
-        self._commit(
+        return self._commit(
             new_version,
             parts,
             "drop_partition",
             {"partition": pval, "child_version": dropped_child_version},
         )
-        return new_version
 
     def _validate_batch(self, df: DataFrame, context: str) -> None:
         """One aggregate over ``df``: per-constraint violation counts
@@ -1146,7 +1144,7 @@ class PartitionedParquetMergeStore:
         # children, and carrying the head's wider record forward would
         # demand typed backfill of columns the snapshot never had
         tm = self._read_manifest(target_version)
-        self._commit(
+        return self._commit(
             new_version,
             parts,
             "restore",
@@ -1154,7 +1152,6 @@ class PartitionedParquetMergeStore:
             columns=tm.get("columns"),
             column_types=tm.get("column_types"),
         )
-        return new_version
 
     def shallow_clone(
         self, dst_root: str
@@ -1458,6 +1455,11 @@ class PartitionedParquetMergeStore:
         if lacking:
             raise ValueError(f"probe keys lack PK column(s) {lacking}")
         parts = self._parts(v)
+        if not parts:
+            raise ValueError(
+                "no live partitions (all dropped); time-travel an older "
+                "version to probe them"
+            )
         keys = keys_df.select(*self.keys).distinct()
         pexprs = [
             F.col(c).cast("string").alias(c) for c in self.partition_cols
@@ -1465,10 +1467,24 @@ class PartitionedParquetMergeStore:
         pval_rows = [
             tuple(r) for r in keys.select(*pexprs).distinct().collect()
         ]
+
+        def _pv(row) -> str | None:
+            # a probe key whose partition value could never have been
+            # WRITTEN ('/', NULL component, '|' on a multi-col store,
+            # ...) simply matches nothing — the write-side validation
+            # guarantees no partition exists for it, so the right
+            # answer is "absent", not a ValueError aborting the batch
+            if any(c is None for c in row):
+                return None
+            try:
+                return _composite(row)
+            except ValueError:
+                return None
+
         hit = sorted(
             pv
-            for pv in {_composite(row) for row in pval_rows}
-            if pv in parts
+            for pv in {_pv(row) for row in pval_rows}
+            if pv is not None and pv in parts
         )
         if not hit:
             any_p = sorted(parts)[0]
@@ -1623,7 +1639,7 @@ class PartitionedParquetMergeStore:
         if not touched:
             return None
         new_version = cur + 1
-        self._commit(
+        return self._commit(
             new_version,
             parts,
             "compact",
@@ -1633,7 +1649,6 @@ class PartitionedParquetMergeStore:
                 "touched": touched,
             },
         )
-        return new_version
 
     def clean_orphans(self) -> list[str]:
         """Remove global manifest dirs ABOVE the committed pointer — the

@@ -2488,7 +2488,11 @@ def test_concurrent_disjoint_bucket_writers_both_commit(spark, tmp_path):
         return orig(*a, **kw)
 
     st2._commit = delayed
-    st2.merge(spark.createDataFrame([Row(k=kb, v=2, payload="B")]))
+    v = st2.merge(spark.createDataFrame([Row(k=kb, v=2, payload="B")]))
+    # the loser must return the version ITS write landed at (the
+    # rebased v2), never its stale pre-race target (v1 = the winner's
+    # commit — pinning or reading that would lose this write)
+    assert v == 2
     assert st2.current_version() == 2
     hist = st2.describe_history()
     assert hist[-1]["op_params"].get("rebased_from") == 1
@@ -2529,3 +2533,13 @@ def test_concurrent_overlapping_bucket_writers_conflict(spark, tmp_path):
         st2.merge(spark.createDataFrame([Row(k=1, v=3, payload="lose")]))
     # the winner's write survives untouched
     assert {r.payload for r in st1.read(spark).collect()} == {"win"}
+
+
+def test_probe_zero_bucket_store_raises_cleanly(spark, tmp_path):
+    """A zero-bucket committed version (degenerate, but constructible)
+    has no file to derive a schema from — probe must raise a clear
+    ValueError, not UNABLE_TO_INFER_SCHEMA from an empty path list."""
+    st = _store(tmp_path)
+    st._commit(0, {}, ["k", "v", "payload"])  # empty v0
+    with pytest.raises(ValueError, match="no data buckets"):
+        st.probe(spark, spark.createDataFrame([Row(k=1)]))

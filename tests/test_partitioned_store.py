@@ -1055,9 +1055,12 @@ def test_concurrent_writers_on_disjoint_partitions_both_commit(
         return orig(*a, **kw)
 
     st2._commit = delayed
-    st2.merge(
+    v = st2.merge(
         spark.createDataFrame([Row(day="d2", k=2, v=1, payload="lose-d2")])
     )
+    # the loser's returned version must be the REBASED commit (v2),
+    # not its stale pre-race target (v1 = the winner's)
+    assert v == 2
     assert st2.current_version() == 2
     m = st2._read_manifest(2)
     assert m["op_params"].get("rebased_from") == 1
@@ -1218,3 +1221,24 @@ def test_partitioned_probe_aligns_across_evolution(spark, tmp_path):
         (r.day, r.k, r.extra) for r in st.probe(spark, keys).collect()
     )
     assert got == [("d1", 2, 7), ("d2", 1, None)]
+
+
+def test_probe_rejects_nothing_for_unwritable_partition_keys(
+    spark, tmp_path
+):
+    """Probe keys whose partition value could never have been written
+    ('/', empty, NULL) match nothing instead of aborting the batch; an
+    all-dropped table raises the same clean error as read()."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    keys = spark.createDataFrame(
+        [
+            Row(day="d1", k=1),
+            Row(day="a/b", k=1),   # separator-invalid: absent by law
+            Row(day=None, k=1),    # NULL partition: absent by law
+        ]
+    )
+    assert _rows(st.probe(spark, keys)) == [("d1", 1, 1, "d1/1")]
+    st.drop_partition("d1")
+    with pytest.raises(ValueError, match="no live partitions"):
+        st.probe(spark, spark.createDataFrame([Row(day="d1", k=1)]))
