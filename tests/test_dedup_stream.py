@@ -378,3 +378,46 @@ def test_admission_layout_append_keeps_bucketing(spark, tmp_path):
             assert "Exchange" not in ln, f"stored side shuffles: {ln.strip()}"
     # the appended doc is now a candidate for the identical incoming doc
     assert (500 in {r.corpus_doc for r in cand.collect()})
+
+
+def test_stream_with_string_doc_ids_tombstones_correctly(spark, tmp_path):
+    """Review r9: tombstone rows must derive column types from the
+    encoded frame, not hardcode bigint — a stream whose doc_id is a
+    STRING previously produced a bigint-NULL tombstone column and the
+    union with fresh rows failed on every batch with an emptied doc."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("edit_ts", T.LongType()),
+        ]
+    )
+    src = os.path.join(str(tmp_path), "incoming")
+    os.makedirs(src)
+    batches = [
+        [("doc-a", _T0, 1), ("doc-b", _T1, 1)],
+        [("doc-b", "", 2)],  # emptied: exercises the tombstone path
+    ]
+    for i, rows in enumerate(batches):
+        d = os.path.join(str(tmp_path), f"scratch{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(d)
+    store = ParquetMergeStore(
+        os.path.join(str(tmp_path), "lsh_str"),
+        keys=("band", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=4,
+    )
+    q = stream_maintain_dedup_index(
+        spark, src, schema, store, os.path.join(str(tmp_path), "ckpt_str")
+    )
+    q.awaitTermination()
+    snap = store.read(spark)
+    assert sorted(
+        r.doc_id for r in snap.select("doc_id").distinct().collect()
+    ) == ["doc-a"]
+    assert snap.count() == 2  # both bands, string-keyed
