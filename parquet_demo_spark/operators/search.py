@@ -201,11 +201,12 @@ def search_ranked_tfidf(
             .alias("score")
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= top_k)
-        .drop("__r")
+    # top-k as orderBy().limit(): plans TakeOrderedAndProject —
+    # per-partition heaps + a driver merge of k rows — instead of
+    # funneling every scored doc through one task's global window.
+    # Identical total order (score desc, id asc) → identical rows.
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(
+        top_k
     )
 
 
@@ -421,11 +422,10 @@ def search_ranked_bm25(
             .alias("score")
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= top_k)
-        .drop("__r")
+    # TakeOrderedAndProject top-k (see search_ranked_tfidf): same
+    # total order as a global row_number cut, no single-task window.
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(
+        top_k
     )
 
 

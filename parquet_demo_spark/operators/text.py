@@ -591,8 +591,9 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     "streaming covariance kernels accumulate doubles in partition "
     "order, which is not cross-engine (or cross-run) bit-stable, while "
     "rounded-decimal sums are exact and order-independent at any "
-    "partition count. The rank sort is a single-task window over the "
-    "vocabulary (post-aggregation rows, not the corpus).",
+    "partition count. The top-1000 cut is a TakeOrderedAndProject "
+    "heap over the vocabulary; only the 1000 survivors pass through "
+    "the (bounded, constant-size) ranking window.",
 )
 def q104(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
@@ -600,12 +601,19 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     tf = tok.groupBy("token").agg(F.count("*").alias("c"))
-    ranked = tf.select(
+    # cut to the top-1000 FIRST via orderBy().limit() — a
+    # TakeOrderedAndProject heap over the vocabulary — then rank only
+    # the survivors. The remaining unpartitioned window runs over a
+    # BOUNDED 1000-row set regardless of corpus size (documented
+    # exception to the no-global-window rule); ranking the full
+    # vocabulary through one task was the old, non-scaling shape.
+    top = tf.orderBy(F.col("c").desc(), "token").limit(1000)
+    ranked = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), "token"))
         .alias("r"),
-    ).filter(F.col("r") <= 1000)
+    )
     xy = ranked.select(
         F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
         F.round(F.log(F.col("c").cast("double")), 6).alias("y"),

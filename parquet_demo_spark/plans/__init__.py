@@ -46,3 +46,39 @@ def uses_take_ordered(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = fewer interpreter gaps)."""
     return physical_plan(df).count("WholeStageCodegen")
+
+
+def _top_level_bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan Arguments line."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def single_task_window_count(df: DataFrame) -> int:
+    """Number of Window operators with an EMPTY partition spec — the
+    all-rows-through-one-task shape that is fine on a laptop and wrong
+    at 100 TB. A partitioned Window's Arguments render three top-level
+    bracket groups ``[functions], [partitionSpec], [orderSpec]``; an
+    unpartitioned one only two. Queries that legitimately keep a
+    bounded-input global window (e.g. ranking a top-1000 cut) assert
+    ``== 1`` explicitly; everything else asserts ``== 0``."""
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        stripped = ln.strip()
+        if stripped.endswith(" Window") or stripped.endswith(" WindowExec"):
+            for nxt in lines[i + 1 : i + 6]:
+                if nxt.strip().startswith("Arguments:"):
+                    if _top_level_bracket_groups(nxt) <= 2:
+                        n += 1
+                    break
+    return n

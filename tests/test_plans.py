@@ -288,3 +288,28 @@ def test_q131_single_fact_exchange_and_heap(spark, sf_dir):
         if "hashpartitioning(l_orderkey" in ln and "Arguments" in ln
     ]
     assert len(fact_exchanges) == 1, fact_exchanges
+
+
+def test_ranked_retrieval_topk_is_heap_not_global_window(spark, sf_dir):
+    """q146/q152: the final ranked cut must be TakeOrderedAndProject
+    (per-partition heaps + a k-row driver merge), never an
+    unpartitioned Window funneling every scored doc through one task
+    (the round-9 `weak` shape)."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    for name in ("q146_ranked_search_tfidf", "q152_ranked_search_bm25"):
+        df = QUERIES[name].spark(spark, sf_dir)
+        assert uses_take_ordered(df), name
+        assert single_task_window_count(df) == 0, name
+
+
+def test_q104_vocab_cut_is_heap_window_is_bounded(spark, sf_dir):
+    """q104: the top-1000 vocabulary cut must be a TakeOrdered heap;
+    the only global window left ranks the BOUNDED 1000-row survivor
+    set (the documented exception — constant-size input at any
+    corpus scale)."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q104_zipf_slope"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert single_task_window_count(df) == 1
