@@ -714,22 +714,39 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     doc="Length-bucketed batching: docs ntile'd into 10 length deciles "
     "(padding-efficient batch construction groups similar-length "
     "sequences). Deterministic because the ntile order (n_chars, "
-    "doc_id) is total. ntile is a single global sort at this output "
-    "shape; at 100 TB the same assignment comes from percentile "
-    "boundaries broadcast over a map-side bucket lookup instead of a "
-    "global window — the decile EDGES, not the sort, are the needed "
-    "artifact.",
+    "doc_id) is total. The assignment is computed DISTRIBUTED: a "
+    "two-pass global row_number (operators/distributed.range_prefix — "
+    "range partition + local ranks + offset broadcast) fed into "
+    "ntile's closed-form bucket arithmetic (first n%10 buckets hold "
+    "ceil(n/10) rows), in exact integer DIV — bit-identical to "
+    "ntile(10) OVER a global window with no single-task stage.",
 )
 def q90(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from parquet_demo_spark.operators.distributed import range_prefix
 
     docs = load(spark, sf, "documents")
-    w = W.orderBy("n_chars", "doc_id")
+    ranked = range_prefix(
+        docs.select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"],
+        row_col="__r",
+        total_rows_col="__n",
+    )
+    # ntile(10) in closed form from (rank, n): buckets 1..(n%10) hold
+    # ceil(n/10) rows, the rest floor(n/10); integer DIV keeps the
+    # bucket math exact at any n (double division would wobble near
+    # boundaries for 1e12-row ranks)
+    decile = F.expr(
+        "CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1) "
+        "THEN (__r + (__n DIV 10)) DIV (__n DIV 10 + 1) "
+        "ELSE (__n % 10) + (__r - (__n % 10) * (__n DIV 10 + 1) "
+        "+ GREATEST(__n DIV 10, 1) - 1) DIV GREATEST(__n DIV 10, 1) "
+        "END AS BIGINT)"
+    )
     return (
-        docs.select(
+        ranked.select(
             "doc_id",
             "n_chars",
-            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            decile.alias("decile"),
         )
         .groupBy("decile")
         .agg(
@@ -775,25 +792,28 @@ _Q91_BIN_TOKENS = 512
     doc="Sequence packing: docs assigned to ~"
     f"{_Q91_BIN_TOKENS}-token training bins by a running token count in "
     "doc order (the streaming-friendly approximation of greedy "
-    "first-fit packing). The prefix sum is one window over the doc "
-    "order; at 100 TB the same running sum distributes as "
-    "per-partition partials + a tiny offset broadcast (two passes, no "
-    "global sort of payloads).",
+    "first-fit packing). The running sum is the DISTRIBUTED two-pass "
+    "prefix scan (operators/distributed.range_prefix): range-partition "
+    "on doc order, per-partition local sums, metadata-sized offset "
+    "broadcast — bit-identical to a global window with every stage "
+    "parallel (no single-task funnel at 100 TB).",
 )
 def q91(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from parquet_demo_spark.operators.distributed import range_prefix
 
     docs = load(spark, sf, "documents")
     d = docs.select(
         "doc_id",
         F.size(F.filter(tokens("text"), lambda t: t != "")).alias("ntok"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = d.select(
+    pre = range_prefix(
+        d, ["doc_id"], value_col="ntok", cum_col="__cum"
+    )
+    packed = pre.select(
         "doc_id",
         "ntok",
         F.floor(
-            (F.sum("ntok").over(w) - F.col("ntok")) / _Q91_BIN_TOKENS
+            (F.col("__cum") - F.col("ntok")) / _Q91_BIN_TOKENS
         )
         .cast("bigint")
         .alias("bin"),
@@ -1292,21 +1312,30 @@ ORDER BY n.grp
     "cross-engine poly_hash of doc_id, so the mixture is reproducible "
     "bit-for-bit across engines and epochs; per-group kept "
     "docs/tokens vs totals/needs are hash-checked. Scale: one "
-    "token-count pass, one tiny broadcast of per-group needs, one "
-    "sort per group (the honest cost of an EXACT budget); q176 is the "
-    "no-sort approximate sibling. operators/pipeline.py.",
+    "token-count pass, one tiny broadcast of per-group needs, and the "
+    "EXACT per-group prefix as a distributed two-pass scan "
+    "(operators/distributed.range_prefix: range partition on (grp, "
+    "h), partition-local running sums, offset broadcast) — with only "
+    "4 groups a per-group window would serialize each group's ENTIRE "
+    "corpus through one task; q176 is the no-shuffle approximate "
+    "sibling. operators/pipeline.py.",
 )
 def q173(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from parquet_demo_spark.operators.distributed import range_prefix
 
     base = _mixture_base(
         load(spark, sf, "documents").select("doc_id", "text", "source")
     )
     need = _mixture_need(base, F.min)
-    win = W.partitionBy("grp").orderBy("h", "doc_id")
+    pre = range_prefix(
+        base,
+        ["h", "doc_id"],
+        group_cols=["grp"],
+        value_col="tok",
+        cum_col="cum",
+    )
     sel = (
-        base.withColumn("cum", F.sum("tok").over(win))
-        .join(F.broadcast(need), "grp")
+        pre.join(F.broadcast(need), "grp")
         .filter(F.col("cum") - F.col("tok") < F.col("need_tokens"))
     )
     return _mix_agg_left(
@@ -1373,12 +1402,11 @@ ORDER BY p.grp
     "rows/tokens/epoch-count vs totals/needs hash-checked; same "
     "frozen poly_hash order as q173, so the two mixtures compose. "
     "Scale: full epochs are a zero-shuffle row multiplier at scan "
-    "time; only the remainder pays the per-group sort. "
-    "operators/pipeline.py.",
+    "time; the remainder prefix runs as the distributed two-pass "
+    "scan (operators/distributed.range_prefix), never a per-group "
+    "single-task window. operators/pipeline.py.",
 )
 def q175(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     base = _mixture_base(
         load(spark, sf, "documents").select("doc_id", "text", "source")
     )
@@ -1409,10 +1437,17 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("epoch"),
         )
     )
-    win = W.partitionBy("grp").orderBy("h", "doc_id")
+    from parquet_demo_spark.operators.distributed import range_prefix
+
+    pre = range_prefix(
+        base,
+        ["h", "doc_id"],
+        group_cols=["grp"],
+        value_col="tok",
+        cum_col="cum",
+    )
     rem_rows = (
-        base.withColumn("cum", F.sum("tok").over(win))
-        .join(F.broadcast(plan), "grp")
+        pre.join(F.broadcast(plan), "grp")
         .filter(
             (F.col("rem_tokens") > 0)
             & (F.col("cum") - F.col("tok") < F.col("rem_tokens"))

@@ -313,3 +313,25 @@ def test_q104_vocab_cut_is_heap_window_is_bounded(spark, sf_dir):
     df = QUERIES["q104_zipf_slope"].spark(spark, sf_dir)
     assert uses_take_ordered(df)
     assert single_task_window_count(df) == 1
+
+
+def test_prefix_scan_queries_have_no_single_task_window(spark, sf_dir):
+    """q90/q91/q173/q175: ntile / running-sum assignment must run as
+    the distributed two-pass prefix scan — no data-sized unpartitioned
+    Window (and no 4-partition per-group funnel) anywhere in the plan.
+    The grouped mixtures allow zero; the ungrouped q90/q91 allow
+    exactly one — range_prefix's offsets window, whose input is the
+    per-partition totals (bounded by partition count, not data)."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    for name, allowed in (
+        ("q90_length_batching", 1),
+        # q91's packed branch feeds both the bins aggregate and the
+        # join, so the SAME bounded totals window appears twice in the
+        # plan tree (deduped at runtime by exchange/stage reuse)
+        ("q91_sequence_packing", 2),
+        ("q173_corpus_mixture", 0),
+        ("q175_epoch_mixture_upsampling", 0),
+    ):
+        df = QUERIES[name].spark(spark, sf_dir)
+        assert single_task_window_count(df) == allowed, name
