@@ -2240,3 +2240,142 @@ def _q174_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q174_partitioned_pk_probe", _q174_build, _q174_read)
+
+
+@register(
+    "q177_time_retention",
+    oracle="""
+    WITH lww_full AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    retained AS (
+      SELECT event_type, event_id, value
+      FROM lww_full WHERE rn = 1
+    ),
+    boost_ranked AS (
+      SELECT user_id, event_type, event_id, value * 2 AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 4 = 0
+    ),
+    boost AS (
+      SELECT user_id, event_type, event_id, value
+      FROM boost_ranked WHERE rn = 1
+    ),
+    head AS (
+      SELECT r.event_type,
+             COALESCE(b.event_id, r.event_id) AS event_id,
+             COALESCE(b.value, r.value) AS value
+      FROM (SELECT user_id, event_type, event_id, value
+            FROM lww_full WHERE rn = 1) r
+      LEFT JOIN boost b USING (user_id, event_type)
+    ),
+    aggs AS (
+      SELECT 'head' AS snapshot, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM head GROUP BY event_type
+      UNION ALL
+      SELECT 'retained', event_type,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(event_id) AS BIGINT),
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+      FROM retained GROUP BY event_type
+      UNION ALL
+      SELECT 'expired', '-', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+    )
+    SELECT * FROM aggs ORDER BY snapshot, event_type
+    """,
+    doc="Time-based snapshot retention, hash-checked end-to-end "
+    "(VERDICT r9 #6 — Iceberg expireSnapshots(olderThan)/Delta "
+    "retention): v0 merges the even-event_id half, a wall-clock "
+    "cutoff is captured, v1 conditionally merges the rest (head "
+    "becomes full-table LWW), v2 replace-merges the event_id%4==0 "
+    "PKs with doubled values. vacuum(keep_last=1, older_than=cutoff) "
+    "must expire exactly v0 (committed before the cutoff, outside "
+    "keep_last) while retaining v1 (after the cutoff) and the head: "
+    "the checked rows are the head and retained-v1 aggregates (time "
+    "travel to every retained version intact) plus an 'expired' row "
+    "counting versions whose read now raises the descriptive "
+    "vacuumed error up front — the count (exactly 1) and both "
+    "snapshots' contents ride the hash. sources/merge_store.py "
+    "vacuum(older_than)/read guard.",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    return _q177_read(spark, sf, _q177_build(spark, sf))
+
+
+def _q177_build(spark: SparkSession, sf: str):
+    import time
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q177", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    store.merge(ev.filter(F.col("event_id") % 2 == 0))          # v0
+    time.sleep(0.05)
+    cutoff = time.time()
+    time.sleep(0.05)
+    store.merge(ev.filter(F.col("event_id") % 2 != 0), conditional=True)  # v1
+    store.merge(                                                 # v2
+        ev.filter(F.col("event_id") % 4 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+    )
+    store.vacuum(keep_last=1, older_than=cutoff)
+    return store
+
+
+def _q177_read(spark: SparkSession, sf: str, store) -> DataFrame:
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"),
+                "event_type",
+                "n_keys",
+                "sum_event_id",
+                "value_cents",
+            )
+        )
+
+    expired = 0
+    for vv in range(3):
+        try:
+            store.read(spark, version=vv)
+        except ValueError:
+            expired += 1
+    expired_row = spark.createDataFrame(
+        [("expired", "-", expired, 0, 0)],
+        "snapshot string, event_type string, n_keys bigint, "
+        "sum_event_id bigint, value_cents bigint",
+    )
+    head = _agg(store.read(spark), "head")
+    retained = _agg(store.read(spark, version=1), "retained")
+    return (
+        head.unionByName(retained)
+        .unionByName(expired_row)
+        .orderBy("snapshot", "event_type")
+    )
+
+
+register_phases("q177_time_retention", _q177_build, _q177_read)

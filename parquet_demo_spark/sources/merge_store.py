@@ -83,9 +83,44 @@ _BLOOM_K = 5
 # manifest is tens of KB per partition, and re-parsing it per operation
 # is pure waste. A stat() guard on each hit keeps deletions honest
 # (a vacuumed version must raise, not serve from cache) at ~1000x less
-# cost than the parse.
+# cost than the parse. Bounded by BYTES as well as entries: blooms
+# make a single manifest's footprint proportional to
+# buckets × bloom_cols × partitions, so 512 entries alone could pin
+# hundreds of MB (ADVICE r9); file size is the proxy for parsed size.
 _MANIFEST_CACHE: dict[str, tuple[tuple, dict]] = {}
 _MANIFEST_CACHE_MAX = 512
+_MANIFEST_CACHE_MAX_BYTES = 64 * 1024 * 1024
+_MANIFEST_CACHE_BYTES = [0]
+
+
+def _manifest_copy(m: dict) -> dict:
+    """Two-level defensive copy of a cached manifest.
+
+    Callers receive their OWN top-level dict and their own copies of
+    nested dicts/lists (partitions, bucket_paths, stats, blooms,
+    op_params — everything mutators touch), so an in-place edit can
+    never corrupt the process-wide cache for later readers of the same
+    version (ADVICE r9). Values two levels down (per-partition entry
+    dicts, per-bucket stat dicts) are copied one more level; anything
+    deeper is shared and must be treated as immutable — no current
+    caller mutates below that depth."""
+    out = dict(m)
+    for k, v in out.items():
+        if isinstance(v, dict):
+            out[k] = {
+                kk: (dict(vv) if isinstance(vv, dict)
+                     else list(vv) if isinstance(vv, list) else vv)
+                for kk, vv in v.items()
+            }
+        elif isinstance(v, list):
+            out[k] = list(v)
+    return out
+
+
+def _cache_evict_one() -> None:
+    path, (sig, _m) = next(iter(_MANIFEST_CACHE.items()))
+    _MANIFEST_CACHE.pop(path)
+    _MANIFEST_CACHE_BYTES[0] -= sig[2]
 
 
 def _load_manifest(path: str) -> dict:
@@ -96,19 +131,29 @@ def _load_manifest(path: str) -> dict:
     try:
         st = os.stat(path)
     except FileNotFoundError:
-        _MANIFEST_CACHE.pop(path, None)  # vacuumed underneath us
+        stale = _MANIFEST_CACHE.pop(path, None)  # vacuumed underneath
+        if stale is not None:
+            _MANIFEST_CACHE_BYTES[0] -= stale[0][2]
         raise
     sig = (st.st_ino, st.st_mtime_ns, st.st_size)
     cached = _MANIFEST_CACHE.get(path)
     if cached is not None and cached[0] == sig:
-        return cached[1]
+        return _manifest_copy(cached[1])
+    if cached is not None:
+        _MANIFEST_CACHE_BYTES[0] -= cached[0][2]
+        _MANIFEST_CACHE.pop(path)
     with open(path) as fh:
         m = json.load(fh)
-    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-        # FIFO bound — eviction order is irrelevant for correctness
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    # FIFO bounds (entries AND bytes) — eviction order is irrelevant
+    # for correctness
+    while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX or (
+        _MANIFEST_CACHE
+        and _MANIFEST_CACHE_BYTES[0] + sig[2] > _MANIFEST_CACHE_MAX_BYTES
+    ):
+        _cache_evict_one()
     _MANIFEST_CACHE[path] = (sig, m)
-    return m
+    _MANIFEST_CACHE_BYTES[0] += sig[2]
+    return _manifest_copy(m)
 
 
 def _writer_token() -> str:
@@ -556,7 +601,12 @@ class ParquetMergeStore:
         )
         rebased["op_params"] = {
             **manifest["op_params"],
-            "rebased_from": version,
+            # multi-level recursion must keep the ORIGINAL pre-race
+            # base in the lineage record, not the intermediate retry's
+            # version (ADVICE r9)
+            "rebased_from": manifest["op_params"].get(
+                "rebased_from", version
+            ),
         }
         rebased["version"] = head + 1
         os.makedirs(
@@ -964,6 +1014,17 @@ class ParquetMergeStore:
                 os.path.join(self.root, p)
                 for p in sorted(set(self._bucket_paths(v).values()))[:1]
             ]
+        # expired-version guard: retention (keep_last / older_than)
+        # removes data dirs but keeps manifests <= pointer, so an
+        # expired snapshot must fail up front with the descriptive
+        # error, not die mid-scan with a parquet path error
+        gone = [p for p in paths if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"version {v} was vacuumed: referenced path "
+                f"{gone[0]} is missing (expired by keep_last/"
+                "older_than retention)"
+            )
         # mergeSchema + typed alignment: after a schema evolution,
         # buckets written before it lack the new columns — union the
         # footers, backfill typed nulls when the pruned subset predates
@@ -984,6 +1045,7 @@ class ParquetMergeStore:
         spark: SparkSession,
         keys_df: DataFrame,
         version: int | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """PK-bucket-pruned point read: the stored rows whose full PK
         appears in ``keys_df``, reading ONLY the bucket dirs the probe
@@ -998,19 +1060,21 @@ class ParquetMergeStore:
         lookup costs the batch's buckets of a one-row-per-key side
         store instead of a full-index scan + shuffle (VERDICT r8 #4).
         DV-deleted rows are filtered exactly as in :meth:`read`.
+
+        Probe keys are cast to the STORED PK types before bucketing:
+        ``F.hash`` is type-sensitive (hash(int 5) != hash(bigint 5)),
+        so a type-drifted key frame would silently hash to the wrong
+        bucket and report present rows absent (ADVICE r9).
+
+        ``buckets`` (pre-computed bucket ids for the whole batch) skips
+        the per-store collect — the partitioned store's table-level
+        probe computes (partition, bucket) pairs for the ENTIRE key
+        batch in one job and hands each child its slice, so a K-
+        partition probe costs one driver job, not K+1 sequential ones.
         """
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"empty merge store: {self.root}")
-        keys = keys_df.select(*self.keys).distinct()
-        touched = sorted(
-            r[0]
-            for r in keys.select(
-                self._bucket_expr().alias(_BUCKET)
-            )
-            .distinct()
-            .collect()
-        )
         paths = self._bucket_paths(v)
         if not paths:
             # a zero-bucket commit (e.g. an all-empty first batch):
@@ -1019,6 +1083,35 @@ class ParquetMergeStore:
             raise ValueError(
                 f"store at {self.root} has no data buckets at v{v}; "
                 "nothing to probe"
+            )
+        # stored PK types from one dir's footer (schema-only, no scan)
+        schema_dir = [
+            os.path.join(self.root, p)
+            for p in sorted(set(paths.values()))[:1]
+        ]
+        stored = {
+            f.name: f.dataType
+            for f in self._read_aligned(spark, schema_dir, v).schema
+        }
+        in_types = {f.name: f.dataType for f in keys_df.schema.fields}
+        keys = keys_df.select(
+            *[
+                F.col(c).cast(stored[c]).alias(c)
+                if in_types.get(c) != stored[c]
+                else F.col(c)
+                for c in self.keys
+            ]
+        ).distinct()
+        if buckets is not None:
+            touched = sorted({int(b) for b in buckets})
+        else:
+            touched = sorted(
+                r[0]
+                for r in keys.select(
+                    self._bucket_expr().alias(_BUCKET)
+                )
+                .distinct()
+                .collect()
             )
         hit = [b for b in touched if b in paths]
         if not hit:
@@ -2704,10 +2797,23 @@ class ParquetMergeStore:
                 removed.append(v)
         return removed
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Drop data dirs unreferenced by the newest ``keep_last``
-        COMMITTED manifests; returns removed paths (data dirs plus any
-        orphan manifest dirs from a crashed merge).
+    def vacuum(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> list[str]:
+        """Drop data dirs unreferenced by any RETAINED committed
+        manifest; returns removed paths (data dirs plus any orphan
+        manifest dirs from a crashed merge).
+
+        Retained versions: the newest ``keep_last`` committed ones,
+        plus — when ``older_than`` (an ABSOLUTE unix timestamp, the
+        Iceberg ``expireSnapshots(olderThan=...)`` shape) is given —
+        every version whose ``committed_at`` is at or after it. The
+        head never expires. ``committed_at`` is monotonic, so the
+        retained set is always a contiguous suffix; a legacy manifest
+        with no ``committed_at`` record is retained (never destroy
+        data whose age can't be proven). Time travel to any retained
+        version stays intact; a read of an expired version raises the
+        descriptive vacuumed error up front instead of dying mid-scan.
 
         Liveness is anchored on the committed pointer, never on manifest
         files alone: ``_commit`` writes the manifest BEFORE the atomic
@@ -2716,7 +2822,10 @@ class ParquetMergeStore:
         the newest version could drop data dirs the committed snapshot
         still references — destroying committed data. Orphan manifests
         (version > pointer) are cleaned up here instead; their data dirs
-        were never committed.
+        were never committed. Same caveat as keep_last (Delta's):
+        expiring SOURCE versions a shallow clone still references can
+        strand the clone; vacuum on a clone never crosses into the
+        source (only dirs under this store's root are candidates).
         """
         import shutil
 
@@ -2728,8 +2837,16 @@ class ParquetMergeStore:
             return []
         committed = [v for v in self.history() if v <= current]
         keep_versions = committed[-keep_last:]
+        if older_than is not None:
+            for v in committed:
+                if v in keep_versions:
+                    continue
+                at = self._read_manifest(v).get("committed_at")
+                if at is None or at >= older_than:
+                    keep_versions.append(v)
         if current not in keep_versions:
             keep_versions.append(current)
+        keep_versions = sorted(set(keep_versions))
         live: set[str] = set()
         for v in keep_versions:
             for rel in self._bucket_paths(v).values():

@@ -1242,3 +1242,121 @@ def test_probe_rejects_nothing_for_unwritable_partition_keys(
     st.drop_partition("d1")
     with pytest.raises(ValueError, match="no live partitions"):
         st.probe(spark, spark.createDataFrame([Row(day="d1", k=1)]))
+
+
+def test_partitioned_probe_is_one_driver_job_per_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The whole probe batch's (partition, bucket) pairs come from ONE
+    collect; the K child probes then run collect-free on their
+    pre-computed bucket slices — K touched partitions must not pay
+    K+1 sequential driver jobs (VERDICT r9 #5)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # base; instances are classic.dataframe.DataFrame with its own
+    # collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    st = _store(tmp_path)
+    st.merge(
+        _batch(
+            spark,
+            [(d, k) for d in ("d1", "d2", "d3", "d4") for k in range(4)],
+        )
+    )
+    keys = spark.createDataFrame(
+        [Row(day=d, k=k) for d in ("d1", "d2", "d3", "d4") for k in (0, 3)]
+    )
+    collects = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        collects.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    got = st.probe(spark, keys)  # plan construction runs the collects
+    assert len(collects) == 1, f"{len(collects)} driver jobs for 4 partitions"
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert sorted((r.day, r.k) for r in got.collect()) == sorted(
+        (d, k) for d in ("d1", "d2", "d3", "d4") for k in (0, 3)
+    )
+
+
+def test_partitioned_probe_casts_drifted_key_types(spark, tmp_path):
+    """Table-level twin of the child-probe type law: int-typed probe
+    keys against a bigint-keyed store must bucket by the STORED type
+    (the partition match is string-folded either way; the bucket hash
+    is the type-sensitive part)."""
+    st = _store(tmp_path, num_buckets=16)
+    st.merge(_batch(spark, [("d1", k) for k in range(40)]))
+    drifted = spark.createDataFrame(
+        [("d1", k) for k in range(40)], "day string, k int"
+    )
+    got = sorted((r.day, r.k) for r in st.probe(spark, drifted).collect())
+    assert got == [("d1", k) for k in range(40)]
+
+
+def test_restore_to_legacy_manifest_derives_target_columns(
+    spark, tmp_path
+):
+    """restore() to a pre-record target (manifest without a 'columns'
+    entry) must derive the TARGET-era schema from the pinned children,
+    not carry the head's wider record forward (ADVICE r9)."""
+    import json as _json
+
+    from parquet_demo_spark.sources import merge_store as ms
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    # strip the schema record from v0's manifest to fake a legacy store
+    mp = st._manifest_path(0)
+    m = _json.load(open(mp))
+    m.pop("columns", None)
+    m.pop("column_types", None)
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    ms._MANIFEST_CACHE.clear()
+    ms._MANIFEST_CACHE_BYTES[0] = 0
+    # head evolves wider
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=2, v=1, payload="w", extra=7)]
+        ),
+        allow_schema_evolution=True,
+    )
+    v = st.restore(0)
+    rm = st._read_manifest(v)
+    assert rm["columns"] == ["day", "k", "v", "payload"], rm["columns"]
+    got = st.read(spark, version=v)
+    assert got.columns == ["day", "k", "v", "payload"]
+    assert sorted((r.day, r.k) for r in got.collect()) == [
+        ("d1", 1), ("d2", 1)
+    ]
+
+
+def test_partitioned_vacuum_older_than(spark, tmp_path):
+    """Table-level time-based retention: versions committed before the
+    cutoff (outside keep_last) lose their manifests and orphaned child
+    dirs; retained versions stay time-travelable; expired versions
+    raise the descriptive error up front."""
+    import time
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))            # v0
+    st.drop_partition("d1")                          # v1
+    cutoff = time.time()
+    time.sleep(0.01)
+    st.merge(_batch(spark, [("d2", 1)]))            # v2
+    st.merge(_batch(spark, [("d2", 2)]))            # v3
+
+    removed = st.vacuum(keep_last=1, older_than=cutoff)
+    # v0/v1 manifests expired; d1's epoch dir is unreferenced by any
+    # kept version and goes with them
+    assert any(r.startswith("v0000") for r in removed)
+    assert any(r.startswith("p=d1") for r in removed)
+    assert _rows(st.read(spark, version=2)) == [("d2", 1, 1, "d2/1")]
+    assert sorted(
+        (r.day, r.k) for r in st.read(spark, version=3).collect()
+    ) == [("d2", 1), ("d2", 2)]
+    with pytest.raises(ValueError, match="never committed, or removed"):
+        st.read(spark, version=0)
