@@ -1537,3 +1537,47 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         "need_tokens",
         "keep_bp",
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# q178 — exact-k per-stratum reservoir (deterministic content-hash order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q178_group_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY ph, doc_id)::BIGINT AS rk
+      FROM (SELECT lang, doc_id, {poly_hash_sql('text')} AS ph
+            FROM documents))
+    WHERE rk <= 4
+    ORDER BY lang, rk
+    """,
+    doc="Exact-k per-stratum reservoir: EXACTLY 4 documents per lang, "
+    "chosen as the k smallest by (content poly-hash, doc_id) — the "
+    "fixed-quota complement of q80's rate-based stratified sample "
+    "('give me exactly 10k eval docs per language', not '~1%'). No "
+    "RNG: the keep set is a pure function of document content, so "
+    "re-runs, reshuffles, and engine swaps reproduce it bit-for-bit "
+    "(a distributed reservoir with random tags can't promise that). "
+    "Scale shape: the rank<=k filter compiles to WindowGroupLimit "
+    "(plan-asserted) — every map task keeps at most k rows per "
+    "stratum BEFORE the shuffle, so the exchange carries "
+    "O(k x strata x tasks) rows, never the corpus, even with only 5 "
+    "hot lang keys.",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy("ph", "doc_id")
+    return (
+        docs.select("lang", "doc_id", poly_hash("text").alias("ph"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 4)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -28,6 +28,7 @@ from parquet_demo_spark.functions import (
     poly_hash,
     poly_hash_sql,
     qround,
+    qround_sql,
     tokens,
 )
 from parquet_demo_spark.registry import register
@@ -751,4 +752,216 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("surprisal").desc(), "doc_id")
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — corpus drift: unigram-distribution divergence between two slices
+# ---------------------------------------------------------------------------
+
+_Q179_ORACLE = """
+    WITH tok AS (
+      SELECT sa, t AS token FROM (
+        SELECT (doc_id % 2 = 0) AS sa,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN sa THEN 1 ELSE 0 END)::BIGINT AS ca,
+             SUM(CASE WHEN sa THEN 0 ELSE 1 END)::BIGINT AS cb
+      FROM tok GROUP BY token
+    ),
+    tot AS (
+      SELECT SUM(ca)::BIGINT AS ta, SUM(cb)::BIGINT AS tb,
+             COUNT(*)::BIGINT AS v
+      FROM counts
+    ),
+    s AS (
+      SELECT MAX(v) AS v, MAX(ta) AS ta, MAX(tb) AS tb,
+             SUM(ABS((ca + 1)::DECIMAL(20,0) * (tb + v)
+                     - (cb + 1)::DECIMAL(20,0) * (ta + v))) AS num,
+             SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_shared
+      FROM counts, tot
+    )
+    SELECT v AS n_vocab, n_shared,
+           {jac} AS vocab_jaccard,
+           {tv} AS tv_dist
+    FROM s
+    """
+
+
+@register(
+    "q179_corpus_drift",
+    oracle=_Q179_ORACLE.format(
+        jac=qround_sql(
+            "CAST(n_shared AS DOUBLE) / CAST(v AS DOUBLE)", 6
+        ),
+        tv=qround_sql(
+            "0.5 * CAST(num AS DOUBLE) / (CAST(ta + v AS DOUBLE)"
+            " * CAST(tb + v AS DOUBLE))",
+            6,
+        ),
+    ),
+    doc="Corpus drift detector: total-variation distance between the "
+    "add-one-smoothed unigram distributions of two corpus slices "
+    "(doc_id parity stands in for 'last snapshot vs this one'), plus "
+    "vocabulary overlap (Jaccard over the joint vocab). The pipeline "
+    "gate that catches a bad crawl/mixture change before training "
+    "sees it. Numerics: TV is computed from EXACT integers — "
+    "sum |(ca+1)(Tb+V) - (cb+1)(Ta+V)| in decimal, one final IEEE "
+    "division — so there is no per-term float rounding to drift "
+    "cross-engine (contrast per-token p_a - p_b in doubles). Scale "
+    "shape: ONE groupBy(token) with conditional sums (no self-join), "
+    "a scalar totals row broadcast back, a second vocabulary-sized "
+    "agg; the vocabulary-sized counts are localCheckpoint-pinned so "
+    "the tokenize pass runs once, not twice.",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("sa"),
+        F.explode(tokens("text")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("sa"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("sa"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint()
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+        F.count("*").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    s = j.agg(
+        F.max("v").alias("v"),
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.sum(
+            F.abs(
+                (F.col("ca") + 1).cast("decimal(20,0)")
+                * (F.col("tb") + F.col("v"))
+                - (F.col("cb") + 1).cast("decimal(20,0)")
+                * (F.col("ta") + F.col("v"))
+            )
+        ).alias("num"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared"),
+    )
+    return s.select(
+        F.col("v").alias("n_vocab"),
+        "n_shared",
+        qround(
+            F.col("n_shared").cast("double") / F.col("v").cast("double"), 6
+        ).alias("vocab_jaccard"),
+        qround(
+            F.lit(0.5)
+            * F.col("num").cast("double")
+            / (
+                (F.col("ta") + F.col("v")).cast("double")
+                * (F.col("tb") + F.col("v")).cast("double")
+            ),
+            6,
+        ).alias("tv_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — OOV rate under a pruned top-N vocabulary (tokenizer prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q180_oov_rate",
+    oracle=f"""
+    WITH train_tok AS (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents WHERE doc_id % 10 <> 0)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM train_tok GROUP BY token
+        ORDER BY c DESC, token LIMIT 300)
+    ),
+    hold AS (
+      SELECT lang, t AS token FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents WHERE doc_id % 10 = 0)
+      WHERE t <> ''
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_oov,
+           {qround_sql(
+               "SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)"
+               "::DOUBLE / COUNT(*)", 6)} AS oov_rate
+    FROM hold h LEFT JOIN vocab v USING (token)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="OOV-rate audit for a pruned vocabulary: build the top-300 "
+    "token vocab on a 90% train slice (count desc, token asc — "
+    "deterministic at the boundary), then measure the out-of-vocab "
+    "token fraction per language on the held-out 10%. The tokenizer-"
+    "prep dial: how much coverage a vocab size buys, and which "
+    "languages it starves (the per-lang split is the fairness check "
+    "a multilingual corpus needs). Scale shape: the vocab cut is a "
+    "TakeOrderedAndProject heap over the token tallies (never a "
+    "global sort), the membership probe is a broadcast left join of "
+    "a 300-row table against the token stream, and only per-lang "
+    "tallies shuffle.",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    train_tok = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        train_tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(300)
+        .select("token")
+    )
+    hold = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("lang", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    probed = hold.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "token", "left"
+    )
+    return (
+        probed.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            qround(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("lang")
     )

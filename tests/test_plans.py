@@ -335,3 +335,25 @@ def test_prefix_scan_queries_have_no_single_task_window(spark, sf_dir):
     ):
         df = QUERIES[name].spark(spark, sf_dir)
         assert single_task_window_count(df) == allowed, name
+
+
+def test_q178_reservoir_is_window_group_limit(spark, sf_dir):
+    """q178: the exact-k per-stratum cut must plan a WindowGroupLimit
+    (map-side per-group heaps BEFORE the lang shuffle) and no
+    unpartitioned window — the property that keeps an exact-quota
+    sample linear when the strata are 5 hot keys over 100 TB."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q178_group_reservoir"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert single_task_window_count(df) == 0
+
+
+def test_q180_vocab_cut_is_heap_probe_is_broadcast(spark, sf_dir):
+    """q180: the top-300 vocabulary cut must be a TakeOrdered heap and
+    the membership probe a broadcast join — the holdout token stream
+    never shuffles on token."""
+    df = QUERIES["q180_oov_rate"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert uses_broadcast_join(df)
