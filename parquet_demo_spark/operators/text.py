@@ -835,7 +835,9 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("cb"),
         )
-        .localCheckpoint()
+        # lazy: materializes at FIRST action (still once for both
+        # consumers), so merely building the plan costs nothing
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("ca").cast("bigint").alias("ta"),

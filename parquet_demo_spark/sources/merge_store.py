@@ -293,6 +293,12 @@ class ParquetMergeStore:
         # because __init__ has no SparkSession).
         self.constraints: dict[str, str] = dict(constraints or {})
         self._pending_constraint_validation: dict[str, str] = {}
+        # probe()'s stored-PK-type lookup, cached per version: a
+        # committed version's schema is immutable, and probe is the
+        # per-micro-batch admission path of all three streaming
+        # appliers — without the cache every batch re-reads a bucket
+        # footer just to learn types that can never change
+        self._pk_types_by_version: dict[int, dict] = {}
         os.makedirs(root, exist_ok=True)
         # reopening an existing store with different bucketing/key config
         # would silently route the same PK to a different bucket: the old
@@ -1018,13 +1024,7 @@ class ParquetMergeStore:
         # removes data dirs but keeps manifests <= pointer, so an
         # expired snapshot must fail up front with the descriptive
         # error, not die mid-scan with a parquet path error
-        gone = [p for p in paths if not os.path.exists(p)]
-        if gone:
-            raise ValueError(
-                f"version {v} was vacuumed: referenced path "
-                f"{gone[0]} is missing (expired by keep_last/"
-                "older_than retention)"
-            )
+        self._guard_vacuumed(paths, v)
         # mergeSchema + typed alignment: after a schema evolution,
         # buckets written before it lack the new columns — union the
         # footers, backfill typed nulls when the pruned subset predates
@@ -1084,15 +1084,23 @@ class ParquetMergeStore:
                 f"store at {self.root} has no data buckets at v{v}; "
                 "nothing to probe"
             )
-        # stored PK types from one dir's footer (schema-only, no scan)
-        schema_dir = [
-            os.path.join(self.root, p)
-            for p in sorted(set(paths.values()))[:1]
-        ]
-        stored = {
-            f.name: f.dataType
-            for f in self._read_aligned(spark, schema_dir, v).schema
-        }
+        # stored PK types, cached per version (immutable once
+        # committed; PK columns never retype under schema evolution) —
+        # first probe of a version reads one dir's footer (schema-only,
+        # no scan), later probes skip the driver I/O entirely
+        stored = self._pk_types_by_version.get(v)
+        if stored is None:
+            schema_dir = [
+                os.path.join(self.root, p)
+                for p in sorted(set(paths.values()))[:1]
+            ]
+            self._guard_vacuumed(schema_dir, v)
+            stored = {
+                f.name: f.dataType
+                for f in self._read_aligned(spark, schema_dir, v).schema
+                if f.name in self.keys
+            }
+            self._pk_types_by_version[v] = stored
         in_types = {f.name: f.dataType for f in keys_df.schema.fields}
         keys = keys_df.select(
             *[
@@ -1120,12 +1128,13 @@ class ParquetMergeStore:
                 os.path.join(self.root, p)
                 for p in sorted(set(paths.values()))[:1]
             ]
+            self._guard_vacuumed(any_dir, v)
             return self._read_aligned(spark, any_dir, v).limit(0)
-        df = self._read_aligned(
-            spark,
-            sorted(os.path.join(self.root, paths[b]) for b in set(hit)),
-            v,
+        hit_paths = sorted(
+            os.path.join(self.root, paths[b]) for b in set(hit)
         )
+        self._guard_vacuumed(hit_paths, v)
+        df = self._read_aligned(spark, hit_paths, v)
         df = self._apply_dv(spark, df, v, buckets=hit)
         return df.join(keys, list(self.keys), "left_semi")
 
@@ -1139,10 +1148,36 @@ class ParquetMergeStore:
 
     # -- write side -----------------------------------------------------
 
-    def _bucket_expr(self):
+    def _guard_vacuumed(self, paths: list[str], v: int) -> None:
+        """Raise the descriptive expired-version error up front when any
+        referenced path is missing — retention (keep_last / older_than)
+        removes data dirs but keeps manifests <= pointer, and every
+        read path (read, probe) must fail with this, never an opaque
+        mid-plan PATH_NOT_FOUND."""
+        gone = [p for p in paths if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"version {v} was vacuumed: referenced path "
+                f"{gone[0]} is missing (expired by keep_last/"
+                "older_than retention)"
+            )
+
+    @staticmethod
+    def bucket_expr(keys: tuple[str, ...], num_buckets: int):
+        """THE bucket-routing expression: pmod(hash(*pk), num_buckets).
+
+        Single definition shared by every level that routes or prunes
+        by bucket — the table-level probe hands children pre-computed
+        bucket ids, which are only correct while both levels hash
+        identically, so neither may inline its own copy (a seed/order/
+        normalization change in one would silently slice the wrong
+        buckets and report present rows absent)."""
         return F.pmod(
-            F.hash(*[F.col(c) for c in self.keys]), F.lit(self.num_buckets)
+            F.hash(*[F.col(c) for c in keys]), F.lit(num_buckets)
         )
+
+    def _bucket_expr(self):
+        return self.bucket_expr(self.keys, self.num_buckets)
 
     def merge(
         self,

@@ -1503,9 +1503,11 @@ class PartitionedParquetMergeStore:
         pexprs = [
             F.col(c).cast("string").alias(c) for c in self.partition_cols
         ]
-        bexpr = F.pmod(
-            F.hash(*[F.col(c) for c in self.keys]),
-            F.lit(self.num_buckets),
+        # the child's own routing expression (shared staticmethod —
+        # inlining a copy here would let the two levels drift and
+        # silently slice the wrong buckets)
+        bexpr = ParquetMergeStore.bucket_expr(
+            self.keys, self.num_buckets
         ).alias("__bucket")
         pair_rows = keys.select(*pexprs, bexpr).distinct().collect()
 
@@ -1742,24 +1744,27 @@ class PartitionedParquetMergeStore:
         cur = self.current_version()
         if cur is None:
             return []
-        lo_keep = max(0, cur - keep_last + 1)
-        if older_than is not None:
-            v = lo_keep - 1
-            while v >= 0:
-                if not os.path.exists(self._manifest_path(v)):
-                    break
-                at = self._read_manifest(v).get("committed_at")
-                if at is not None and at < older_than:
-                    break
-                lo_keep = v
-                v -= 1
-        keep_versions = [
+        committed = [
             v
-            for v in range(lo_keep, cur + 1)
+            for v in range(0, cur + 1)
             if os.path.exists(self._manifest_path(v))
         ]
+        keep = set(committed[-keep_last:])
+        if older_than is not None:
+            # same retention law as the child store: a version is kept
+            # when its committed_at is at/after the cutoff OR it has no
+            # committed_at at all (legacy manifest — never expire data
+            # whose age can't be proven, even below a dated-old
+            # version; a contiguous-window walk would drop it)
+            for v in committed:
+                if v in keep:
+                    continue
+                at = self._read_manifest(v).get("committed_at")
+                if at is None or at >= older_than:
+                    keep.add(v)
+        keep.add(cur)
         live = set()
-        for v in keep_versions:
+        for v in sorted(keep):
             live |= {
                 e["dir"]
                 for e in self._read_manifest(v)["partitions"].values()
@@ -1772,7 +1777,8 @@ class PartitionedParquetMergeStore:
             elif (
                 d.startswith("v")
                 and d[1:].isdigit()
-                and int(d[1:]) < lo_keep
+                and int(d[1:]) <= cur
+                and int(d[1:]) not in keep
             ):
                 shutil.rmtree(os.path.join(self.root, d))
                 removed.append(d)

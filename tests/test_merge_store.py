@@ -2677,3 +2677,22 @@ def test_clone_vacuum_older_than_never_touches_source(spark, tmp_path):
     # source remains fully readable
     assert _rows(st.read(spark)) == [(1, 1, "a")]
     assert _rows(clone.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_probe_of_vacuumed_version_raises_descriptive_error(
+    spark, tmp_path
+):
+    """probe() is a read path: an expired (vacuumed) version must fail
+    up front with the descriptive 'was vacuumed' error, never an
+    opaque mid-plan PATH_NOT_FOUND from a missing bucket dir."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="v0")]))   # v0
+    st.merge(spark.createDataFrame([Row(k=1, v=2, payload="v1")]))   # v1
+    st.vacuum(keep_last=1)
+    keys = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError, match="vacuumed"):
+        st.probe(spark, keys, version=0)
+    # the live head still probes fine, and the stored-PK-type lookup
+    # is cached per version after the first probe (admission hot path)
+    assert [r.payload for r in st.probe(spark, keys).collect()] == ["v1"]
+    assert st.current_version() in st._pk_types_by_version

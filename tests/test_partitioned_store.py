@@ -1360,3 +1360,38 @@ def test_partitioned_vacuum_older_than(spark, tmp_path):
     ) == [("d2", 1), ("d2", 2)]
     with pytest.raises(ValueError, match="never committed, or removed"):
         st.read(spark, version=0)
+
+
+def test_partitioned_vacuum_older_than_keeps_legacy_undated(
+    spark, tmp_path
+):
+    """A legacy manifest with no committed_at must survive older_than
+    even when it sits BELOW a dated-old (expired) version: never
+    expire data whose age can't be proven (the child store's law; a
+    contiguous-window walk that stops at the first dated-old version
+    would silently destroy the undated one underneath it)."""
+    import json
+    import time
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))            # v0 -> made legacy
+    st.merge(_batch(spark, [("d2", 1)]))            # v1 (dated, old)
+    cutoff = time.time()
+    time.sleep(0.01)
+    st.merge(_batch(spark, [("d2", 2)]))            # v2
+    st.merge(_batch(spark, [("d2", 3)]))            # v3 (head)
+
+    # strip v0's committed_at: a store created before the record
+    mp = st._manifest_path(0)
+    m = json.load(open(mp))
+    del m["committed_at"]
+    json.dump(m, open(mp, "w"))
+
+    removed = st.vacuum(keep_last=1, older_than=cutoff)
+    # v1 (dated before the cutoff, outside keep_last) expires; the
+    # undated v0 does NOT
+    assert any(r == "v00001" for r in removed), removed
+    assert not any(r == "v00000" for r in removed), removed
+    assert _rows(st.read(spark, version=0)) == [("d1", 1, 1, "d1/1")]
+    with pytest.raises(ValueError, match="never committed, or removed"):
+        st.read(spark, version=1)
