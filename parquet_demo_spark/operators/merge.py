@@ -2379,3 +2379,110 @@ def _q177_read(spark: SparkSession, sf: str, store) -> DataFrame:
 
 
 register_phases("q177_time_retention", _q177_build, _q177_read)
+
+
+# ---------------------------------------------------------------------------
+# q181 — merge-on-read store: delta-log overlay resolved at read time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q181_merge_on_read",
+    oracle="""
+    WITH unioned AS (
+      -- batch 0 (base COW merge): even event_ids, all upserts
+      SELECT user_id, event_type, event_id, ts, value,
+             0 AS prio, 'u' AS op
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      -- delta seq0: odd event_ids, all upserts
+      SELECT user_id, event_type, event_id, ts, value, 1, 'u'
+      FROM events WHERE event_id % 2 <> 0
+      UNION ALL
+      -- delta seq1: retractions and triple-value upserts (disjoint
+      -- row sets — an overlapping row would tie on (ts, event_id)
+      -- with two different ops, a nondeterministic winner)
+      SELECT user_id, event_type, event_id, ts, NULL, 2, 'd'
+      FROM events WHERE user_id % 7 = 0 AND event_id % 10 <> 3
+      UNION ALL
+      SELECT user_id, event_type, event_id, ts, value * 3, 2, 'u'
+      FROM events WHERE event_id % 10 = 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY prio DESC, ts DESC, event_id DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked WHERE rn = 1 AND op = 'u'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Merge-on-read (Hudi MOR / Iceberg v2 shape): a COW base merge "
+    "(even event_ids), then two O(batch) delta-log appends — the odd "
+    "rows as upserts, then a batch mixing retractions (user_id%7=0) "
+    "with triple-value updates (event_id%10=3) — resolved last-write-"
+    "wins AT READ TIME: newest delta action per PK wins over base and "
+    "older deltas, within a batch the (ts, event_id) LWW collapse "
+    "applies, a winning 'd' removes the key. No bucket is read or "
+    "rewritten on the delta path — per-batch maintenance cost is "
+    "O(batch) at ANY base size (the copy-on-write applier's cost grows "
+    "with bucket size; BASELINE 'MOR vs COW' measures the gap). The "
+    "oracle reproduces the resolution as ROW_NUMBER over (batch "
+    "priority DESC, ts DESC, event_id DESC) per key, keeping 'u' "
+    "winners.",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    return _q181_read(spark, sf, _q181_build(spark, sf))
+
+
+def _q181_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    st = MergeOnReadStore(
+        _scratch_root("q181", sf),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    st.merge(ev.filter(F.col("event_id") % 2 == 0))          # COW base
+    st.commit_delta(ev.filter(F.col("event_id") % 2 != 0))   # delta seq0
+    d = (
+        ev.filter(
+            (F.col("user_id") % 7 == 0) & (F.col("event_id") % 10 != 3)
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("op", F.lit("d"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 10 == 3)
+            .withColumn("value", F.col("value") * 3)
+            .withColumn("op", F.lit("u"))
+        )
+    )
+    st.commit_delta(d, op_col="op")                          # delta seq1
+    return st
+
+
+def _q181_read(spark: SparkSession, sf: str, st) -> DataFrame:
+    return (
+        st.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q181_merge_on_read", _q181_build, _q181_read)

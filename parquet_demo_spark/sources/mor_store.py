@@ -1,0 +1,303 @@
+"""Merge-on-read (MOR) overlay for :class:`ParquetMergeStore`.
+
+The base store's :meth:`~ParquetMergeStore.merge` is copy-on-write:
+every batch rewrites each touched bucket, so the per-batch cost of a
+high-frequency maintenance stream grows with BUCKET size, not batch
+size (measured directly in BASELINE.md's round-10 streaming-applier
+tiers: the term-keyed text batch touches all buckets, and its applier
+cost rose 1.72× across a 100× index at fixed bucket count). That is
+the classic copy-on-write trade: perfect reads, write amplification.
+
+``MergeOnReadStore`` is the other side of the trade, the public
+Hudi MOR / Iceberg v2 merge-on-read design re-expressed on the same
+primitives:
+
+- :meth:`commit_delta` appends the batch AS IS to a delta log —
+  cost O(batch), no bucket read, no bucket rewrite, regardless of
+  base size. Rows carry an op ('u' upsert / 'd' delete) and a
+  monotonic sequence number.
+- :meth:`read` / :meth:`probe` resolve last-write-wins AT READ TIME:
+  the newest delta action per PK wins over the base snapshot
+  (matching merge()'s unconditional replace-by-PK across commits;
+  within one batch the usual version_cols LWW collapse applies).
+  Read overhead is O(live delta rows) — bounded by compaction cadence.
+- :meth:`compact` folds the resolved deltas into the base (one
+  bucket-pruned COW merge + a DV-based key delete) and truncates the
+  log — the amortized rewrite, paid once per cadence instead of once
+  per batch.
+
+Crash-safety: a delta is committed by an atomic pointer swap
+(tmp + os.replace) AFTER its directory is fully written — a crash
+mid-write leaves an orphan directory the pointer never references
+(cleaned by :meth:`vacuum`). Compaction truncates the pointer LAST;
+replaying still-listed deltas over the already-compacted base is
+idempotent (the resolved winners equal the base rows, and a delete's
+PK is already absent), so a crash between the base commits and the
+truncation re-reads correctly and the next compact is a no-op fold.
+
+Single-writer delta log: the pointer swap is not CAS-guarded (the
+base store's optimistic-concurrency rebase applies to compaction's
+base commits, not to concurrent delta appends) — one maintenance
+stream owns a MOR store, which is exactly the streaming-applier
+deployment shape.
+
+Reference parity note: the reference repo (alxmancilla/parquet-demo)
+has no mutable-store surface at all; this extends the engine's R14
+upsert family per the charter, following the public Hudi/Iceberg MOR
+designs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+from parquet_demo_spark.sources.mongo import collapse_for_upsert
+
+_OP = "__op"
+_SEQ = "__seq"
+
+
+class MergeOnReadStore:
+    """A :class:`ParquetMergeStore` plus an append-only delta log,
+    resolved last-write-wins at read time (Hudi MOR shape)."""
+
+    def __init__(
+        self,
+        root: str,
+        keys: tuple[str, ...],
+        version_cols: tuple[str, ...] = (),
+        num_buckets: int = 8,
+    ) -> None:
+        self.root = root
+        self.keys = tuple(keys)
+        self.version_cols = tuple(version_cols)
+        self.base = ParquetMergeStore(
+            os.path.join(root, "base"),
+            keys=self.keys,
+            version_cols=self.version_cols,
+            num_buckets=num_buckets,
+        )
+        self._deltas_root = os.path.join(root, "deltas")
+        os.makedirs(self._deltas_root, exist_ok=True)
+
+    # --- delta log pointer (atomic swap, single writer) ---
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_DELTAS.json")
+
+    def _log(self) -> dict:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"seq": -1, "dirs": []}
+
+    def _swap_log(self, log: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_DELTAS.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, self._pointer_path())
+
+    def delta_count(self) -> int:
+        return len(self._log()["dirs"])
+
+    # --- write path ---
+
+    def merge(self, batch: DataFrame) -> int:
+        """Copy-on-write fast path: with NO live deltas, a plain base
+        merge (bootstrap loads / bulk backfills, where rewrite cost IS
+        the work). With live deltas it would commit stale state under
+        newer delta actions — routed to :meth:`commit_delta` instead."""
+        if self._log()["dirs"]:
+            return self.commit_delta(batch)
+        return self.base.merge(batch)
+
+    def commit_delta(self, batch: DataFrame, op_col: str | None = None) -> int:
+        """Append one maintenance batch to the delta log: O(batch)
+        cost, no bucket read or rewrite at ANY base size.
+
+        ``op_col`` names a column of 'u' (upsert) / 'd' (delete)
+        actions; absent, every row is an upsert. The batch collapses
+        to one row per PK first (version_cols LWW — the op of the
+        surviving row is the key's action, matching what a merge of
+        the same batch would have done). Delete rows only need the PK
+        and version columns populated; other columns ride as NULL.
+        """
+        missing = [
+            c
+            for c in (*self.keys, *self.version_cols)
+            if c not in batch.columns
+        ]
+        if missing:
+            raise ValueError(f"delta batch lacks key/version cols {missing}")
+        if op_col is not None:
+            batch = batch.withColumnRenamed(op_col, _OP)
+        else:
+            batch = batch.withColumn(_OP, F.lit("u"))
+        data_cols = [c for c in batch.columns if c != _OP]
+        expect = self._columns()
+        if expect is not None and set(data_cols) != set(expect):
+            raise ValueError(
+                "delta batch schema must match the store's "
+                f"({sorted(set(data_cols) ^ set(expect))} differ)"
+            )
+        batch = collapse_for_upsert(batch, self.keys, self.version_cols)
+        if op_col is not None:
+            # one validation pass, only when the caller supplied ops
+            bad = batch.filter(~F.col(_OP).isin("u", "d")).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"delta op must be 'u' or 'd', got {bad[0][_OP]!r}"
+                )
+        log = self._log()
+        seq = log["seq"] + 1
+        # unique suffix: a crashed writer's orphan dir can never
+        # collide with the retry (the merge store's artifact-dir law)
+        d = tempfile.mkdtemp(dir=self._deltas_root, prefix=f"d{seq:05d}-")
+        batch.withColumn(_SEQ, F.lit(seq).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(d)
+        self._swap_log(
+            {"seq": seq, "dirs": log["dirs"] + [os.path.basename(d)]}
+        )
+        return seq
+
+    # --- read path ---
+
+    def _columns(self) -> list[str] | None:
+        """Table column order: the base manifest's record, else the
+        first live delta's footer (base not yet bootstrapped)."""
+        cur = self.base.current_version()
+        if cur is not None:
+            return list(self.base._read_manifest(cur)["columns"])
+        log = self._log()
+        if not log["dirs"]:
+            return None
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._deltas_root, log["dirs"][0])
+        name = next(
+            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+        return [
+            c
+            for c in pq.ParquetFile(os.path.join(d, name)).schema_arrow.names
+            if c not in (_OP, _SEQ)
+        ]
+
+    def _delta_frame(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self._log()["dirs"]
+        if not dirs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self._deltas_root, d) for d in dirs]
+        )
+
+    def _resolved(self, spark: SparkSession) -> DataFrame | None:
+        """Latest delta action per PK: highest __seq wins (PKs are
+        unique within a batch after the commit-side collapse, so the
+        sequence alone is a total order per key)."""
+        dl = self._delta_frame(spark)
+        if dl is None:
+            return None
+        w = Window.partitionBy(*self.keys).orderBy(F.col(_SEQ).desc())
+        return (
+            dl.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", _SEQ)
+        )
+
+    def _overlay(
+        self, spark: SparkSession, base_df: DataFrame | None
+    ) -> DataFrame:
+        latest = self._resolved(spark)
+        cols = self._columns()
+        if latest is None:
+            if base_df is None:
+                raise ValueError(f"empty merge-on-read store: {self.root}")
+            return base_df
+        ups = latest.filter(F.col(_OP) == "u").select(*cols)
+        if base_df is None:
+            return ups
+        keep = base_df.join(
+            latest.select(*self.keys), list(self.keys), "left_anti"
+        )
+        return keep.select(*cols).unionByName(ups)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The resolved head snapshot: base rows not superseded by any
+        delta action, plus the newest delta upsert per PK. Base cost
+        is the usual bucket union; overlay cost is O(live delta rows)
+        — bounded by compaction cadence, never by base size."""
+        cur = self.base.current_version()
+        base_df = self.base.read(spark) if cur is not None else None
+        return self._overlay(spark, base_df)
+
+    def probe(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
+        """Bucket-pruned point read THROUGH the delta overlay: the
+        base probe reads only the probe keys' buckets; the delta side
+        joins the (small) live log against the key set. Deleted keys
+        are absent; superseded base rows never surface."""
+        cur = self.base.current_version()
+        latest = self._resolved(spark)
+        keys = keys_df.select(*self.keys).dropDuplicates()
+        base_hits = (
+            self.base.probe(spark, keys) if cur is not None else None
+        )
+        if latest is None:
+            if base_hits is None:
+                raise ValueError(f"empty merge-on-read store: {self.root}")
+            return base_hits
+        cols = self._columns()
+        latest = latest.join(keys, list(self.keys), "left_semi")
+        ups = latest.filter(F.col(_OP) == "u").select(*cols)
+        if base_hits is None:
+            return ups
+        keep = base_hits.join(
+            latest.select(*self.keys), list(self.keys), "left_anti"
+        )
+        return keep.select(*cols).unionByName(ups)
+
+    # --- maintenance ---
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the delta log into the base: ONE bucket-pruned COW
+        merge for the winning upserts + a DV-based key delete for the
+        winning deletes (PK-sized metadata, no rewrite), then truncate
+        the log. This is the amortized rewrite — paid once per
+        cadence, after which reads are pure base again."""
+        latest = self._resolved(spark)
+        if latest is None:
+            return
+        cols = self._columns()
+        ups = latest.filter(F.col(_OP) == "u").select(*cols)
+        dels = latest.filter(F.col(_OP) == "d").select(*self.keys)
+        if ups.limit(1).count():
+            self.base.merge(ups)
+        if self.base.current_version() is not None and dels.limit(1).count():
+            self.base.delete_keys(dels, deletion_vectors=True)
+        log = self._log()
+        folded = list(log["dirs"])
+        # truncate LAST: a crash above leaves the log intact and the
+        # overlay idempotent over the partially-compacted base
+        self._swap_log({"seq": log["seq"], "dirs": []})
+        for d in folded:
+            shutil.rmtree(os.path.join(self._deltas_root, d), True)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Base-store retention plus orphan-delta cleanup (directories
+        a crashed writer left that no pointer ever committed)."""
+        removed = self.base.vacuum(keep_last=keep_last)
+        live = set(self._log()["dirs"])
+        for d in sorted(os.listdir(self._deltas_root)):
+            if d not in live:
+                shutil.rmtree(os.path.join(self._deltas_root, d), True)
+                removed.append(os.path.join("deltas", d))
+        return removed

@@ -1,0 +1,223 @@
+"""Merge-on-read store laws: delta overlay LWW, delete tombstones,
+probe-through-overlay, compaction equivalence + idempotence, crash
+orphan handling, schema/op validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+
+
+def _store(tmp_path, **kw):
+    defaults = dict(keys=("k",), version_cols=("v",), num_buckets=4)
+    defaults.update(kw)
+    return MergeOnReadStore(str(tmp_path / "mor"), **defaults)
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.payload) for r in df.collect())
+
+
+def _seed(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"base{i}") for i in range(1, 5)]
+        )
+    )
+    return st
+
+
+def test_delta_overlay_lww_and_delete(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    # delta 1: update k=1, delete k=2
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="d1", op="u"),
+                Row(k=2, v=2, payload=None, op="d"),
+            ]
+        ),
+        op_col="op",
+    )
+    # delta 2: re-insert k=2, newer update of k=1, insert k=9
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=2, v=3, payload="back", op="u"),
+                Row(k=1, v=3, payload="d2", op="u"),
+                Row(k=9, v=1, payload="new", op="u"),
+            ]
+        ),
+        op_col="op",
+    )
+    assert _rows(st.read(spark)) == [
+        (1, 3, "d2"),      # newest delta wins over base AND older delta
+        (2, 3, "back"),    # delete superseded by later re-insert
+        (3, 1, "base3"),   # untouched base row survives
+        (4, 1, "base4"),
+        (9, 1, "new"),     # pure-delta insert
+    ]
+
+
+def test_within_batch_version_lww(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    # one batch, two edits of k=1: the higher version tuple survives,
+    # and its op is the key's action (here the v=5 delete)
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=5, payload=None, op="d"),
+                Row(k=1, v=4, payload="stale", op="u"),
+            ]
+        ),
+        op_col="op",
+    )
+    assert _rows(st.read(spark)) == [
+        (2, 1, "base2"), (3, 1, "base3"), (4, 1, "base4")
+    ]
+
+
+def test_probe_through_overlay(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="edit", op="u"),
+                Row(k=3, v=2, payload=None, op="d"),
+            ]
+        ),
+        op_col="op",
+    )
+    keys = spark.createDataFrame([Row(k=1), Row(k=3), Row(k=4), Row(k=77)])
+    # edited key returns its delta row, deleted key absent, untouched
+    # base key returns the base row, unknown key absent
+    assert _rows(st.probe(spark, keys)) == [(1, 2, "edit"), (4, 1, "base4")]
+
+
+def test_compact_equivalence_and_idempotence(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="edit", op="u"),
+                Row(k=2, v=2, payload=None, op="d"),
+                Row(k=9, v=1, payload="new", op="u"),
+            ]
+        ),
+        op_col="op",
+    )
+    before = _rows(st.read(spark))
+    assert st.delta_count() == 1
+    st.compact(spark)
+    assert st.delta_count() == 0
+    assert _rows(st.read(spark)) == before
+    assert _rows(st.base.read(spark)) == before  # pure base again
+    st.compact(spark)  # empty-log compact is a no-op
+    assert _rows(st.read(spark)) == before
+    # probe after compaction takes the pure base path
+    assert _rows(st.probe(spark, spark.createDataFrame([Row(k=2)]))) == []
+
+
+def test_replay_after_partial_compaction_is_idempotent(spark, tmp_path):
+    """Crash between the base commits and the log truncation: the
+    still-listed deltas overlay the compacted base to the SAME rows,
+    and the next compact folds to a no-op state."""
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="edit", op="u"),
+                Row(k=2, v=2, payload=None, op="d"),
+            ]
+        ),
+        op_col="op",
+    )
+    expect = _rows(st.read(spark))
+    # simulate the crash: perform compaction's base commits by hand,
+    # leaving the delta log pointer untouched
+    latest = st._resolved(spark)
+    from pyspark.sql import functions as F
+
+    st.base.merge(
+        latest.filter(F.col("__op") == "u").select("k", "v", "payload")
+    )
+    st.base.delete_keys(
+        latest.filter(F.col("__op") == "d").select("k"),
+        deletion_vectors=True,
+    )
+    assert st.delta_count() == 1  # log intact
+    assert _rows(st.read(spark)) == expect  # overlay idempotent
+    st.compact(spark)  # replayed compaction converges
+    assert st.delta_count() == 0
+    assert _rows(st.read(spark)) == expect
+
+
+def test_orphan_delta_dir_ignored_and_vacuumed(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="edit", op="u")]),
+        op_col="op",
+    )
+    # a crashed writer's dir: fully written but never committed to the
+    # pointer — reads must not see k=5, vacuum must remove the dir
+    spark.createDataFrame(
+        [Row(k=5, v=9, payload="ghost", op="u", __seq=99)]
+    ).write.parquet(os.path.join(st._deltas_root, "d00099-orphan"))
+    log = json.load(open(st._pointer_path()))
+    assert "d00099-orphan" not in log["dirs"]
+    assert not any(r.k == 5 for r in st.read(spark).collect())
+    removed = st.vacuum()
+    assert any("d00099-orphan" in r for r in removed)
+    assert _rows(st.probe(spark, spark.createDataFrame([Row(k=1)]))) == [
+        (1, 2, "edit")
+    ]
+
+
+def test_validation_errors(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    with pytest.raises(ValueError, match="op must be 'u' or 'd'"):
+        st.commit_delta(
+            spark.createDataFrame([Row(k=1, v=2, payload="x", op="z")]),
+            op_col="op",
+        )
+    with pytest.raises(ValueError, match="lacks key/version"):
+        st.commit_delta(spark.createDataFrame([Row(k=1, payload="x")]))
+    with pytest.raises(ValueError, match="schema must match"):
+        st.commit_delta(
+            spark.createDataFrame([Row(k=1, v=2, other="drift")])
+        )
+    empty = _store(tmp_path / "other")
+    with pytest.raises(ValueError, match="empty merge-on-read"):
+        empty.read(spark)
+
+
+def test_merge_routes_to_delta_when_log_live(spark, tmp_path):
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="edit", op="u")]),
+        op_col="op",
+    )
+    # a COW merge now would commit stale state UNDER the newer delta;
+    # the wrapper must route it through the log instead
+    st.merge(spark.createDataFrame([Row(k=1, v=3, payload="newest")]))
+    assert st.delta_count() == 2
+    assert (1, 3, "newest") in _rows(st.read(spark))
+
+
+def test_delta_first_store_bootstraps_without_base(spark, tmp_path):
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="only")])
+    )
+    assert _rows(st.read(spark)) == [(1, 1, "only")]
+    assert _rows(st.probe(spark, spark.createDataFrame([Row(k=1)]))) == [
+        (1, 1, "only")
+    ]
+    st.compact(spark)
+    assert _rows(st.base.read(spark)) == [(1, 1, "only")]
