@@ -562,18 +562,31 @@ def index_batch_applier(spark: SparkSession, store):
     :func:`stream_maintain_index` so scale checks can time the REAL
     per-batch path (admission probe + tokenize + tombstones + one
     atomic merge + watermark commit) without driving a stream. Batch
-    rows: (doc_id, text, edit_ts)."""
-    from parquet_demo_spark.sources.merge_store import admission_watermarks
+    rows: (doc_id, text, edit_ts).
 
+    ``store`` may be a :class:`MergeOnReadStore` (q182): admission,
+    tokenization, and stale-key derivation are identical, but the
+    commit is a single O(batch) ``commit_delta`` — fresh postings as
+    upserts, stale keys as 'd' tombstone ops — instead of the COW
+    bucket rewrite, so the per-batch cost stays flat at any index
+    size (BASELINE 'MOR vs COW'). The watermark side store stays COW:
+    it is doc_id-keyed and one-row-per-doc, so its batches prune to
+    their own few buckets."""
+    from parquet_demo_spark.sources.merge_store import admission_watermarks
+    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+
+    is_mor = isinstance(store, MergeOnReadStore)
     wm = admission_watermarks(store, keys=("doc_id",))
+
+    def _has_data() -> bool:
+        if is_mor:
+            return store._columns() is not None
+        return store.current_version() is not None
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if (
-            wm.current_version() is None
-            and store.current_version() is not None
-        ):
+        if wm.current_version() is None and _has_data():
             # one-time migration: a pre-watermark (batch-built) index
             # seeds the side store from its own rows — the last full
             # scan this stream will ever do
@@ -619,7 +632,7 @@ def index_batch_applier(spark: SparkSession, store):
             .join(winners.select("doc_id", "edit_ts"), "doc_id")
             .localCheckpoint()
         )
-        if store.current_version() is None:
+        if not _has_data():
             # an all-tokenless first batch produces no postings; merging
             # it would commit a zero-bucket v0 (no file to derive a
             # schema from on later reads) — skip, the watermark below
@@ -650,9 +663,13 @@ def index_batch_applier(spark: SparkSession, store):
                 ["term", "doc_id"],
                 "left_anti",
             )
-            cols = store._read_manifest(store.current_version())[
-                "columns"
-            ]
+            cols = (
+                store._columns()
+                if is_mor
+                else store._read_manifest(store.current_version())[
+                    "columns"
+                ]
+            )
             types = {f.name: f.dataType for f in fresh.schema.fields}
             tombstones = stale.select(
                 *[
@@ -663,11 +680,23 @@ def index_batch_applier(spark: SparkSession, store):
                 ]
             )
             src = fresh.select(*cols).unionByName(tombstones)
-            store.merge_into(
-                src,
-                matched=[("delete", "s.tf IS NULL"), ("update", None)],
-                not_matched_insert="s.tf IS NOT NULL",
-            )
+            if is_mor:
+                # same atomic single-commit law, O(batch) cost: fresh
+                # rows as upserts, stale keys as delete ops, one delta
+                # append — no bucket is read or rewritten
+                store.commit_delta(
+                    src.withColumn(
+                        "__mop",
+                        F.when(F.col("tf").isNull(), "d").otherwise("u"),
+                    ),
+                    op_col="__mop",
+                )
+            else:
+                store.merge_into(
+                    src,
+                    matched=[("delete", "s.tf IS NULL"), ("update", None)],
+                    not_matched_insert="s.tf IS NOT NULL",
+                )
         # watermark commit LAST (crash ⇒ replay ⇒ idempotent re-apply):
         # per winner, the applied edit_ts + its indexed term set
         # (empty array for docs tokenized to nothing — the row itself
@@ -754,9 +783,10 @@ def stream_maintain_index(
     )
 
 
-@register(
-    "q155_stream_index_maintenance",
-    oracle=f"""
+# shared by q155 (COW) and q182 (merge-on-read): both streams must
+# converge to the SAME index — the oracle tokenizes each doc's winning
+# edit only
+_STREAM_IDX_ORACLE = f"""
     WITH winning AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 120)
@@ -776,7 +806,12 @@ def stream_maintain_index(
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(SUM(tf) AS BIGINT) AS sum_tf
     FROM postings GROUP BY 1 ORDER BY 1
-    """,
+    """
+
+
+@register(
+    "q155_stream_index_maintenance",
+    oracle=_STREAM_IDX_ORACLE,
     doc="Streaming incremental index maintenance, hash-checked "
     "end-to-end (VERDICT r6 #7's optional registry row): three "
     "micro-batch files stream through readStream -> foreachBatch -> "
@@ -800,8 +835,12 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     return _q155_read(spark, sf, _q155_build(spark, sf))
 
 
-def _q155_build(spark: SparkSession, sf: str):
-    """Build phase: the three deterministic edit-batch source files."""
+def _q155_build(spark: SparkSession, sf: str, tag: str = "q155"):
+    """Build phase: the three deterministic edit-batch source files.
+
+    ``tag`` keys the scratch root — q182 (the merge-on-read twin)
+    builds the SAME batches under its own directory so the two
+    queries' build/read phases can never wipe each other's stores."""
     import glob
     import os
     import shutil
@@ -811,7 +850,7 @@ def _q155_build(spark: SparkSession, sf: str):
     from parquet_demo_spark.operators.merge import _scratch_root
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
-    root = _scratch_root("q155", sf)
+    root = _scratch_root(tag, sf)
     src = os.path.join(root, "incoming")
     os.makedirs(src)
     schema = T.StructType(
@@ -898,3 +937,81 @@ def _q155_read(spark: SparkSession, sf: str, state) -> DataFrame:
 register_phases(
     "q155_stream_index_maintenance", _q155_build, _q155_read
 )
+
+
+@register(
+    "q182_stream_index_mor",
+    oracle=_STREAM_IDX_ORACLE,
+    doc="q155's maintenance stream re-run against a MERGE-ON-READ "
+    "store (sources/mor_store.py): the SAME three micro-batches — "
+    "full index, prefix re-edits, late stale + emptying edits — "
+    "through the same applier, but every commit is an O(batch) delta "
+    "append (fresh postings as upserts, stale keys as 'd' tombstone "
+    "ops) instead of a bucket rewrite; the resolved read must "
+    "converge to byte-identical postings (the oracle is SHARED with "
+    "q155). The read phase also compacts and re-aggregates from the "
+    "pure base, so the hash covers overlay resolution AND the "
+    "fold-then-truncate compaction in one row set. This is the "
+    "100 TB maintenance shape: per-batch cost flat in index size "
+    "(BASELINE 'MOR vs COW'), the rewrite amortized to the "
+    "compaction cadence.",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    return _q182_read(spark, sf, _q182_build(spark, sf))
+
+
+def _q182_build(spark: SparkSession, sf: str):
+    return _q155_build(spark, sf, tag="q182")
+
+
+_Q182_RUN_N = [0]
+
+
+def _q182_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: the maintenance stream into a fresh MOR
+    store, the resolved per-bucket aggregate, compact, and the same
+    aggregate from the pure base — both snapshots must agree (their
+    union ANTI-joins to empty, leaving the resolved rows)."""
+    import os
+
+    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+
+    root, src, schema = state
+    _Q182_RUN_N[0] += 1
+    n = _Q182_RUN_N[0]
+    store = MergeOnReadStore(
+        os.path.join(root, f"mor{n}"),
+        keys=("term", "doc_id"),
+        version_cols=("edit_ts",),
+        num_buckets=8,
+    )
+    q = stream_maintain_index(
+        spark, src, schema, store, os.path.join(root, f"mckpt{n}")
+    )
+    q.awaitTermination()
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.col("doc_id") % 10).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_postings"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.sum("tf").cast("bigint").alias("sum_tf"),
+            )
+        )
+
+    resolved = _agg(store.read(spark)).localCheckpoint()
+    store.compact(spark)
+    compacted = _agg(store.base.read(spark))
+    # exceptAll is symmetric-checked: any drift between the resolved
+    # overlay and the compacted base leaves residue rows and breaks
+    # the hash (row counts would differ from the oracle's)
+    drift = resolved.exceptAll(compacted).unionAll(
+        compacted.exceptAll(resolved)
+    )
+    return resolved.unionByName(drift).orderBy("bucket")
+
+
+register_phases("q182_stream_index_mor", _q182_build, _q182_read)

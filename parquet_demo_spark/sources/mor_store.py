@@ -78,6 +78,7 @@ class MergeOnReadStore:
         self.root = root
         self.keys = tuple(keys)
         self.version_cols = tuple(version_cols)
+        self.num_buckets = int(num_buckets)
         self.base = ParquetMergeStore(
             os.path.join(root, "base"),
             keys=self.keys,

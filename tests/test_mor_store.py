@@ -221,3 +221,55 @@ def test_delta_first_store_bootstraps_without_base(spark, tmp_path):
     ]
     st.compact(spark)
     assert _rows(st.base.read(spark)) == [(1, 1, "only")]
+
+
+def test_index_applier_mor_equals_cow(spark, tmp_path):
+    """The q155/q182 maintenance applier must converge to the SAME
+    postings through a MergeOnReadStore as through the COW store —
+    including doc-level LWW (stale edit rejected), stale-posting
+    tombstones, and emptied docs — and compaction must preserve the
+    snapshot."""
+    from parquet_demo_spark.operators.search import index_batch_applier
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    docs = [
+        Row(doc_id=1, text="alpha beta gamma", edit_ts=1),
+        Row(doc_id=2, text="beta beta delta", edit_ts=1),
+        Row(doc_id=3, text="epsilon", edit_ts=1),
+    ]
+    batches = [
+        spark.createDataFrame(docs),
+        # re-edit doc 1 (drops gamma), empty doc 3
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text="alpha beta", edit_ts=3),
+                Row(doc_id=3, text="", edit_ts=3),
+            ]
+        ),
+        # LATE stale edit of doc 1 — must be rejected by admission
+        spark.createDataFrame(
+            [Row(doc_id=1, text="stale gamma back", edit_ts=2)]
+        ),
+    ]
+    kw = dict(
+        keys=("term", "doc_id"), version_cols=("edit_ts",), num_buckets=4
+    )
+    cow = ParquetMergeStore(str(tmp_path / "cow"), **kw)
+    mor = MergeOnReadStore(str(tmp_path / "morx"), **kw)
+    for st in (cow, mor):
+        apply = index_batch_applier(spark, st)
+        for i, b in enumerate(batches):
+            apply(b, i)
+
+    def _postings(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf) for r in df.collect()
+        )
+
+    expect = _postings(cow.read(spark))
+    assert expect  # sanity: gamma gone, doc 3 gone
+    assert ("gamma", 1, 1) not in expect
+    assert not any(d == 3 for _, d, _ in expect)
+    assert _postings(mor.read(spark)) == expect
+    mor.compact(spark)
+    assert _postings(mor.base.read(spark)) == expect
