@@ -143,6 +143,46 @@ def main() -> None:
     mor.compact(spark)
     print(f"MOR compact (amortized rewrite): {time.perf_counter() - t0:.2f}s")
 
+    # --- the REAL q182 applier through MOR (admission probe +
+    # tokenize + tombstones + delta append + watermark commit) — the
+    # row to set against the COW applier's 'text leg' in BASELINE's
+    # streaming-applier tiers
+    from parquet_demo_spark.operators.search import index_batch_applier
+
+    mstore = MergeOnReadStore(os.path.join(root, "mor_applied"), **kw)
+    applier = index_batch_applier(spark, mstore)
+    t0 = time.perf_counter()
+    applier(
+        corpus.select(
+            "doc_id", "text", F.lit(1).cast("bigint").alias("edit_ts")
+        ),
+        0,
+    )
+    print(
+        f"MOR stream batch 0 (corpus via applier, linear): "
+        f"{time.perf_counter() - t0:.2f}s"
+    )
+    edit_docs = edits.localCheckpoint()
+    tsa = [10]
+
+    def _apply_real():
+        tsa[0] += 1
+        applier(
+            edit_docs.select(
+                "doc_id",
+                "text",
+                F.lit(tsa[0]).cast("bigint").alias("edit_ts"),
+            ),
+            tsa[0],
+        )
+
+    _timed(
+        "MOR full _apply_batch (admission + tokenize + tombstones + "
+        "delta append + wm commit)",
+        _apply_real,
+    )
+    print(f"MOR applier live deltas: {mstore.delta_count()}")
+
 
 if __name__ == "__main__":
     main()

@@ -9,6 +9,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from parquet_demo_spark.sources.mor_store import MergeOnReadStore
 
@@ -273,3 +274,137 @@ def test_index_applier_mor_equals_cow(spark, tmp_path):
     assert _postings(mor.read(spark)) == expect
     mor.compact(spark)
     assert _postings(mor.base.read(spark)) == expect
+
+
+def test_dedup_applier_mor_equals_cow(spark, tmp_path):
+    """The q166 dedup-maintenance applier through a MergeOnReadStore
+    must converge to the same band table as through the COW store —
+    including the all-bands tombstones for docs edited to empty."""
+    from parquet_demo_spark.operators.dedup import (
+        dedup_index_batch_applier,
+    )
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    batches = [
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base, edit_ts=1),
+                Row(doc_id=2, text=base + " iota", edit_ts=1),
+            ]
+        ),
+        # re-edit doc 1, empty doc 2 (tombstones every band)
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base + " kappa", edit_ts=3),
+                Row(doc_id=2, text="", edit_ts=3),
+            ]
+        ),
+        # late stale edit — rejected by the watermark probe
+        spark.createDataFrame([Row(doc_id=1, text=base, edit_ts=2)]),
+    ]
+    kw = dict(
+        keys=("band", "doc_id"), version_cols=("edit_ts",), num_buckets=4
+    )
+    cow = ParquetMergeStore(str(tmp_path / "dcow"), **kw)
+    mor = MergeOnReadStore(str(tmp_path / "dmor"), **kw)
+    for st in (cow, mor):
+        apply = dedup_index_batch_applier(spark, st)
+        for i, b in enumerate(batches):
+            apply(b, i)
+
+    def _sigs(df):
+        return sorted((r.band, r.doc_id, r.sig) for r in df.collect())
+
+    expect = _sigs(cow.read(spark))
+    assert expect and not any(d == 2 for _, d, _ in expect)
+    assert _sigs(mor.read(spark)) == expect
+    mor.compact(spark)
+    assert _sigs(mor.base.read(spark)) == expect
+
+
+def test_ann_applier_mor_equals_cow(spark, tmp_path):
+    """The q160 ANN-maintenance applier through a MergeOnReadStore
+    must converge to the same codes table as through the COW store —
+    including delete tombstones and frozen-codebook encoding."""
+    from parquet_demo_spark.operators.similarity import (
+        _km_assign,
+        _km_update,
+        _pq_encode,
+        ann_index_batch_applier,
+    )
+    from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=i, e=[float(i % 3), float(i % 5), 1.0, 0.5])
+            for i in range(12)
+        ]
+    )
+    icent0 = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    ia = _km_assign(
+        vecs.select("vec_id", F.col("e").alias("embedding")), icent0
+    )
+    icent1 = _km_update(ia.select("cid", "embedding")).localCheckpoint()
+    empty_probes = vecs.limit(0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    _, _, pcent1 = _pq_encode(vecs, vecs, empty_probes, pin=False)
+    pcent1 = pcent1.localCheckpoint()
+
+    batches = [
+        vecs.select(
+            "vec_id",
+            "e",
+            F.lit(1).cast("bigint").alias("edit_ts"),
+            F.lit("upsert").alias("op"),
+        ),
+        # delete 2 vectors, re-encode one scaled vector
+        spark.createDataFrame(
+            [
+                Row(vec_id=0, e=None, edit_ts=3, op="delete"),
+                Row(vec_id=1, e=None, edit_ts=3, op="delete"),
+                Row(vec_id=2, e=[9.0, 9.0, 9.0, 9.0], edit_ts=3, op="upsert"),
+            ],
+            schema=batches_schema(),
+        ),
+        # late stale upsert of a deleted vector — must stay deleted
+        spark.createDataFrame(
+            [Row(vec_id=0, e=[1.0, 1.0, 1.0, 1.0], edit_ts=2, op="upsert")],
+            schema=batches_schema(),
+        ),
+    ]
+    kw = dict(keys=("vec_id",), version_cols=("edit_ts",), num_buckets=4)
+    cow = ParquetMergeStore(str(tmp_path / "acow"), **kw)
+    mor = MergeOnReadStore(str(tmp_path / "amor"), **kw)
+    for st in (cow, mor):
+        apply = ann_index_batch_applier(spark, st, icent1, pcent1)
+        for i, b in enumerate(batches):
+            apply(b, i)
+
+    def _codes(df):
+        return sorted(
+            (r.vec_id, r.cid, tuple(r.codes)) for r in df.collect()
+        )
+
+    expect = _codes(cow.read(spark))
+    ids = [v for v, _, _ in expect]
+    assert 0 not in ids and 1 not in ids and 2 in ids
+    assert _codes(mor.read(spark)) == expect
+    mor.compact(spark)
+    assert _codes(mor.base.read(spark)) == expect
+
+
+def batches_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+            T.StructField("edit_ts", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
