@@ -1117,22 +1117,19 @@ def dedup_index_batch_applier(spark: SparkSession, store):
     batch touches essentially every bucket (band values spread the
     hash), so the COW rewrite has the same bucket-size growth term as
     the text leg — the MOR path commits the batch as one O(batch)
-    delta append instead (same semantics, q182's law applied here)."""
+    delta append instead (same semantics, q182's law applied here),
+    via the store-polymorphic commit_upserts_and_tombstones."""
     from parquet_demo_spark.sources.merge_store import admission_watermarks
-    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+    from parquet_demo_spark.sources.mor_store import (
+        commit_upserts_and_tombstones,
+    )
 
-    is_mor = isinstance(store, MergeOnReadStore)
     wm = admission_watermarks(store, keys=("doc_id",))
-
-    def _has_data() -> bool:
-        if is_mor:
-            return store._columns() is not None
-        return store.current_version() is not None
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if wm.current_version() is None and _has_data():
+        if wm.current_version() is None and store.has_data():
             # one-time migration: a pre-watermark (batch-built) band
             # table seeds the side store from its own rows — the last
             # full scan this stream will ever do
@@ -1171,7 +1168,7 @@ def dedup_index_batch_applier(spark: SparkSession, store):
             .join(winners.select("doc_id", "edit_ts"), "doc_id")
             .localCheckpoint()
         )
-        empty_store = not _has_data()
+        empty_store = not store.has_data()
         if empty_store:
             if not fresh.isEmpty():
                 store.merge(fresh.select("band", "doc_id", "sig", "edit_ts"))
@@ -1210,26 +1207,7 @@ def dedup_index_batch_applier(spark: SparkSession, store):
                 "band", "doc_id", "sig", "edit_ts"
             ).unionByName(tombstones)
             if not src.isEmpty():
-                if is_mor:
-                    # one O(batch) delta append — no bucket rewrite
-                    store.commit_delta(
-                        src.withColumn(
-                            "__mop",
-                            F.when(
-                                F.col("sig").isNull(), "d"
-                            ).otherwise("u"),
-                        ),
-                        op_col="__mop",
-                    )
-                else:
-                    store.merge_into(
-                        src,
-                        matched=[
-                            ("delete", "s.sig IS NULL"),
-                            ("update", None),
-                        ],
-                        not_matched_insert="s.sig IS NOT NULL",
-                    )
+                commit_upserts_and_tombstones(store, src, "sig")
         # watermark commit LAST: a crash before this point replays the
         # batch (wm behind ⇒ re-admitted ⇒ idempotent re-apply);
         # conditional so replays can never move a watermark backwards

@@ -571,22 +571,20 @@ def index_batch_applier(spark: SparkSession, store):
     bucket rewrite, so the per-batch cost stays flat at any index
     size (BASELINE 'MOR vs COW'). The watermark side store stays COW:
     it is doc_id-keyed and one-row-per-doc, so its batches prune to
-    their own few buckets."""
+    their own few buckets. Store polymorphism rides the shared
+    has_data/table_columns facade + commit_upserts_and_tombstones —
+    no isinstance branching here."""
     from parquet_demo_spark.sources.merge_store import admission_watermarks
-    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+    from parquet_demo_spark.sources.mor_store import (
+        commit_upserts_and_tombstones,
+    )
 
-    is_mor = isinstance(store, MergeOnReadStore)
     wm = admission_watermarks(store, keys=("doc_id",))
-
-    def _has_data() -> bool:
-        if is_mor:
-            return store._columns() is not None
-        return store.current_version() is not None
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if wm.current_version() is None and _has_data():
+        if wm.current_version() is None and store.has_data():
             # one-time migration: a pre-watermark (batch-built) index
             # seeds the side store from its own rows — the last full
             # scan this stream will ever do
@@ -632,7 +630,7 @@ def index_batch_applier(spark: SparkSession, store):
             .join(winners.select("doc_id", "edit_ts"), "doc_id")
             .localCheckpoint()
         )
-        if not _has_data():
+        if not store.has_data():
             # an all-tokenless first batch produces no postings; merging
             # it would commit a zero-bucket v0 (no file to derive a
             # schema from on later reads) — skip, the watermark below
@@ -663,13 +661,7 @@ def index_batch_applier(spark: SparkSession, store):
                 ["term", "doc_id"],
                 "left_anti",
             )
-            cols = (
-                store._columns()
-                if is_mor
-                else store._read_manifest(store.current_version())[
-                    "columns"
-                ]
-            )
+            cols = store.table_columns()
             types = {f.name: f.dataType for f in fresh.schema.fields}
             tombstones = stale.select(
                 *[
@@ -680,23 +672,7 @@ def index_batch_applier(spark: SparkSession, store):
                 ]
             )
             src = fresh.select(*cols).unionByName(tombstones)
-            if is_mor:
-                # same atomic single-commit law, O(batch) cost: fresh
-                # rows as upserts, stale keys as delete ops, one delta
-                # append — no bucket is read or rewritten
-                store.commit_delta(
-                    src.withColumn(
-                        "__mop",
-                        F.when(F.col("tf").isNull(), "d").otherwise("u"),
-                    ),
-                    op_col="__mop",
-                )
-            else:
-                store.merge_into(
-                    src,
-                    matched=[("delete", "s.tf IS NULL"), ("update", None)],
-                    not_matched_insert="s.tf IS NOT NULL",
-                )
+            commit_upserts_and_tombstones(store, src, "tf")
         # watermark commit LAST (crash ⇒ replay ⇒ idempotent re-apply):
         # per winner, the applied edit_ts + its indexed term set
         # (empty array for docs tokenized to nothing — the row itself

@@ -2296,23 +2296,20 @@ def ann_index_batch_applier(
 
     ``store`` may be a :class:`MergeOnReadStore`: the commit becomes
     one O(batch) delta append instead of the COW bucket rewrite
-    (q182's law on the vector index)."""
+    (q182's law on the vector index), via the store-polymorphic
+    commit_upserts_and_tombstones."""
 
     from parquet_demo_spark.sources.merge_store import admission_watermarks
-    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+    from parquet_demo_spark.sources.mor_store import (
+        commit_upserts_and_tombstones,
+    )
 
-    is_mor = isinstance(store, MergeOnReadStore)
     wm = admission_watermarks(store, keys=("vec_id",))
-
-    def _has_data() -> bool:
-        if is_mor:
-            return store._columns() is not None
-        return store.current_version() is not None
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if wm.current_version() is None and _has_data():
+        if wm.current_version() is None and store.has_data():
             # one-time migration: a pre-watermark (batch-built) codes
             # table seeds the side store from its own rows — the last
             # full scan this stream will ever do
@@ -2374,7 +2371,7 @@ def ann_index_batch_applier(
             .select("vec_id", "edit_ts", "cid", "codes", "e")
             .localCheckpoint()
         )
-        if not _has_data():
+        if not store.has_data():
             # deletes against an empty store are no-ops by definition;
             # an all-delete first batch also encodes NOTHING — merging
             # the empty frame would commit a zero-bucket v0 with no
@@ -2389,13 +2386,7 @@ def ann_index_batch_applier(
             # order comes from the manifest (metadata), types from the
             # encoded frame's own schema — no index read.
             dels = winners.filter(F.col("op") == "delete")
-            cols = (
-                store._columns()
-                if is_mor
-                else store._read_manifest(store.current_version())[
-                    "columns"
-                ]
-            )
+            cols = store.table_columns()
             types = {f.name: f.dataType for f in enc.schema.fields}
             tombstones = dels.select(
                 *[
@@ -2406,24 +2397,7 @@ def ann_index_batch_applier(
                 ]
             )
             src = enc.select(*cols).unionByName(tombstones)
-            if is_mor:
-                # one O(batch) delta append — no bucket rewrite
-                store.commit_delta(
-                    src.withColumn(
-                        "__mop",
-                        F.when(F.col("cid").isNull(), "d").otherwise("u"),
-                    ),
-                    op_col="__mop",
-                )
-            else:
-                store.merge_into(
-                    src,
-                    matched=[
-                        ("delete", "s.cid IS NULL"),
-                        ("update", None),
-                    ],
-                    not_matched_insert="s.cid IS NOT NULL",
-                )
+            commit_upserts_and_tombstones(store, src, "cid")
         # watermark commit LAST (crash ⇒ replay ⇒ idempotent re-apply);
         # covers deletes too, so their watermark outlives their rows
         wm.merge(winners.select("vec_id", "edit_ts"), conditional=True)

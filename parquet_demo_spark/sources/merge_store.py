@@ -1148,6 +1148,22 @@ class ParquetMergeStore:
 
     # -- write side -----------------------------------------------------
 
+    def has_data(self) -> bool:
+        """True once any version is committed — the store-polymorphic
+        emptiness test (MergeOnReadStore implements the same contract),
+        so callers like the maintenance appliers never branch on store
+        type to ask 'is there anything here yet?'."""
+        return self.current_version() is not None
+
+    def table_columns(self) -> list[str] | None:
+        """The committed column order (None when empty) — the
+        store-polymorphic twin of the manifest lookup, shared contract
+        with MergeOnReadStore."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        return list(self._read_manifest(cur)["columns"])
+
     def _guard_vacuumed(self, paths: list[str], v: int) -> None:
         """Raise the descriptive expired-version error up front when any
         referenced path is missing — retention (keep_last / older_than)

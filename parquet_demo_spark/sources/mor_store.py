@@ -111,25 +111,43 @@ class MergeOnReadStore:
 
     # --- write path ---
 
-    def merge(self, batch: DataFrame) -> int:
+    def merge(self, batch: DataFrame, **kwargs) -> int:
         """Copy-on-write fast path: with NO live deltas, a plain base
         merge (bootstrap loads / bulk backfills, where rewrite cost IS
-        the work). With live deltas it would commit stale state under
-        newer delta actions — routed to :meth:`commit_delta` instead."""
+        the work) — ``kwargs`` pass through to the base merge. With
+        live deltas it would commit stale state under newer delta
+        actions — routed to :meth:`commit_delta` instead (where the
+        base merge's options have no meaning: a kwarg there raises
+        rather than being silently dropped)."""
         if self._log()["dirs"]:
+            if kwargs:
+                raise ValueError(
+                    "merge options are only available on the copy-on-"
+                    f"write bootstrap path; the delta log is live "
+                    f"(got {sorted(kwargs)})"
+                )
             return self.commit_delta(batch)
-        return self.base.merge(batch)
+        return self.base.merge(batch, **kwargs)
 
     def commit_delta(self, batch: DataFrame, op_col: str | None = None) -> int:
         """Append one maintenance batch to the delta log: O(batch)
         cost, no bucket read or rewrite at ANY base size.
 
         ``op_col`` names a column of 'u' (upsert) / 'd' (delete)
-        actions; absent, every row is an upsert. The batch collapses
-        to one row per PK first (version_cols LWW — the op of the
-        surviving row is the key's action, matching what a merge of
-        the same batch would have done). Delete rows only need the PK
-        and version columns populated; other columns ride as NULL.
+        actions; absent, every row is an upsert. A NULL op is
+        rejected (the natural ``F.when(cond, 'd')``-without-otherwise
+        mistake would otherwise act as a silent phantom delete that
+        resurrects after compaction). The batch collapses to one row
+        per PK first (version_cols LWW — the op of the surviving row
+        is the key's action, matching what a merge of the same batch
+        would have done). Delete rows only need the PK and version
+        columns populated; other columns ride as NULL.
+
+        The first commit records the table schema (column order +
+        simpleString types) in the delta pointer; every later commit
+        validates NAMES AND TYPES against it — a type-drifted batch
+        fails HERE with a ValueError, never as an unreadable
+        mixed-type log discovered by a later read.
         """
         missing = [
             c
@@ -142,17 +160,43 @@ class MergeOnReadStore:
             batch = batch.withColumnRenamed(op_col, _OP)
         else:
             batch = batch.withColumn(_OP, F.lit("u"))
-        data_cols = [c for c in batch.columns if c != _OP]
-        expect = self._columns()
-        if expect is not None and set(data_cols) != set(expect):
-            raise ValueError(
-                "delta batch schema must match the store's "
-                f"({sorted(set(data_cols) ^ set(expect))} differ)"
-            )
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in batch.schema.fields
+            if f.name != _OP
+        }
+        rec = self._schema_record()
+        if rec is not None:
+            cols, types = rec
+            if set(got) != set(cols):
+                raise ValueError(
+                    "delta batch schema must match the store's "
+                    f"({sorted(set(got) ^ set(cols))} differ)"
+                )
+            drift = {
+                c: (got[c], types[c])
+                for c in cols
+                if c in types and got[c] != types[c]
+            }
+            if drift:
+                raise ValueError(
+                    "delta batch schema must match the store's: column "
+                    f"type drift {drift} (a mixed-type log would fail "
+                    "on every later read)"
+                )
         batch = collapse_for_upsert(batch, self.keys, self.version_cols)
         if op_col is not None:
-            # one validation pass, only when the caller supplied ops
-            bad = batch.filter(~F.col(_OP).isin("u", "d")).limit(1).collect()
+            # lazy checkpoint: the validation action below materializes
+            # the collapsed batch ONCE and the parquet write reuses it —
+            # without it the collapse window would run twice per commit
+            batch = batch.localCheckpoint(eager=False)
+            bad = (
+                batch.filter(
+                    F.col(_OP).isNull() | ~F.col(_OP).isin("u", "d")
+                )
+                .limit(1)
+                .collect()
+            )
             if bad:
                 raise ValueError(
                     f"delta op must be 'u' or 'd', got {bad[0][_OP]!r}"
@@ -165,33 +209,81 @@ class MergeOnReadStore:
         batch.withColumn(_SEQ, F.lit(seq).cast("bigint")).write.mode(
             "overwrite"
         ).parquet(d)
+        if rec is None:
+            cols = [c for c in batch.columns if c != _OP]
         self._swap_log(
-            {"seq": seq, "dirs": log["dirs"] + [os.path.basename(d)]}
+            {
+                "seq": seq,
+                "dirs": log["dirs"] + [os.path.basename(d)],
+                "columns": list(cols),
+                "types": dict(rec[1]) if rec is not None else got,
+            }
         )
         return seq
 
     # --- read path ---
 
-    def _columns(self) -> list[str] | None:
-        """Table column order: the base manifest's record, else the
-        first live delta's footer (base not yet bootstrapped)."""
-        cur = self.base.current_version()
-        if cur is not None:
-            return list(self.base._read_manifest(cur)["columns"])
+    def _schema_record(self) -> tuple[list[str], dict[str, str]] | None:
+        """(column order, name → simpleString type) — the pointer's
+        record once any delta has committed (survives compaction, so
+        an emptied store stays readable as a typed empty frame); else
+        derived from the base (names from its manifest, types from one
+        bucket footer, cached per instance); else None."""
         log = self._log()
-        if not log["dirs"]:
+        if "columns" in log:
+            return list(log["columns"]), dict(log["types"])
+        cur = self.base.current_version()
+        if cur is None:
             return None
-        import pyarrow.parquet as pq
+        cols = list(self.base._read_manifest(cur)["columns"])
+        cached = getattr(self, "_base_types_cache", None)
+        if cached is None:
+            import pyarrow.parquet as pq
 
-        d = os.path.join(self._deltas_root, log["dirs"][0])
-        name = next(
-            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            rel = sorted(set(self.base._bucket_paths(cur).values()))[0]
+            d = os.path.join(self.base.root, rel)
+            name = next(
+                f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+            sch = pq.ParquetFile(os.path.join(d, name)).schema_arrow
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            # prefer_timestamp_ntz: a parquet timestamp with
+            # isAdjustedToUTC=false arrives as a tz-less arrow type and
+            # reads back in Spark as timestamp_ntz — mapping it to
+            # TimestampType here would flag every NTZ batch as drifted
+            cached = {
+                fname: from_arrow_type(
+                    sch.field(fname).type, prefer_timestamp_ntz=True
+                ).simpleString()
+                for fname in sch.names
+            }
+            self._base_types_cache = cached
+        return cols, {c: cached[c] for c in cols if c in cached}
+
+    def _columns(self) -> list[str] | None:
+        """Table column order (see :meth:`_schema_record`)."""
+        rec = self._schema_record()
+        return None if rec is None else rec[0]
+
+    def has_data(self) -> bool:
+        """Store-polymorphic emptiness test (ParquetMergeStore
+        contract): True once a base version OR any delta committed."""
+        return self._schema_record() is not None
+
+    def table_columns(self) -> list[str] | None:
+        """Store-polymorphic column order (ParquetMergeStore
+        contract)."""
+        return self._columns()
+
+    def _empty_frame(self, spark: SparkSession) -> DataFrame:
+        """Typed empty snapshot from the recorded schema — what read()
+        returns when every key has been deleted and the log compacted
+        away (an initialized-but-empty store must stay readable)."""
+        cols, types = self._schema_record()
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` {types[c]}" for c in cols)
         )
-        return [
-            c
-            for c in pq.ParquetFile(os.path.join(d, name)).schema_arrow.names
-            if c not in (_OP, _SEQ)
-        ]
 
     def _delta_frame(self, spark: SparkSession) -> DataFrame | None:
         dirs = self._log()["dirs"]
@@ -222,6 +314,8 @@ class MergeOnReadStore:
         cols = self._columns()
         if latest is None:
             if base_df is None:
+                if self._schema_record() is not None:
+                    return self._empty_frame(spark)  # emptied, not unborn
                 raise ValueError(f"empty merge-on-read store: {self.root}")
             return base_df
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
@@ -254,6 +348,8 @@ class MergeOnReadStore:
         )
         if latest is None:
             if base_hits is None:
+                if self._schema_record() is not None:
+                    return self._empty_frame(spark)  # emptied, not unborn
                 raise ValueError(f"empty merge-on-read store: {self.root}")
             return base_hits
         cols = self._columns()
@@ -287,8 +383,11 @@ class MergeOnReadStore:
         log = self._log()
         folded = list(log["dirs"])
         # truncate LAST: a crash above leaves the log intact and the
-        # overlay idempotent over the partially-compacted base
-        self._swap_log({"seq": log["seq"], "dirs": []})
+        # overlay idempotent over the partially-compacted base. The
+        # schema record survives the truncation, so a compact that
+        # deleted every key of a base-less store leaves a store that
+        # reads as a typed EMPTY frame, not one that raises.
+        self._swap_log({**log, "dirs": []})
         for d in folded:
             shutil.rmtree(os.path.join(self._deltas_root, d), True)
 
@@ -302,3 +401,37 @@ class MergeOnReadStore:
                 shutil.rmtree(os.path.join(self._deltas_root, d), True)
                 removed.append(os.path.join("deltas", d))
         return removed
+
+
+def commit_upserts_and_tombstones(
+    store, src: DataFrame, sentinel: str
+) -> None:
+    """ONE atomic commit of a mixed upsert + tombstone batch — the
+    shared commit step of all three maintenance appliers (text q155/
+    q182, dedup q166, ANN q160), polymorphic over the store:
+
+    ``src`` carries fresh rows plus tombstone rows whose ``sentinel``
+    column is NULL (a real value there is never null — tf >= 1, sig /
+    cid non-null). COW: a ``merge_into`` whose matched-delete clause
+    drops the NULL-sentinel keys (bucket-pruned rewrite). MOR: the
+    same batch as one O(batch) ``commit_delta``, sentinel-NULL rows as
+    'd' ops. Keeping the op derivation HERE means a future store
+    variant (or a fix to the tombstone law) touches one function, not
+    three hand-mirrored appliers."""
+    if isinstance(store, MergeOnReadStore):
+        store.commit_delta(
+            src.withColumn(
+                _OP,
+                F.when(F.col(sentinel).isNull(), "d").otherwise("u"),
+            ),
+            op_col=_OP,
+        )
+    else:
+        store.merge_into(
+            src,
+            matched=[
+                ("delete", f"s.{sentinel} IS NULL"),
+                ("update", None),
+            ],
+            not_matched_insert=f"s.{sentinel} IS NOT NULL",
+        )

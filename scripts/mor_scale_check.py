@@ -98,9 +98,11 @@ def main() -> None:
     mor.merge(postings)  # empty log -> COW bootstrap into mor's base
 
     # fixed-size edit batch: re-tokenized truncated edits of 100
-    # copy-0 docs, encoded ONCE outside the timed loops
+    # copy-0 docs, tokenized ONCE and checkpointed — the timed loops
+    # only re-stamp edit_ts on the pinned postings, so the recorded
+    # cost is the COMMIT alone, not per-run tokenization
     base_span = (
-        load(spark, "/root/testdata/sf0.1", "documents")
+        load(spark, sc.SRC, "documents")
         .agg(F.max("doc_id"))
         .collect()[0][0]
         + 1
@@ -110,25 +112,25 @@ def main() -> None:
     ).select("doc_id", F.substring("text", 1, 120).alias("text"))
     ts = [10]
 
-    def _batch():
-        return (
-            inverted_index(edits)
-            .drop("bucket")
-            .withColumn("edit_ts", F.lit(ts[0]).cast("bigint"))
-        )
-
-    fresh0 = _batch().localCheckpoint()
+    fresh0 = (
+        inverted_index(edits).drop("bucket").localCheckpoint()
+    )
     print(f"edit batch postings={fresh0.count()}")
+
+    def _batch():
+        return fresh0.withColumn(
+            "edit_ts", F.lit(ts[0]).cast("bigint")
+        )
 
     def _cow_merge():
         ts[0] += 1
-        cow.merge(_batch().localCheckpoint())
+        cow.merge(_batch())
 
     _timed("COW merge (fixed batch, bucket rewrites)", _cow_merge)
 
     def _mor_delta():
         ts[0] += 1
-        mor.commit_delta(_batch().localCheckpoint())
+        mor.commit_delta(_batch())
 
     _timed("MOR commit_delta (fixed batch, log append)", _mor_delta)
     print(f"MOR live deltas after timing: {mor.delta_count()}")

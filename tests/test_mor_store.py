@@ -408,3 +408,79 @@ def batches_schema():
             T.StructField("op", T.StringType()),
         ]
     )
+
+
+def test_null_op_rejected(spark, tmp_path):
+    """A NULL op (the F.when-without-otherwise mistake) must raise,
+    not act as a silent phantom delete that resurrects after
+    compaction."""
+    st = _seed(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [
+            Row(k=1, v=2, payload="x", op="d"),
+            Row(k=2, v=2, payload="y", op="keep"),
+        ]
+    ).withColumn(
+        "op2", F.when(F.col("op") == "d", "d")  # no .otherwise -> NULL
+    )
+    with pytest.raises(ValueError, match="op must be 'u' or 'd'"):
+        st.commit_delta(bad.drop("op"), op_col="op2")
+
+
+def test_type_drift_rejected_at_commit(spark, tmp_path):
+    """A batch whose column TYPES drift from the recorded schema must
+    fail at commit with a ValueError — never poison the log into
+    mixed-type parquet a later read dies on."""
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="ok")])
+    )
+    drifted = spark.createDataFrame([Row(k=1, v=3, payload="x")]).select(
+        "k", F.col("v").cast("int").alias("v"), "payload"
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        st.commit_delta(drifted)
+    # the store still reads fine — the bad batch never landed
+    assert (1, 2, "ok") in _rows(st.read(spark))
+
+
+def test_compact_of_fully_deleted_deltaonly_store_reads_empty(
+    spark, tmp_path
+):
+    """compact() of a base-less store whose winners are all deletes
+    must leave a store that reads as a typed EMPTY frame (schema from
+    the pointer record), not one that raises."""
+    st = _store(tmp_path)
+    st.commit_delta(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=1, v=2, payload="ignored", op="d")]
+        ),
+        op_col="op",
+    )
+    assert _rows(st.read(spark)) == []  # resolved-empty pre-compact
+    st.compact(spark)
+    got = st.read(spark)
+    assert got.count() == 0
+    assert got.columns == ["k", "v", "payload"]
+    assert st.probe(spark, spark.createDataFrame([Row(k=1)])).count() == 0
+
+
+def test_merge_kwargs_passthrough_and_live_log_guard(spark, tmp_path):
+    """Bootstrap merges pass base-merge options through; once the log
+    is live, options raise instead of being silently dropped."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame([Row(k=1, v=1, payload="a", extra=1)]),
+        allow_schema_evolution=True,
+    )
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=1, v=2, payload="b", extra=2)]
+        )
+    )
+    with pytest.raises(ValueError, match="delta log is live"):
+        st.merge(
+            spark.createDataFrame([Row(k=1, v=3, payload="c", extra=3)]),
+            conditional=True,
+        )
