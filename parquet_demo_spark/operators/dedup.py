@@ -1184,9 +1184,15 @@ def dedup_index_batch_applier(spark: SparkSession, store):
                 {bnd for _, _, _, bnd, _ in _MINHASH_PARAMS}
             )
             types = {f.name: f.dataType for f in fresh.schema.fields}
-            emptied = winners.select("doc_id").join(
+            emptied = winners.select("doc_id", "edit_ts").join(
                 fresh.select("doc_id"), "doc_id", "left_anti"
             )
+            # tombstones carry the WINNER's edit_ts (the search and ANN
+            # appliers' convention): the delete is versioned like any
+            # other action, so the commit never depends on the implicit
+            # "no fresh row co-occurs for an emptied doc" invariant —
+            # if one ever did, LWW would resolve it by recency instead
+            # of silently dropping the tombstone (ADVICE r10)
             tombstones = emptied.select(
                 F.explode(
                     F.array(
@@ -1197,11 +1203,12 @@ def dedup_index_batch_applier(spark: SparkSession, store):
                     )
                 ).alias("band"),
                 F.col("doc_id").cast(types["doc_id"]).alias("doc_id"),
+                F.col("edit_ts").cast(types["edit_ts"]).alias("edit_ts"),
             ).select(
                 "band",
                 "doc_id",
                 F.lit(None).cast(types["sig"]).alias("sig"),
-                F.lit(None).cast(types["edit_ts"]).alias("edit_ts"),
+                "edit_ts",
             )
             src = fresh.select(
                 "band", "doc_id", "sig", "edit_ts"
@@ -1316,28 +1323,22 @@ def _q166_build(spark: SparkSession, sf: str):
     return root, src, schema
 
 
-_Q166_RUN_N = [0]
-
-
 def _q166_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the maintenance stream into a fresh store,
     then the (docs, band rows, candidate pairs) summary of the
     committed state."""
-    import os
-
+    from parquet_demo_spark.operators.merge import _fresh_dir
     from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
     root, src, schema = state
-    _Q166_RUN_N[0] += 1
-    n = _Q166_RUN_N[0]
     store = ParquetMergeStore(
-        os.path.join(root, f"lsh{n}"),
+        _fresh_dir(root, "lsh"),
         keys=("band", "doc_id"),
         version_cols=("edit_ts",),
         num_buckets=8,
     )
     q = stream_maintain_dedup_index(
-        spark, src, schema, store, os.path.join(root, f"ckpt{n}")
+        spark, src, schema, store, _fresh_dir(root, "ckpt")
     )
     q.awaitTermination()
     bands = store.read(spark).select("doc_id", "band", "sig")

@@ -244,18 +244,15 @@ def _q135_build(spark: SparkSession, sf: str):
     return root, src, ev.schema
 
 
-_Q135_RUN_N = [0]
-
-
 def _q135_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the streaming ingest itself — a FRESH
     store + checkpoint per invocation (re-timing a finished stream
     would measure nothing), then the committed-snapshot aggregate."""
+    from parquet_demo_spark.operators.merge import _fresh_dir
+
     root, src, schema = state
-    _Q135_RUN_N[0] += 1
-    n = _Q135_RUN_N[0]
     store = ParquetMergeStore(
-        os.path.join(root, f"store{n}"),
+        _fresh_dir(root, "store"),
         keys=("user_id", "event_type"),
         version_cols=("ts", "event_id"),
         num_buckets=8,
@@ -265,7 +262,7 @@ def _q135_read(spark: SparkSession, sf: str, state) -> DataFrame:
         src,
         schema,
         store,
-        os.path.join(root, f"ckpt{n}"),
+        _fresh_dir(root, "ckpt"),
         max_files_per_trigger=1,
         conditional=True,
     )

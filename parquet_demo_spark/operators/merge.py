@@ -42,6 +42,18 @@ def _scratch_root(tag: str, sf: str) -> str:
     return root
 
 
+def _fresh_dir(root: str, name: str) -> str:
+    """A read-phase scratch path that is FRESH on every invocation:
+    the previous run's store/checkpoint under the same name is wiped
+    rather than counter-suffixed — repeated reads in one process never
+    accumulate full stores, and the path carries no process-global
+    state (ADVICE r10: a module-level run counter resets per process
+    while its directories persist)."""
+    d = os.path.join(root, name)
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 @register(
     "q123_merge_upsert_roundtrip",
     oracle="""
@@ -965,9 +977,6 @@ def _q157_build(spark: SparkSession, sf: str):
     return root, src, ev.schema
 
 
-_Q157_RUN_N = [0]
-
-
 def _q157_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the partition-routed ingest stream into a
     fresh store, then the full-snapshot aggregate."""
@@ -979,10 +988,8 @@ def _q157_read(spark: SparkSession, sf: str, state) -> DataFrame:
     )
 
     root, src, schema = state
-    _Q157_RUN_N[0] += 1
-    n = _Q157_RUN_N[0]
     store = PartitionedParquetMergeStore(
-        os.path.join(root, f"store{n}"),
+        _fresh_dir(root, "store"),
         keys=("wk", "user_id", "event_type"),
         partition_col="wk",
         version_cols=("ts", "event_id"),
@@ -993,7 +1000,7 @@ def _q157_read(spark: SparkSession, sf: str, state) -> DataFrame:
         src,
         schema,
         store,
-        os.path.join(root, f"ckpt{n}"),
+        _fresh_dir(root, "ckpt"),
         max_files_per_trigger=1,
         conditional=True,
     )

@@ -875,27 +875,21 @@ def _q155_build(spark: SparkSession, sf: str, tag: str = "q155"):
     return root, src, schema
 
 
-_Q155_RUN_N = [0]
-
-
 def _q155_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the maintenance stream into a fresh store,
     then the per-bucket postings aggregate."""
-    import os
-
+    from parquet_demo_spark.operators.merge import _fresh_dir
     from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
     root, src, schema = state
-    _Q155_RUN_N[0] += 1
-    n = _Q155_RUN_N[0]
     store = ParquetMergeStore(
-        os.path.join(root, f"idx{n}"),
+        _fresh_dir(root, "idx"),
         keys=("term", "doc_id"),
         version_cols=("edit_ts",),
         num_buckets=8,
     )
     q = stream_maintain_index(
-        spark, src, schema, store, os.path.join(root, f"ckpt{n}")
+        spark, src, schema, store, _fresh_dir(root, "ckpt")
     )
     q.awaitTermination()
     return (
@@ -940,29 +934,23 @@ def _q182_build(spark: SparkSession, sf: str):
     return _q155_build(spark, sf, tag="q182")
 
 
-_Q182_RUN_N = [0]
-
-
 def _q182_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the maintenance stream into a fresh MOR
     store, the resolved per-bucket aggregate, compact, and the same
     aggregate from the pure base — both snapshots must agree (their
     union ANTI-joins to empty, leaving the resolved rows)."""
-    import os
-
+    from parquet_demo_spark.operators.merge import _fresh_dir
     from parquet_demo_spark.sources.mor_store import MergeOnReadStore
 
     root, src, schema = state
-    _Q182_RUN_N[0] += 1
-    n = _Q182_RUN_N[0]
     store = MergeOnReadStore(
-        os.path.join(root, f"mor{n}"),
+        _fresh_dir(root, "mor"),
         keys=("term", "doc_id"),
         version_cols=("edit_ts",),
         num_buckets=8,
     )
     q = stream_maintain_index(
-        spark, src, schema, store, os.path.join(root, f"mckpt{n}")
+        spark, src, schema, store, _fresh_dir(root, "mckpt")
     )
     q.awaitTermination()
 

@@ -2554,23 +2554,17 @@ def _q160_build(spark: SparkSession, sf: str):
     return root, src, schema, state
 
 
-_Q160_RUN_N = [0]
-
-
 def _q160_read(spark: SparkSession, sf: str, state) -> DataFrame:
     """Operation under test: the maintenance stream into a fresh store,
     then the full IVF x PQ search (q156's read path) served from the
     stream-maintained tables."""
-    import os
-
+    from parquet_demo_spark.operators.merge import _fresh_dir
     from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
     root, src, schema, q156_state = state
     _, probes0, qr, _, _, pcent1, truth, icent1 = q156_state
-    _Q160_RUN_N[0] += 1
-    n = _Q160_RUN_N[0]
     store = ParquetMergeStore(
-        os.path.join(root, f"vecidx{n}"),
+        _fresh_dir(root, "vecidx"),
         keys=("vec_id",),
         version_cols=("edit_ts",),
         num_buckets=8,
@@ -2580,7 +2574,7 @@ def _q160_read(spark: SparkSession, sf: str, state) -> DataFrame:
         src,
         schema,
         store,
-        os.path.join(root, f"ckpt{n}"),
+        _fresh_dir(root, "ckpt"),
         icent1,
         pcent1,
     )

@@ -14,8 +14,8 @@ primitives:
 
 - :meth:`commit_delta` appends the batch AS IS to a delta log —
   cost O(batch), no bucket read, no bucket rewrite, regardless of
-  base size. Rows carry an op ('u' upsert / 'd' delete) and a
-  monotonic sequence number.
+  base size. Rows carry an op ('u' upsert / 'd' delete); commit
+  order is the log-entry chain's total order.
 - :meth:`read` / :meth:`probe` resolve last-write-wins AT READ TIME:
   the newest delta action per PK wins over the base snapshot
   (matching merge()'s unconditional replace-by-PK across commits;
@@ -26,20 +26,29 @@ primitives:
   log — the amortized rewrite, paid once per cadence instead of once
   per batch.
 
-Crash-safety: a delta is committed by an atomic pointer swap
-(tmp + os.replace) AFTER its directory is fully written — a crash
-mid-write leaves an orphan directory the pointer never references
-(cleaned by :meth:`vacuum`). Compaction truncates the pointer LAST;
-replaying still-listed deltas over the already-compacted base is
-idempotent (the resolved winners equal the base rows, and a delete's
-PK is already absent), so a crash between the base commits and the
-truncation re-reads correctly and the next compact is a no-op fold.
+Concurrency: the delta log uses the SAME optimistic-concurrency
+convention as the base store's manifests (merge_store.py:458). Each
+log mutation writes an immutable FULL-STATE entry file
+``_log/e{n:08d}.json`` with O_EXCL — entry creation is the CAS — then
+swaps the ``_DELTAS.json`` head pointer (monotonic, like the base's
+``_latest``). A writer that loses the CAS to a COMMITTED competitor
+rebases automatically: delta appends have disjoint footprints by
+construction (each appends its own directory; sequence numbers are
+re-derived from the new head), and compaction's truncation re-filters
+the new head's directory list so concurrently appended deltas
+survive. A CAS loss against a NON-committed entry (a crashed writer's
+orphan) raises :class:`ConcurrentWriteConflict` naming
+:meth:`clean_orphans`, exactly like the base store.
 
-Single-writer delta log: the pointer swap is not CAS-guarded (the
-base store's optimistic-concurrency rebase applies to compaction's
-base commits, not to concurrent delta appends) — one maintenance
-stream owns a MOR store, which is exactly the streaming-applier
-deployment shape.
+Crash-safety: a delta directory is fully written BEFORE the log
+entry commits — a crash mid-write leaves an orphan directory no
+entry references (cleaned by :meth:`vacuum`). A crash between entry
+creation and the pointer swap leaves an orphan ENTRY
+(:meth:`clean_orphans`). Compaction truncates the log LAST; replaying
+still-listed deltas over the already-compacted base is idempotent
+(the resolved winners equal the base rows, and a delete's PK is
+already absent), so a crash between the base commits and the
+truncation re-reads correctly and the next compact is a no-op fold.
 
 Reference parity note: the reference repo (alxmancilla/parquet-demo)
 has no mutable-store surface at all; this extends the engine's R14
@@ -57,7 +66,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_demo_spark.sources.merge_store import ParquetMergeStore
+from parquet_demo_spark.sources.merge_store import (
+    ConcurrentWriteConflict,
+    ParquetMergeStore,
+)
 from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
 _OP = "__op"
@@ -86,28 +98,106 @@ class MergeOnReadStore:
             num_buckets=num_buckets,
         )
         self._deltas_root = os.path.join(root, "deltas")
+        self._entries_root = os.path.join(root, "_log")
         os.makedirs(self._deltas_root, exist_ok=True)
+        os.makedirs(self._entries_root, exist_ok=True)
 
-    # --- delta log pointer (atomic swap, single writer) ---
+    # --- delta log: immutable O_EXCL entry chain + head pointer ---
 
     def _pointer_path(self) -> str:
         return os.path.join(self.root, "_DELTAS.json")
 
+    def _entry_path(self, n: int) -> str:
+        return os.path.join(self._entries_root, f"e{n:08d}.json")
+
     def _log(self) -> dict:
+        """Committed log state: ``{seq, dirs, [columns, types], entry}``.
+
+        The head pointer names the committed entry number; the entry
+        file carries the full state (so readers never reconstruct from
+        a scan). A pre-round-11 store whose pointer still holds the
+        full state dict reads as entry -1 — its first new commit
+        migrates it onto the chain at entry 0.
+        """
         try:
             with open(self._pointer_path()) as f:
-                return json.load(f)
+                head = json.load(f)
         except FileNotFoundError:
-            return {"seq": -1, "dirs": []}
+            return {"seq": -1, "dirs": [], "entry": -1}
+        if isinstance(head, dict) and "dirs" in head:  # legacy pointer
+            return {**head, "entry": -1}
+        n = int(head["entry"] if isinstance(head, dict) else head)
+        with open(self._entry_path(n)) as f:
+            return {**json.load(f), "entry": n}
 
-    def _swap_log(self, log: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_DELTAS.")
-        with os.fdopen(fd, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, self._pointer_path())
+    def _swap_pointer(self, entry: int) -> None:
+        # commit point with the base store's monotonic fix-up
+        # (merge_store.py:496): two racing replaces can land out of
+        # order, and a pointer regression would make the newer
+        # committed entry look like an orphan
+        while True:
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_DELTAS.")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"entry": entry}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._pointer_path())
+            cur = self._log()["entry"]
+            if cur >= entry:
+                break
+
+    def _commit_log(self, mutate) -> dict:
+        """Commit ``mutate(committed_state) -> new_state`` with the
+        base store's optimistic-concurrency convention: O_EXCL entry
+        creation is the CAS; a loser against a COMMITTED head re-reads
+        and re-applies ``mutate`` (delta appends and truncations are
+        always rebase-safe — see module docstring); a loser against an
+        orphan entry raises :class:`ConcurrentWriteConflict`."""
+        while True:
+            log = self._log()
+            new = dict(mutate(log))
+            new.pop("entry", None)
+            entry = log["entry"] + 1
+            try:
+                fh = open(self._entry_path(entry), "x")
+            except FileExistsError:
+                if self._log()["entry"] >= entry:
+                    continue  # competitor committed: rebase on new head
+                raise ConcurrentWriteConflict(
+                    f"log entry {entry} exists but is not committed: a "
+                    "concurrent writer is mid-commit, or a crashed "
+                    "commit left an orphan (clean_orphans() removes it "
+                    "if no writer is active)"
+                ) from None
+            with fh:
+                json.dump(new, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            self._swap_pointer(entry)
+            return {**new, "entry": entry}
 
     def delta_count(self) -> int:
         return len(self._log()["dirs"])
+
+    def clean_orphans(self) -> list[str]:
+        """Remove crashed commits' log entries (numbers above the
+        committed head) so their slots become claimable again — the
+        base store's FSCK contract (merge_store.py:2830): the caller
+        asserts no writer is currently mid-commit. Delta data dirs
+        stay (vacuum reclaims them). Returns removed paths."""
+        head = self._log()["entry"]
+        removed = []
+        for name in sorted(os.listdir(self._entries_root)):
+            if not (name.startswith("e") and name.endswith(".json")):
+                continue
+            try:
+                n = int(name[1:-5])
+            except ValueError:
+                continue
+            if n > head:
+                os.remove(os.path.join(self._entries_root, name))
+                removed.append(os.path.join("_log", name))
+        return removed
 
     # --- write path ---
 
@@ -143,11 +233,16 @@ class MergeOnReadStore:
         would have done). Delete rows only need the PK and version
         columns populated; other columns ride as NULL.
 
-        The first commit records the table schema (column order +
-        simpleString types) in the delta pointer; every later commit
-        validates NAMES AND TYPES against it — a type-drifted batch
-        fails HERE with a ValueError, never as an unreadable
-        mixed-type log discovered by a later read.
+        Schema law: the commit validates NAMES AND TYPES against the
+        store's current record — re-derived from the live BASE
+        manifest whenever the log is empty (a bootstrap merge with
+        ``allow_schema_evolution`` may have changed the table since
+        the last entry was written), from the log entry otherwise —
+        and every commit re-records the full column/type map, so the
+        record can never go stale across evolution + compaction
+        cycles. A type-drifted batch fails HERE with a ValueError,
+        never as an unreadable mixed-type log discovered by a later
+        read.
         """
         missing = [
             c
@@ -184,6 +279,14 @@ class MergeOnReadStore:
                     f"type drift {drift} (a mixed-type log would fail "
                     "on every later read)"
                 )
+            # the batch's types equal the recorded ones wherever both
+            # exist (just validated); the union fills any column the
+            # record was missing (e.g. derived from a pre-evolution
+            # bucket footer that predates the column)
+            out_cols, out_types = list(cols), {**got, **types}
+        else:
+            out_cols = [c for c in batch.columns if c != _OP]
+            out_types = got
         batch = collapse_for_upsert(batch, self.keys, self.version_cols)
         if op_col is not None:
             # lazy checkpoint: the validation action below materializes
@@ -201,65 +304,96 @@ class MergeOnReadStore:
                 raise ValueError(
                     f"delta op must be 'u' or 'd', got {bad[0][_OP]!r}"
                 )
-        log = self._log()
-        seq = log["seq"] + 1
         # unique suffix: a crashed writer's orphan dir can never
-        # collide with the retry (the merge store's artifact-dir law)
-        d = tempfile.mkdtemp(dir=self._deltas_root, prefix=f"d{seq:05d}-")
-        batch.withColumn(_SEQ, F.lit(seq).cast("bigint")).write.mode(
-            "overwrite"
-        ).parquet(d)
-        if rec is None:
-            cols = [c for c in batch.columns if c != _OP]
-        self._swap_log(
-            {
-                "seq": seq,
-                "dirs": log["dirs"] + [os.path.basename(d)],
-                "columns": list(cols),
-                "types": dict(rec[1]) if rec is not None else got,
+        # collide with the retry (the merge store's artifact-dir law);
+        # the numeric prefix is informational only — the committed
+        # POSITION in the entry's dirs list is the LWW order, so a
+        # CAS-losing append rebases without rewriting its parquet
+        provisional = self._log()["seq"] + 1
+        d = tempfile.mkdtemp(
+            dir=self._deltas_root, prefix=f"d{provisional:05d}-"
+        )
+        batch.write.mode("overwrite").parquet(d)
+        new = self._commit_log(
+            lambda cur: {
+                "seq": cur["seq"] + 1,
+                "dirs": cur["dirs"] + [os.path.basename(d)],
+                "columns": out_cols,
+                "types": out_types,
             }
         )
-        return seq
+        return new["seq"]
 
     # --- read path ---
 
+    def _base_types(self, version: int) -> dict[str, str]:
+        """name → simpleString type map of the base at ``version``,
+        unioned across bucket-dir footers (after a schema evolution
+        only the touched buckets carry the new column — one footer is
+        not enough). Cached keyed BY VERSION: a bootstrap merge that
+        evolves the base invalidates the cache naturally."""
+        cached = getattr(self, "_base_types_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        want = set(self.base._read_manifest(version)["columns"])
+        types: dict[str, str] = {}
+        for rel in sorted(set(self.base._bucket_paths(version).values())):
+            d = os.path.join(self.base.root, rel)
+            name = next(
+                (
+                    f
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ),
+                None,
+            )
+            if name is None:
+                continue
+            sch = pq.ParquetFile(os.path.join(d, name)).schema_arrow
+            for fname in sch.names:
+                # prefer_timestamp_ntz: a parquet timestamp with
+                # isAdjustedToUTC=false arrives as a tz-less arrow type
+                # and reads back in Spark as timestamp_ntz — mapping it
+                # to TimestampType here would flag every NTZ batch as
+                # drifted
+                types.setdefault(
+                    fname,
+                    from_arrow_type(
+                        sch.field(fname).type, prefer_timestamp_ntz=True
+                    ).simpleString(),
+                )
+            if want <= set(types):
+                break
+        self._base_types_cache = (version, types)
+        return types
+
     def _schema_record(self) -> tuple[list[str], dict[str, str]] | None:
-        """(column order, name → simpleString type) — the pointer's
-        record once any delta has committed (survives compaction, so
-        an emptied store stays readable as a typed empty frame); else
-        derived from the base (names from its manifest, types from one
-        bucket footer, cached per instance); else None."""
+        """(column order, name → simpleString type).
+
+        With a LIVE log the newest entry's record is authoritative
+        (``merge`` routes every write through the log while deltas
+        exist, so the base cannot evolve underneath it). With an EMPTY
+        log the base manifest is authoritative — a bootstrap merge
+        with ``allow_schema_evolution=True`` may have changed the
+        table since the last entry was written, and a stale record
+        would reject valid batches or record an incomplete type map.
+        A base-less emptied store falls back to the surviving entry
+        record; an unborn store is None."""
         log = self._log()
-        if "columns" in log:
+        if log["dirs"] and "columns" in log:
             return list(log["columns"]), dict(log["types"])
         cur = self.base.current_version()
         if cur is None:
+            if "columns" in log:
+                return list(log["columns"]), dict(log["types"])
             return None
         cols = list(self.base._read_manifest(cur)["columns"])
-        cached = getattr(self, "_base_types_cache", None)
-        if cached is None:
-            import pyarrow.parquet as pq
-
-            rel = sorted(set(self.base._bucket_paths(cur).values()))[0]
-            d = os.path.join(self.base.root, rel)
-            name = next(
-                f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
-            sch = pq.ParquetFile(os.path.join(d, name)).schema_arrow
-            from pyspark.sql.pandas.types import from_arrow_type
-
-            # prefer_timestamp_ntz: a parquet timestamp with
-            # isAdjustedToUTC=false arrives as a tz-less arrow type and
-            # reads back in Spark as timestamp_ntz — mapping it to
-            # TimestampType here would flag every NTZ batch as drifted
-            cached = {
-                fname: from_arrow_type(
-                    sch.field(fname).type, prefer_timestamp_ntz=True
-                ).simpleString()
-                for fname in sch.names
-            }
-            self._base_types_cache = cached
-        return cols, {c: cached[c] for c in cols if c in cached}
+        types = self._base_types(cur)
+        return cols, {c: types[c] for c in cols if c in types}
 
     def _columns(self) -> list[str] | None:
         """Table column order (see :meth:`_schema_record`)."""
@@ -281,17 +415,36 @@ class MergeOnReadStore:
         returns when every key has been deleted and the log compacted
         away (an initialized-but-empty store must stay readable)."""
         cols, types = self._schema_record()
+        untyped = [c for c in cols if c not in types]
+        if untyped:
+            raise ValueError(
+                f"store at {self.root} records no type for column(s) "
+                f"{untyped}: its data is fully deleted and no bucket "
+                "footer or log entry carries them — commit a delta "
+                "batch with the full schema to re-establish the record"
+            )
         return spark.createDataFrame(
             [], ", ".join(f"`{c}` {types[c]}" for c in cols)
         )
 
     def _delta_frame(self, spark: SparkSession) -> DataFrame | None:
+        """Live delta rows, each tagged with its commit's POSITION in
+        the log (``__seq``): the committed dirs order IS the total
+        write order, so sequence comes from the log — never from data
+        files (a CAS-losing rebased append would otherwise carry a
+        stale embedded number). The per-dir union is bounded by
+        compaction cadence, never by base size."""
         dirs = self._log()["dirs"]
         if not dirs:
             return None
-        return spark.read.parquet(
-            *[os.path.join(self._deltas_root, d) for d in dirs]
-        )
+        out = None
+        for i, d in enumerate(dirs):
+            df = spark.read.parquet(os.path.join(self._deltas_root, d))
+            if _SEQ in df.columns:  # legacy log: embedded commit seq
+                df = df.drop(_SEQ)
+            df = df.withColumn(_SEQ, F.lit(i).cast("bigint"))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def _resolved(self, spark: SparkSession) -> DataFrame | None:
         """Latest delta action per PK: highest __seq wins (PKs are
@@ -369,10 +522,17 @@ class MergeOnReadStore:
         merge for the winning upserts + a DV-based key delete for the
         winning deletes (PK-sized metadata, no rewrite), then truncate
         the log. This is the amortized rewrite — paid once per
-        cadence, after which reads are pure base again."""
+        cadence, after which reads are pure base again.
+
+        The truncation commits through the CAS chain and re-filters
+        the HEAD's directory list, so a delta appended concurrently
+        with the fold survives the truncation (it still overlays the
+        freshly-compacted base correctly — per-PK it is newer than
+        everything folded)."""
         latest = self._resolved(spark)
         if latest is None:
             return
+        folded = set(self._log()["dirs"])
         cols = self._columns()
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
         dels = latest.filter(F.col(_OP) == "d").select(*self.keys)
@@ -380,26 +540,51 @@ class MergeOnReadStore:
             self.base.merge(ups)
         if self.base.current_version() is not None and dels.limit(1).count():
             self.base.delete_keys(dels, deletion_vectors=True)
-        log = self._log()
-        folded = list(log["dirs"])
         # truncate LAST: a crash above leaves the log intact and the
         # overlay idempotent over the partially-compacted base. The
         # schema record survives the truncation, so a compact that
         # deleted every key of a base-less store leaves a store that
         # reads as a typed EMPTY frame, not one that raises.
-        self._swap_log({**log, "dirs": []})
+        self._commit_log(
+            lambda cur: {
+                **{k: v for k, v in cur.items() if k != "entry"},
+                "dirs": [d for d in cur["dirs"] if d not in folded],
+            }
+        )
         for d in folded:
             shutil.rmtree(os.path.join(self._deltas_root, d), True)
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Base-store retention plus orphan-delta cleanup (directories
-        a crashed writer left that no pointer ever committed)."""
-        removed = self.base.vacuum(keep_last=keep_last)
-        live = set(self._log()["dirs"])
+    def vacuum(self, keep_last: int = 1, **kwargs) -> list[str]:
+        """Base-store retention (kwargs pass through, e.g.
+        ``older_than``) plus delta-side cleanup: orphan delta
+        directories a crashed writer left that no entry ever
+        committed, stray ``_DELTAS.*`` pointer-swap temp files a crash
+        left in the root, and log entries older than the committed
+        head (each entry carries the FULL state, so history below the
+        head is never read). Same contract as the base vacuum: the
+        caller asserts no writer is mid-commit."""
+        removed = self.base.vacuum(keep_last=keep_last, **kwargs)
+        log = self._log()
+        live = set(log["dirs"])
         for d in sorted(os.listdir(self._deltas_root)):
             if d not in live:
                 shutil.rmtree(os.path.join(self._deltas_root, d), True)
                 removed.append(os.path.join("deltas", d))
+        pointer = os.path.basename(self._pointer_path())
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("_DELTAS.") and name != pointer:
+                os.unlink(os.path.join(self.root, name))
+                removed.append(name)
+        for name in sorted(os.listdir(self._entries_root)):
+            if not (name.startswith("e") and name.endswith(".json")):
+                continue
+            try:
+                n = int(name[1:-5])
+            except ValueError:
+                continue
+            if n < log["entry"]:
+                os.unlink(os.path.join(self._entries_root, name))
+                removed.append(os.path.join("_log", name))
         return removed
 
 

@@ -170,8 +170,7 @@ def test_orphan_delta_dir_ignored_and_vacuumed(spark, tmp_path):
     spark.createDataFrame(
         [Row(k=5, v=9, payload="ghost", op="u", __seq=99)]
     ).write.parquet(os.path.join(st._deltas_root, "d00099-orphan"))
-    log = json.load(open(st._pointer_path()))
-    assert "d00099-orphan" not in log["dirs"]
+    assert "d00099-orphan" not in st._log()["dirs"]
     assert not any(r.k == 5 for r in st.read(spark).collect())
     removed = st.vacuum()
     assert any("d00099-orphan" in r for r in removed)
@@ -464,6 +463,182 @@ def test_compact_of_fully_deleted_deltaonly_store_reads_empty(
     assert got.count() == 0
     assert got.columns == ["k", "v", "payload"]
     assert st.probe(spark, spark.createDataFrame([Row(k=1)])).count() == 0
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two writers appending concurrently: delta appends are
+    rebase-safe by construction (disjoint directory footprints), so
+    BOTH must land, with distinct sequence numbers and a total commit
+    order — never a silently clobbered log (round-10 VERDICT #3)."""
+    import threading
+
+    st = _seed(spark, tmp_path)
+    barrier = threading.Barrier(2)
+    seqs, errs = [], []
+
+    def writer(k, tag):
+        other = MergeOnReadStore(
+            st.root, keys=("k",), version_cols=("v",), num_buckets=4
+        )
+        batch = spark.createDataFrame(
+            [Row(k=k, v=2, payload=tag, op="u")]
+        )
+        barrier.wait()
+        try:
+            seqs.append(other.commit_delta(batch, op_col="op"))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(1, "w1")),
+        threading.Thread(target=writer, args=(2, "w2")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(seqs) == [0, 1]  # distinct, total order
+    assert st.delta_count() == 2
+    rows = _rows(st.read(spark))
+    assert (1, 2, "w1") in rows and (2, 2, "w2") in rows
+
+
+def test_cas_loser_rebases_on_committed_head(spark, tmp_path, monkeypatch):
+    """Deterministic CAS race at the log layer: a writer whose read of
+    the head is stale (a competitor committed in between) must hit the
+    O_EXCL conflict, re-read, and re-apply its mutation on the new
+    head — both log mutations survive."""
+    import json as _json
+
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="first")])
+    )
+    orig_log = MergeOnReadStore._log
+    raced = {}
+
+    def racing_log(self):
+        state = orig_log(self)
+        if not raced:
+            raced["x"] = True
+            competitor = {
+                k: v for k, v in state.items() if k != "entry"
+            }
+            competitor["dirs"] = state["dirs"] + ["d-competitor"]
+            competitor["seq"] = state["seq"] + 1
+            with open(st._entry_path(state["entry"] + 1), "x") as f:
+                _json.dump(competitor, f)
+            st._swap_pointer(state["entry"] + 1)
+        return state  # the STALE pre-competitor snapshot
+
+    monkeypatch.setattr(MergeOnReadStore, "_log", racing_log)
+    new = st._commit_log(
+        lambda cur: {
+            **{k: v for k, v in cur.items() if k != "entry"},
+            "seq": cur["seq"] + 1,
+            "dirs": cur["dirs"] + ["d-loser"],
+        }
+    )
+    monkeypatch.undo()
+    final = st._log()
+    assert final == {**new}
+    assert "d-competitor" in final["dirs"] and "d-loser" in final["dirs"]
+    assert final["dirs"].index("d-competitor") < final["dirs"].index(
+        "d-loser"
+    )
+    assert final["seq"] == 2  # both increments retained
+
+
+def test_orphan_entry_conflicts_until_cleaned(spark, tmp_path):
+    """A crashed commit's orphan log entry (created, never pointed at)
+    must make the next writer fail LOUDLY with ConcurrentWriteConflict
+    — the base store's law — and clean_orphans() must reopen the
+    slot."""
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="ok")])
+    )
+    head = st._log()["entry"]
+    open(st._entry_path(head + 1), "x").close()  # crashed mid-commit
+    with pytest.raises(ConcurrentWriteConflict, match="clean_orphans"):
+        st.commit_delta(
+            spark.createDataFrame([Row(k=2, v=2, payload="blocked")])
+        )
+    removed = st.clean_orphans()
+    assert any(f"e{head + 1:08d}" in r for r in removed)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=2, payload="lands")])
+    )
+    assert (2, 2, "lands") in _rows(st.read(spark))
+
+
+def test_bootstrap_evolution_after_compaction_refreshes_record(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): after compact() empties the log, a
+    bootstrap merge with allow_schema_evolution=True changes the base
+    schema; the next commit_delta must validate against the EVOLVED
+    record (re-derived from the live base manifest), not the stale
+    pointer record — and the evolved column must read back."""
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="edit")])
+    )
+    st.compact(spark)
+    assert st.delta_count() == 0
+    st.merge(
+        spark.createDataFrame([Row(k=5, v=1, payload="e", extra=10)]),
+        allow_schema_evolution=True,
+    )
+    # the stale record would reject this valid evolved batch
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=9, payload="x", extra=7)])
+    )
+    got = st.read(spark)
+    assert "extra" in got.columns
+    rows = sorted(
+        (r.k, r.v, r.payload, r.extra) for r in got.collect()
+    )
+    assert (1, 9, "x", 7) in rows and (5, 1, "e", 10) in rows
+    # pre-evolution base rows surface with NULL extra
+    assert (2, 1, "base2", None) in rows
+    # and the refreshed record survives another compact cycle
+    st.compact(spark)
+    assert (1, 9, "x", 7) in sorted(
+        (r.k, r.v, r.payload, r.extra) for r in st.read(spark).collect()
+    )
+
+
+def test_vacuum_removes_stray_pointer_temps_and_old_entries(
+    spark, tmp_path
+):
+    """ADVICE r10: a crash between mkstemp and os.replace leaks a
+    _DELTAS.* temp into the store root; vacuum must unlink it (and
+    superseded log entries), never the live pointer or head entry."""
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="a")])
+    )
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=2, payload="b")])
+    )
+    stray = os.path.join(st.root, "_DELTAS.stray123")
+    with open(stray, "w") as f:
+        f.write("{}")
+    before = _rows(st.read(spark))
+    removed = st.vacuum()
+    assert "_DELTAS.stray123" in removed
+    assert not os.path.exists(stray)
+    assert os.path.exists(st._pointer_path())  # live pointer kept
+    head = st._log()["entry"]
+    assert os.path.exists(st._entry_path(head))  # head entry kept
+    assert not os.path.exists(st._entry_path(head - 1))  # history gone
+    assert _rows(st.read(spark)) == before
 
 
 def test_merge_kwargs_passthrough_and_live_log_guard(spark, tmp_path):
