@@ -2421,6 +2421,80 @@ class ParquetMergeStore:
             raise
         return committed
 
+    def bucket_bytes(self, version: int | None = None) -> dict[int, int]:
+        """Per-bucket data bytes of the version's referenced dirs — a
+        driver METADATA pass (file sizes only, no data read, no Spark
+        job). The local-filesystem layout makes ``stat()`` the
+        equivalent of the manifest-recorded file sizes an object-store
+        deployment would consult; either way the cost is O(files),
+        never O(rows)."""
+        cur = version if version is not None else self.current_version()
+        if cur is None:
+            return {}
+        out: dict[int, int] = {}
+        for b, rel in self._bucket_paths(cur).items():
+            d = os.path.join(self.root, rel)
+            out[b] = sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        target_bucket_bytes: int = 128 << 20,
+        max_buckets: int = 4096,
+    ) -> dict:
+        """Size-driven bucket provisioning (round-10 VERDICT #2): keep
+        per-bucket bytes near ``target_bucket_bytes`` by rebucketing to
+        the next power of two once any bucket exceeds the target —
+        ``buckets ≈ table_bytes / target``, the provisioning law the
+        round-10 applier tiers identified (per-batch COW rewrite cost
+        tracks BUCKET size; a fixed count lets it grow with the table,
+        a size target pins it, so a bounded-key maintenance batch
+        rewrites a bounded number of bounded-size buckets at any table
+        size — measured flat in scripts/maintain_scale_check.py).
+
+        Returns an action record:
+        ``{"action": "rebucket"|"none", ...}`` with the measured
+        sizes. The rebucket commits as a normal version through the
+        same CAS — it is NOT rebase-safe (every PK moves), so a
+        concurrent writer makes exactly one of the two fail loudly
+        with :class:`ConcurrentWriteConflict`, never a silent steal.
+        Power-of-two growth keeps the cadence geometric: a store
+        growing 100× rebuckets ~7 times total, not per commit.
+        """
+        cur = self.current_version()
+        if cur is None:
+            return {"action": "none", "reason": "empty store"}
+        sizes = self.bucket_bytes(cur)
+        total = sum(sizes.values())
+        biggest = max(sizes.values(), default=0)
+        report = {
+            "num_buckets": self.num_buckets,
+            "total_bytes": total,
+            "max_bucket_bytes": biggest,
+            "target_bucket_bytes": int(target_bucket_bytes),
+        }
+        if biggest <= int(target_bucket_bytes):
+            return {"action": "none", **report}
+        want = 1
+        while want * int(target_bucket_bytes) < total or want <= self.num_buckets:
+            if want >= int(max_buckets):
+                break
+            want *= 2
+        if want <= self.num_buckets:
+            return {"action": "none", "reason": "at max_buckets", **report}
+        version = self.rebucket(spark, min(want, int(max_buckets)))
+        return {
+            "action": "rebucket",
+            "to": self.num_buckets,
+            "version": version,
+            **report,
+        }
+
     def compact(
         self,
         spark: SparkSession,

@@ -641,6 +641,34 @@ def test_vacuum_removes_stray_pointer_temps_and_old_entries(
     assert _rows(st.read(spark)) == before
 
 
+def test_maintain_compacts_at_cadence_and_provisions_base(
+    spark, tmp_path
+):
+    """The MOR maintenance policy: below the live-delta cadence it
+    leaves the log alone; at the cadence it folds (bounding the read
+    overlay), and always runs the base's size-driven provisioning —
+    the two knobs of VERDICT r10 #2 in one call."""
+    st = _seed(spark, tmp_path)
+    for i in range(3):
+        st.commit_delta(
+            spark.createDataFrame(
+                [Row(k=i + 10, v=1, payload=f"d{i}")]
+            )
+        )
+    expect = _rows(st.read(spark))
+    act = st.maintain(spark, max_live_deltas=4)
+    assert act["compacted"] is False and st.delta_count() == 3
+    assert act["base"]["action"] == "none"
+    st.commit_delta(
+        spark.createDataFrame([Row(k=13, v=1, payload="d3")])
+    )
+    expect = _rows(st.read(spark))
+    act = st.maintain(spark, max_live_deltas=4)
+    assert act["compacted"] is True and st.delta_count() == 0
+    assert _rows(st.read(spark)) == expect
+    assert _rows(st.base.read(spark)) == expect  # folded into base
+
+
 def test_merge_kwargs_passthrough_and_live_log_guard(spark, tmp_path):
     """Bootstrap merges pass base-merge options through; once the log
     is live, options raise instead of being silently dropped."""
