@@ -16,8 +16,12 @@ index build, the q167 admission read path, and a bare maintenance
 merge.
 
 Usage: python scripts/dedup_scale_check.py [--copies N] [--legs dedup,text,ann]
-Default copies=10, all legs. Run at 1 / 10 / 100 and record the ratios
-in BASELINE.md ('Dedup-index family' → streaming-applier rows).
+                                           [--store cow|mor]
+Default copies=10, all legs, cow. ``--store mor`` runs each leg's REAL
+applier against a MergeOnReadStore instead (same admission, encode and
+tombstone path; the commit swaps to an O(batch) delta append) — the
+round-11 rows beside the COW rows in BASELINE's 'MOR vs COW'. Run at
+1 / 10 / 100 and record the ratios in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -46,6 +50,20 @@ from parquet_demo_spark.session import get_spark  # noqa: E402
 from parquet_demo_spark.sources.merge_store import (  # noqa: E402
     ParquetMergeStore,
 )
+from parquet_demo_spark.sources.mor_store import (  # noqa: E402
+    MergeOnReadStore,
+)
+
+STORE = "cow"
+
+
+def _applier_store(root: str, name: str, **kw):
+    """The store each leg's REAL applier maintains: COW by default,
+    MergeOnReadStore under --store mor (appliers are store-polymorphic;
+    COW≡MOR output equivalence is pytest-pinned per leg)."""
+    if STORE == "mor":
+        return MergeOnReadStore(os.path.join(root, name + "_mor"), **kw)
+    return ParquetMergeStore(os.path.join(root, name), **kw)
 
 
 def _once(fn) -> float:
@@ -125,8 +143,9 @@ def leg_dedup(spark, root: str) -> None:
     # the REAL streaming applier, against a store built THROUGH it so
     # the watermark side table exists at corpus scale (VERDICT r8 #4:
     # bare store.merge bypasses admission; this times the whole path)
-    sstore = ParquetMergeStore(
-        os.path.join(root, "lsh_stream"),
+    sstore = _applier_store(
+        root,
+        "lsh_stream",
         keys=("band", "doc_id"),
         version_cols=("edit_ts",),
         num_buckets=16,
@@ -170,8 +189,9 @@ def leg_text(spark, root: str) -> None:
     docs = load(spark, sc.DST, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     print(f"[text] corpus docs={corpus.count()}")
-    store = ParquetMergeStore(
-        os.path.join(root, "postings"),
+    store = _applier_store(
+        root,
+        "postings",
         keys=("term", "doc_id"),
         version_cols=("edit_ts",),
         num_buckets=16,
@@ -253,8 +273,9 @@ def leg_ann(spark, root: str) -> None:
     _, _, pcent1 = _pq_encode(base0, base0, empty_probes, pin=False)
     pcent1 = pcent1.localCheckpoint()
 
-    store = ParquetMergeStore(
-        os.path.join(root, "codes"),
+    store = _applier_store(
+        root,
+        "codes",
         keys=("vec_id",),
         version_cols=("edit_ts",),
         num_buckets=16,
@@ -313,6 +334,7 @@ def leg_ann(spark, root: str) -> None:
 
 
 def main() -> None:
+    global STORE
     legs = ["dedup", "text", "ann"]
     if "--copies" in sys.argv:
         i = sys.argv.index("--copies")
@@ -320,10 +342,13 @@ def main() -> None:
     if "--legs" in sys.argv:
         i = sys.argv.index("--legs")
         legs = [x.strip() for x in sys.argv[i + 1].split(",") if x.strip()]
+    if "--store" in sys.argv:
+        STORE = sys.argv[sys.argv.index("--store") + 1]
+        assert STORE in ("cow", "mor"), STORE
     sc.DST = f"/tmp/spark_graft_scale{sc.COPIES}"
     spark = get_spark()
     sc.build("documents")
-    print(f"copies={sc.COPIES} legs={legs}")
+    print(f"copies={sc.COPIES} legs={legs} store={STORE}")
 
     root = f"/tmp/spark_graft_dedup_scale{sc.COPIES}"
     if os.path.exists(root):
