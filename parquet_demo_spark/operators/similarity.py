@@ -933,6 +933,133 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q183 — semantic dedup (SemDeDup shape): k-means cells -> intra-cell
+# cosine near-dups -> canonical survivor per epsilon-ball
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_Q183_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding[1:{_KM_DIM}] AS embedding
+  FROM embeddings WHERE len(embedding) >= {_KM_DIM}
+),
+cent0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding[1:{_KM_DIM}], x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {_KM_K}
+),
+a1 AS ({_km_assign_sql('cent0')}),
+cent1 AS (
+  SELECT cid, list(cval ORDER BY pos) AS c FROM (
+    SELECT cid, j AS pos, {{mean6}} AS cval
+    FROM (SELECT cid, embedding FROM a1 WHERE rn = 1)
+    CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS j)
+    GROUP BY cid, j)
+  GROUP BY cid
+),
+a2 AS ({_km_assign_sql('cent1')}),
+cells AS (SELECT vec_id, cid, embedding FROM a2 WHERE rn = 1),
+pairs AS (
+  SELECT a.cid AS cid, b.vec_id AS vec_id,
+         ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cs
+  FROM cells a JOIN cells b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT DISTINCT cid, vec_id FROM pairs WHERE cs >= {_SEMDEDUP_TAU}
+)
+SELECT c.cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dups,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM cells c LEFT JOIN dups d
+  ON c.cid = d.cid AND c.vec_id = d.vec_id
+GROUP BY c.cid ORDER BY cluster
+"""
+
+
+@register(
+    "q183_semantic_dedup",
+    oracle=_Q183_ORACLE.format(mean6=mean6_sql("embedding[j + 1]")),
+    doc="Semantic dedup — the SemDeDup/D4 recipe (public design) "
+    "composed from primitives the suite already pins: cluster the "
+    "embeddings with q103's deterministic Lloyd pass (K=8, init = K "
+    "lowest vec_ids, one update), compute pairwise cosine ONLY within "
+    "each cluster (q53's blocking idea with learned cells instead of "
+    "labels — the join is an equi-join on cid, never corpus×corpus), "
+    "flag a vector as a semantic duplicate when it lies within the "
+    "epsilon-ball (cos >= 0.35 on this synthetic corpus) of a LOWER-id "
+    "cluster-mate (the paper's keep-one-per-ball policy with lowest-id "
+    "canonical, q113's deterministic-survivor idea without needing a "
+    "transitive closure), and keep the rest. Per-cluster "
+    "(members, dups, kept) rows hash-checked against the same "
+    "deterministic centroids in DuckDB. Scale: cells are the blocking "
+    "unit — production sizes K with the corpus so intra-cell pairwise "
+    "stays bounded (the SemDeDup design point); assignment is one "
+    "broadcast pass; nothing quadratic across cells (plan-asserted).",
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        load(spark, sf, "embeddings")
+        .filter(F.size("embedding") >= _KM_DIM)
+        .select(
+            "vec_id", F.slice("embedding", 1, _KM_DIM).alias("embedding")
+        )
+    )
+    cent0 = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(
+                F.slice("embedding", 1, _KM_DIM),
+                lambda x: x.cast("double"),
+            ).alias("c"),
+        )
+    )
+    a1 = _km_assign(emb, cent0)
+    cent1 = _km_update(a1.select("cid", "embedding"))
+    # pinned once: cells feeds both sides of the pair join AND the
+    # final per-cluster rollup — without the checkpoint the assignment
+    # (broadcast scan + argmin) would re-run three times
+    cells = (
+        _km_assign(emb, cent1)
+        .select("vec_id", "cid", "embedding")
+        .localCheckpoint()
+    )
+    lo = cells.select(
+        "cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    hi = cells.select(
+        "cid", "vec_id", F.col("embedding").alias("eb")
+    )
+    dups = (
+        lo.join(hi, "cid")  # equi-join on the cell: the blocking step
+        .filter(F.col("va") < F.col("vec_id"))
+        .filter(
+            F.round(cosine(F.col("ea"), F.col("eb")), 4)
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("cid", "vec_id")
+        .dropDuplicates()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        cells.join(dups, ["cid", "vec_id"], "left")
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.count("__dup").cast("bigint").alias("n_dups"),
+            (F.count("*") - F.count("__dup"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # --- q132: IVF with a REAL coarse quantizer (k-means cells), measured -----
 #
 # q52's cell restriction uses the fixture `label` as the cell assignment;

@@ -142,6 +142,17 @@ def test_q96_banding_never_goes_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q183_semdedup_pairs_stay_cell_blocked(spark, sf_dir):
+    # the SemDeDup pair join must be an equi-join on the learned cell
+    # (cid); a cartesian means the blocking degenerated to
+    # corpus×corpus. The only nested-loop allowed is the K-row centroid
+    # broadcast inside the two Lloyd assignment passes.
+    df = QUERIES["q183_semantic_dedup"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_q101_frequency_table_broadcasts(spark, sf_dir):
     # the vocabulary-sized surprisal table must broadcast back onto the
     # token stream — the corpus itself never shuffles
