@@ -503,10 +503,22 @@ class PartitionedParquetMergeStore:
         from EVERY selected child (a pruned read over only
         pre-evolution partitions) backfill from the manifest's recorded
         type — never an untyped NullType, which the parquet writer
-        would reject downstream."""
+        would reject downstream.
+
+        The union is a BALANCED tree, not a left-deep chain: each
+        ``unionByName`` analyzes its accumulated plan JVM-side, so a
+        chain over P children costs O(P²) driver analysis — measured as
+        the round-10 #7 fan-in knee (scripts/fanin_scale_check.py); the
+        tree is O(P log P), and ``read()``'s era scan below keeps P
+        itself small."""
+        while len(dfs) > 1:
+            dfs = [
+                dfs[i].unionByName(dfs[i + 1], allowMissingColumns=True)
+                if i + 1 < len(dfs)
+                else dfs[i]
+                for i in range(0, len(dfs), 2)
+            ]
         out = dfs[0]
-        for df in dfs[1:]:
-            out = out.unionByName(df, allowMissingColumns=True)
         cols = self._columns_at(version) + list(extra_cols)
         missing = [c for c in cols if c not in out.columns]
         if not missing:
@@ -1280,13 +1292,78 @@ class PartitionedParquetMergeStore:
                 spark, version=parts[any_p]["version"], where=where
             )
             return self._aligned_union(spark, [df], version).limit(0)
-        dfs = [
+        if where is None:
+            era_frames, slow = self._era_scan_frames(spark, parts, selected)
+        else:
+            # value-pruned reads go through each child's own min/max/
+            # bloom bucket pruning (and usually touch few children)
+            era_frames, slow = [], list(selected)
+        dfs = era_frames + [
             self._child(parts[pval]["dir"]).read(
                 spark, version=parts[pval]["version"], where=where
             )
-            for pval in selected
+            for pval in slow
         ]
         return self._aligned_union(spark, dfs, version)
+
+    def _era_scan_frames(
+        self, spark: SparkSession, parts: dict, selected: list
+    ) -> tuple[list[DataFrame], list]:
+        """ONE multi-path parquet scan per common SCHEMA ERA instead of
+        one DataFrame per child (round-10 VERDICT #7: the per-child
+        plan build made a 1k-partition ``read()`` driver-bound).
+
+        A child is era-eligible when its pinned manifest lets a bare
+        multi-dir scan reproduce its ``read()`` exactly: never evolved
+        (every referenced dir carries the declared schema — the same
+        condition the child's own no-mergeSchema fast path keys on),
+        no live deletion vectors (nothing to anti-join), and all its
+        dirs still on disk (a vacuumed child routes to the slow path
+        for the descriptive expired-version error). Eligible children
+        group by their manifest column tuple — the schema era — and
+        each era becomes one ``spark.read.parquet(*dirs)``; stragglers
+        return as the slow list for ordinary per-child reads. Driver
+        cost: one manifest JSON per child (metadata), one plan per ERA
+        (eras are ~1-2 in practice), instead of one analyzed plan per
+        child."""
+        from parquet_demo_spark.sources.merge_store import _load_manifest
+
+        eras: dict[tuple, list[str]] = {}
+        slow: list = []
+        for pval in selected:
+            e = parts[pval]
+            croot = os.path.join(self.root, e["dir"])
+            try:
+                m = _load_manifest(
+                    os.path.join(
+                        croot,
+                        f"v{int(e['version']):05d}",
+                        "manifest.json",
+                    )
+                )
+            except (FileNotFoundError, ValueError):
+                slow.append(pval)
+                continue
+            if m.get("evolved", True) or any(
+                v for v in m.get("dv", {}).values()
+            ):
+                slow.append(pval)
+                continue
+            dirs = sorted(
+                {
+                    os.path.join(croot, p)
+                    for p in m["bucket_paths"].values()
+                }
+            )
+            if not all(os.path.isdir(d) for d in dirs):
+                slow.append(pval)
+                continue
+            eras.setdefault(tuple(m["columns"]), []).extend(dirs)
+        frames = [
+            spark.read.parquet(*sorted(dirs)).select(*cols)
+            for cols, dirs in sorted(eras.items())
+        ]
+        return frames, slow
 
     def _select(
         self, parts: dict[str, dict], partitions: tuple | dict | None
