@@ -48,9 +48,14 @@ def _fresh_dir(root: str, name: str) -> str:
     rather than counter-suffixed — repeated reads in one process never
     accumulate full stores, and the path carries no process-global
     state (ADVICE r10: a module-level run counter resets per process
-    while its directories persist)."""
+    while its directories persist). The ``<name>_wm`` sibling (the
+    admission-watermark side store a maintenance applier derives from
+    its store root) is wiped with it — a surviving watermark would
+    reject every replayed batch as stale and leave the fresh store
+    silently empty."""
     d = os.path.join(root, name)
     shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(d + "_wm", ignore_errors=True)
     return d
 
 
@@ -2493,3 +2498,101 @@ def _q181_read(spark: SparkSession, sf: str, st) -> DataFrame:
 
 
 register_phases("q181_merge_on_read", _q181_build, _q181_read)
+
+
+# ---------------------------------------------------------------------------
+# q185 — size-driven bucket provisioning round trip (store.maintain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q185_store_maintain",
+    oracle="""
+    WITH lww AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT 'rebucketed' AS action, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM lww WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Size-driven bucket provisioning, hash-checked end-to-end "
+    "(round-11 store.maintain — the policy that drives rebucket once "
+    "any bucket exceeds a byte target, keeping buckets ~ table/target "
+    "so bounded-key maintenance batches rewrite bounded bytes at any "
+    "table size; BASELINE 'Size-driven bucket provisioning' measures "
+    "the per-batch flatness at 1x/10x/100x): the events LWW snapshot "
+    "merges into a deliberately undersized 2-bucket store, "
+    "maintain(target=2 KiB, max_buckets=64) must FIRE (the read "
+    "raises if the policy never grew the store — a red driver row, "
+    "not a silent no-op), a conditional replay batch then writes "
+    "THROUGH the new bucket routing, and the checked rows are the "
+    "per-event_type content aggregates — proving the policy's rewrite "
+    "is snapshot-preserving and post-policy writes route correctly. "
+    "Repeated reads converge (the policy is idempotent once bucket "
+    "sizes sit under target or at max_buckets). "
+    "sources/merge_store.py maintain/bucket_bytes/rebucket.",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    return _q185_read(spark, sf, _q185_build(spark, sf))
+
+
+def _q185_build(spark: SparkSession, sf: str):
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q185", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=2,  # deliberately undersized: the policy must fire
+    )
+    store.merge(ev)
+    return store, ev
+
+
+def _q185_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    store, ev = state
+    act = store.maintain(
+        spark, target_bucket_bytes=2 << 10, max_buckets=64
+    )
+    if act["action"] != "rebucket" and store.num_buckets <= 2:
+        raise AssertionError(
+            f"maintain() never provisioned the store: {act}"
+        )
+    # a post-policy write must route by the NEW bucket count; the
+    # replay slice is content-neutral (conditional: stale rows lose,
+    # winning ties re-write identical values), so the oracle stays the
+    # plain LWW aggregate
+    store.merge(
+        ev.filter(F.col("event_id") % 3 == 0), conditional=True
+    )
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            F.lit("rebucketed").alias("action"),
+            "event_type",
+            "n_keys",
+            "sum_event_id",
+            "value_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q185_store_maintain", _q185_build, _q185_read)

@@ -1581,3 +1581,102 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — temperature-weighted domain mixture (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q184_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(LEAST(1000000,
+                        FLOOR(2.0 / sqrt(CAST(n_docs AS DOUBLE))
+                              * 1000000)) AS BIGINT) AS rate_ppm
+      FROM counts
+    ),
+    sampled AS (
+      SELECT d.source AS source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {poly_hash_sql(
+          "concat(CAST(d.doc_id AS VARCHAR), ':', d.source)")}
+            % 1000000 < r.rate_ppm
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM sampled GROUP BY source
+    )
+    SELECT r.source AS source, r.n_docs AS n_docs,
+           r.rate_ppm AS rate_ppm,
+           CAST(COALESCE(a.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN agg a USING (source)
+    ORDER BY source
+    """,
+    doc="Temperature-weighted domain mixture — the alpha-sampling "
+    "recipe every large-scale LM data pipeline applies to flatten "
+    "domain skew (sample domain d with mass proportional to "
+    "n_d^alpha; alpha = 1/2 here, i.e. temperature 2): per-domain "
+    "acceptance rate = min(1, K/sqrt(n_d)) with K=2, materialized as "
+    "an integer ppm threshold, and a document is kept iff its "
+    "content-independent poly_hash(doc_id ':' source) lands under the "
+    "threshold. Fully deterministic cross-engine: sqrt and divide are "
+    "IEEE-correctly-rounded in both engines, the threshold floors to "
+    "integer ppm, and the hash has an exact DuckDB twin — no RNG, so "
+    "re-runs and engine swaps reproduce the mixture bit-for-bit "
+    "(q79/q80's splitting law applied to mixture building). Scale "
+    "shape: one tiny groupBy for the counts, the rate table "
+    "BROADCAST back onto the corpus, acceptance a pure JVM-side "
+    "filter — the corpus never shuffles (plan-asserted).",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.floor(
+                    F.lit(2.0)
+                    / F.sqrt(F.col("n_docs").cast("double"))
+                    * 1000000
+                ).cast("bigint"),
+            ),
+        )
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(
+            poly_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("source"),
+                )
+            )
+            % 1000000
+            < F.col("rate_ppm")
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

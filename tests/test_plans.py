@@ -153,6 +153,16 @@ def test_q183_semdedup_pairs_stay_cell_blocked(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_q184_rate_table_broadcasts_corpus_never_shuffles(spark, sf_dir):
+    # the per-domain ppm rate table must broadcast back onto the
+    # corpus; the acceptance filter is JVM-side — no corpus shuffle on
+    # source, no cartesian
+    df = QUERIES["q184_temperature_mixture"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_q101_frequency_table_broadcasts(spark, sf_dir):
     # the vocabulary-sized surprisal table must broadcast back onto the
     # token stream — the corpus itself never shuffles
