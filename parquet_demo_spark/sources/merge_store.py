@@ -816,6 +816,15 @@ class ParquetMergeStore:
         A column that is all-null or carries an unhashable type in ANY
         partial poisons that (bucket, column) — the bloom is simply
         absent, which means "can't prune", never "wrong prune".
+
+        The per-partition partials are reduced EXECUTOR-side before the
+        driver sees anything (round-11 review finding): each partial is
+        2,048 int64 words, a posexplode + per-word ``bit_or`` aggregate
+        ORs them across partitions, and a second aggregate reassembles
+        one word array per (bucket, column) — so the driver collects
+        ≤ buckets × columns bitmaps regardless of rows OR partitions
+        written (a 1 TB commit would otherwise collect ~2,000 partials
+        per column).
         """
         if not self.bloom_cols:
             return {}
@@ -854,64 +863,78 @@ class ParquetMergeStore:
                                 bits[pos >> 3] |= 1 << (pos & 7)
                         except TypeError:
                             acc[key] = None
+
+            def _words(bits: bytearray) -> list[int]:
+                out = []
+                for j in range(0, nbytes, 8):
+                    w = int.from_bytes(bits[j : j + 8], "little")
+                    out.append(w - (1 << 64) if w >= 1 << 63 else w)
+                return out
+
             yield pa.RecordBatch.from_pydict(
                 {
                     "bucket": pa.array(
                         [b for b, _ in acc], type=pa.int32()
                     ),
                     "col": pa.array([c for _, c in acc]),
-                    "bits": pa.array(
+                    "words": pa.array(
                         [
-                            None if v is None else bytes(v)
+                            None if v is None else _words(v)
                             for v in acc.values()
                         ],
-                        type=pa.binary(),
+                        type=pa.list_(pa.int64()),
                     ),
                 }
             )
 
-        rows = df.mapInArrow(
-            partial_bitmaps, "bucket int, col string, bits binary"
-        ).collect()
-        return self._fold_bloom_partials(rows, m, k, nbytes)
+        partials = df.mapInArrow(
+            partial_bitmaps, "bucket int, col string, words array<bigint>"
+        )
+        # poisoned partials carry NULL words; posexplode_outer keeps
+        # them as an (i=NULL, w=NULL) row so the poison survives the
+        # word-wise OR and flags the group below
+        exploded = partials.select(
+            "bucket", "col", F.posexplode_outer("words").alias("i", "w")
+        )
+        reduced = exploded.groupBy("bucket", "col", "i").agg(
+            F.bit_or("w").alias("w")
+        )
+        rows = (
+            reduced.groupBy("bucket", "col")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ).alias("words"),
+                F.max(F.col("i").isNull()).alias("poisoned"),
+            )
+            .collect()
+        )
+        return self._fold_bloom_rows(rows, m, k)
 
     @staticmethod
-    def _fold_bloom_partials(
-        rows, m: int, k: int, nbytes: int
-    ) -> dict[int, dict[str, dict]]:
-        """OR the collected per-partition partial bitmaps into the
-        manifest's bloom dicts — the only DRIVER-side step of the
-        bloom build, O(len(rows) × 16 KiB) where len(rows) ≤ input
-        partitions × bloom columns (measured flat vs store size in
+    def _fold_bloom_rows(rows, m: int, k: int) -> dict[int, dict[str, dict]]:
+        """Repack the executor-reduced word arrays into the manifest's
+        bloom dicts — the only DRIVER-side step of the bloom build,
+        O(buckets × bloom columns × 16 KiB) regardless of rows or
+        partitions written (measured flat vs store size in
         scripts/bloom_scale_check.py)."""
         import base64
 
-        merged: dict[int, dict[str, int]] = {}
-        poisoned: set = set()
+        out: dict[int, dict[str, dict]] = {}
         for r in rows:
-            if r.bits is None:
-                poisoned.add((r.bucket, r.col))
+            if r.poisoned:
                 continue
-            cm = merged.setdefault(int(r.bucket), {})
-            cm[r.col] = cm.get(r.col, 0) | int.from_bytes(
-                r.bits, "little"
+            bits = b"".join(
+                (w & ((1 << 64) - 1)).to_bytes(8, "little")
+                for w in r.words
             )
-        for b, c in poisoned:
-            merged.get(b, {}).pop(c, None)
-        return {
-            b: {
-                c: {
-                    "m": m,
-                    "k": k,
-                    "bits": base64.b64encode(
-                        acc.to_bytes(nbytes, "little")
-                    ).decode(),
-                }
-                for c, acc in cm.items()
+            out.setdefault(int(r.bucket), {})[r.col] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bits).decode(),
             }
-            for b, cm in merged.items()
-            if cm
-        }
+        return out
 
     def _pruned_bucket_paths(
         self, version: int, where: dict[str, tuple] | None
@@ -2485,9 +2508,14 @@ class ParquetMergeStore:
             if want >= int(max_buckets):
                 break
             want *= 2
+        # clamp BEFORE the no-op check: a non-power-of-two cap can pull
+        # `want` back to (or below) the current count, and reporting
+        # that as action="rebucket" would feed phantom actions to a
+        # recurring maintenance job (round-11 review finding)
+        want = min(want, int(max_buckets))
         if want <= self.num_buckets:
             return {"action": "none", "reason": "at max_buckets", **report}
-        version = self.rebucket(spark, min(want, int(max_buckets)))
+        version = self.rebucket(spark, want)
         return {
             "action": "rebucket",
             "to": self.num_buckets,

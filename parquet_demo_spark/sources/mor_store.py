@@ -179,6 +179,21 @@ class MergeOnReadStore:
     def delta_count(self) -> int:
         return len(self._log()["dirs"])
 
+    def _entry_files(self) -> list[tuple[int, str]]:
+        """(entry number, filename) for every well-formed e*.json in
+        the chain dir — the single parse both :meth:`clean_orphans`
+        (numbers above head) and :meth:`vacuum` (numbers below head)
+        filter, so the naming scheme lives in one place."""
+        out = []
+        for name in sorted(os.listdir(self._entries_root)):
+            if not (name.startswith("e") and name.endswith(".json")):
+                continue
+            try:
+                out.append((int(name[1:-5]), name))
+            except ValueError:
+                continue
+        return out
+
     def clean_orphans(self) -> list[str]:
         """Remove crashed commits' log entries (numbers above the
         committed head) so their slots become claimable again — the
@@ -187,13 +202,7 @@ class MergeOnReadStore:
         stay (vacuum reclaims them). Returns removed paths."""
         head = self._log()["entry"]
         removed = []
-        for name in sorted(os.listdir(self._entries_root)):
-            if not (name.startswith("e") and name.endswith(".json")):
-                continue
-            try:
-                n = int(name[1:-5])
-            except ValueError:
-                continue
+        for n, name in self._entry_files():
             if n > head:
                 os.remove(os.path.join(self._entries_root, name))
                 removed.append(os.path.join("_log", name))
@@ -427,30 +436,44 @@ class MergeOnReadStore:
             [], ", ".join(f"`{c}` {types[c]}" for c in cols)
         )
 
-    def _delta_frame(self, spark: SparkSession) -> DataFrame | None:
+    def _delta_frame(
+        self, spark: SparkSession, dirs: list[str] | None = None
+    ) -> DataFrame | None:
         """Live delta rows, each tagged with its commit's POSITION in
         the log (``__seq``): the committed dirs order IS the total
         write order, so sequence comes from the log — never from data
         files (a CAS-losing rebased append would otherwise carry a
-        stale embedded number). The per-dir union is bounded by
-        compaction cadence, never by base size."""
-        dirs = self._log()["dirs"]
+        stale embedded number). ``dirs`` pins an explicit snapshot of
+        the log (compact() MUST pass the same list it later truncates
+        — a second read would race a concurrent append). The union is
+        a balanced tree (O(D log D) driver analysis, not the O(D²)
+        left-deep chain), bounded by compaction cadence either way."""
+        if dirs is None:
+            dirs = self._log()["dirs"]
         if not dirs:
             return None
-        out = None
+        frames = []
         for i, d in enumerate(dirs):
             df = spark.read.parquet(os.path.join(self._deltas_root, d))
             if _SEQ in df.columns:  # legacy log: embedded commit seq
                 df = df.drop(_SEQ)
-            df = df.withColumn(_SEQ, F.lit(i).cast("bigint"))
-            out = df if out is None else out.unionByName(df)
-        return out
+            frames.append(df.withColumn(_SEQ, F.lit(i).cast("bigint")))
+        while len(frames) > 1:
+            frames = [
+                frames[i].unionByName(frames[i + 1])
+                if i + 1 < len(frames)
+                else frames[i]
+                for i in range(0, len(frames), 2)
+            ]
+        return frames[0]
 
-    def _resolved(self, spark: SparkSession) -> DataFrame | None:
+    def _resolved(
+        self, spark: SparkSession, dirs: list[str] | None = None
+    ) -> DataFrame | None:
         """Latest delta action per PK: highest __seq wins (PKs are
         unique within a batch after the commit-side collapse, so the
         sequence alone is a total order per key)."""
-        dl = self._delta_frame(spark)
+        dl = self._delta_frame(spark, dirs)
         if dl is None:
             return None
         w = Window.partitionBy(*self.keys).orderBy(F.col(_SEQ).desc())
@@ -529,10 +552,15 @@ class MergeOnReadStore:
         with the fold survives the truncation (it still overlays the
         freshly-compacted base correctly — per-PK it is newer than
         everything folded)."""
-        latest = self._resolved(spark)
+        # ONE log snapshot feeds both the fold and the truncation: a
+        # second read would include a concurrently appended delta in
+        # `folded` that `latest` never resolved — truncated and deleted
+        # without ever reaching the base (round-11 review finding)
+        folded_dirs = list(self._log()["dirs"])
+        latest = self._resolved(spark, folded_dirs)
         if latest is None:
             return
-        folded = set(self._log()["dirs"])
+        folded = set(folded_dirs)
         cols = self._columns()
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
         dels = latest.filter(F.col(_OP) == "d").select(*self.keys)
@@ -597,13 +625,7 @@ class MergeOnReadStore:
             if name.startswith("_DELTAS.") and name != pointer:
                 os.unlink(os.path.join(self.root, name))
                 removed.append(name)
-        for name in sorted(os.listdir(self._entries_root)):
-            if not (name.startswith("e") and name.endswith(".json")):
-                continue
-            try:
-                n = int(name[1:-5])
-            except ValueError:
-                continue
+        for n, name in self._entry_files():
             if n < log["entry"]:
                 os.unlink(os.path.join(self._entries_root, name))
                 removed.append(os.path.join("_log", name))

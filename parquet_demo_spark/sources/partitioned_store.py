@@ -786,12 +786,31 @@ class PartitionedParquetMergeStore:
         else:
             g_cols = list(upserts.columns)
             g_types = {}
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in upserts.schema.fields
+        }
+        # TYPE half of the schema law (round-11 review): evolution adds
+        # or drops columns, it never RETYPES one. A retyped batch routed
+        # exclusively to a NEW partition would otherwise create a fresh
+        # child with the drifted physical type without any child-level
+        # check firing — and a later era-grouped whole-table read (one
+        # parquet scan across same-named children) dies on the mixed
+        # types. Reject at the door, like the MOR store's commit_delta.
+        drift = {
+            c: (got[c], (g_types or {}).get(c))
+            for c in got
+            if (g_types or {}).get(c) not in (None, got[c])
+        }
+        if drift:
+            raise ValueError(
+                "schema drift: batch column TYPES differ from the "
+                f"table's record {drift} (batch type, table type); "
+                "schema evolution adds columns, never retypes them"
+            )
         g_types = {
             **{c: t for c, t in (g_types or {}).items() if c in g_cols},
-            **{
-                f.name: f.dataType.simpleString()
-                for f in upserts.schema.fields
-            },
+            **got,
         }
         # fail-fast CHECK validation of the whole BATCH, before routing:
         # a violating multi-partition backfill must raise before ANY

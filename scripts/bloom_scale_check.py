@@ -97,34 +97,29 @@ def main() -> None:
         }
     t_old = time.perf_counter() - t0
 
-    # new path, split: distributed job+collect vs driver-only fold
-    nbytes = (_BLOOM_MAX_BITS + 7) // 8
+    # new path, split: distributed job+collect vs driver-only repack.
+    # Since the round-11 executor-side bit_or reduction, the driver
+    # sees ≤ buckets × columns word arrays — never per-partition
+    # partials — so the fold input is capped by layout, not by data.
     t0 = time.perf_counter()
     new = store._out_dir_blooms(spark, out_dir)
     t_new_total = time.perf_counter() - t0
 
-    # re-run the job once to harvest the partials, then time ONLY the
-    # driver fold over them (the flatness claim)
-    dfb = spark.read.parquet(out_dir)
-    # reuse the exact production job by timing the fold on its output:
-    # _out_dir_blooms has no public seam for the rows, so rebuild them
-    # with the same mapInArrow body via a single extra call — the fold
-    # input size is what matters and is printed below
-    partial_rows = None
-    orig_fold = ParquetMergeStore._fold_bloom_partials
+    final_rows = None
+    orig_fold = ParquetMergeStore._fold_bloom_rows
 
-    def capture(rows, m_, k_, nb_):
-        nonlocal partial_rows
-        partial_rows = rows
-        return orig_fold(rows, m_, k_, nb_)
+    def capture(rows, m_, k_):
+        nonlocal final_rows
+        final_rows = rows
+        return orig_fold(rows, m_, k_)
 
-    ParquetMergeStore._fold_bloom_partials = staticmethod(capture)
+    ParquetMergeStore._fold_bloom_rows = staticmethod(capture)
     try:
         store._out_dir_blooms(spark, out_dir)
     finally:
-        ParquetMergeStore._fold_bloom_partials = staticmethod(orig_fold)
+        ParquetMergeStore._fold_bloom_rows = staticmethod(orig_fold)
     t0 = time.perf_counter()
-    folded = orig_fold(partial_rows, _BLOOM_MAX_BITS, _BLOOM_K, nbytes)
+    folded = orig_fold(final_rows, _BLOOM_MAX_BITS, _BLOOM_K)
     t_fold = time.perf_counter() - t0
 
     assert folded == new
@@ -133,12 +128,12 @@ def main() -> None:
             assert bloom == old[b][c], f"bucket {b} col {c} bits differ"
     print(
         f"copies={copies} rows={rows} buckets={len(rels)} "
-        f"partials={len(partial_rows)}"
+        f"driver_rows={len(final_rows)} (= buckets x bloom cols)"
     )
     print(f"commit total (merge incl. bloom job): {t_commit:.2f}s")
     print(f"old driver build (r10 path, all-driver): {t_old:.2f}s")
     print(f"new bloom job (distributed, wall): {t_new_total:.2f}s")
-    print(f"new DRIVER fold only ({len(partial_rows)} partials): {t_fold:.3f}s")
+    print(f"new DRIVER fold only ({len(final_rows)} rows): {t_fold:.3f}s")
     print("bit-identity old==new: ok")
 
 

@@ -1182,6 +1182,31 @@ def test_maintain_rebuckets_on_growth_and_converges(spark, tmp_path):
     assert act3["action"] == "none" and act3["reason"] == "at max_buckets"
 
 
+def test_maintain_non_pow2_cap_reports_none_not_phantom_rebucket(
+    spark, tmp_path
+):
+    """A non-power-of-two max_buckets can clamp the doubled target
+    back to (or below) the current count; that must report
+    action='none' (at max_buckets), never a phantom 'rebucket' whose
+    underlying call was a no-op (round-11 review finding)."""
+    st = ParquetMergeStore(
+        str(tmp_path / "mcap"), keys=("k",), version_cols=("v",),
+        num_buckets=3,
+    )
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload="z" * 3000) for i in range(60)]
+        )
+    )
+    before = st.current_version()
+    act = st.maintain(spark, target_bucket_bytes=1, max_buckets=3)
+    assert act["action"] == "none" and act["reason"] == "at max_buckets"
+    assert st.current_version() == before  # nothing committed
+    # a cap just above the current count still grows honestly
+    act2 = st.maintain(spark, target_bucket_bytes=1, max_buckets=5)
+    assert act2["action"] == "rebucket" and st.num_buckets == 5
+
+
 def test_maintain_conflicts_loudly_with_concurrent_writer(
     spark, tmp_path
 ):

@@ -641,6 +641,45 @@ def test_vacuum_removes_stray_pointer_temps_and_old_entries(
     assert _rows(st.read(spark)) == before
 
 
+def test_compact_keeps_concurrently_appended_delta(spark, tmp_path):
+    """A delta committed WHILE compact() is folding (after its log
+    snapshot, before its truncation) must survive: it stays live in
+    the log, its rows overlay the freshly compacted base, and its
+    parquet dir is not deleted (round-11 review: a second log read
+    inside compact would truncate it unfolded — silent data loss)."""
+    st = _seed(spark, tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=2, payload="edit", op="u")]),
+        op_col="op",
+    )
+    other = MergeOnReadStore(
+        st.root, keys=("k",), version_cols=("v",), num_buckets=4
+    )
+    real_merge = st.base.merge
+    raced = {}
+
+    def merge_hook(batch, **kw):
+        if not raced:
+            raced["x"] = True
+            other.commit_delta(
+                spark.createDataFrame([Row(k=99, v=1, payload="race")])
+            )
+        return real_merge(batch, **kw)
+
+    st.base.merge = merge_hook
+    try:
+        st.compact(spark)
+    finally:
+        st.base.merge = real_merge
+    assert st.delta_count() == 1  # the racer's delta is still live
+    rows = _rows(st.read(spark))
+    assert (99, 1, "race") in rows  # ...and still readable
+    assert (1, 2, "edit") in rows  # the folded delta reached the base
+    st.compact(spark)  # the next cadence folds the racer
+    assert st.delta_count() == 0
+    assert (99, 1, "race") in _rows(st.base.read(spark))
+
+
 def test_maintain_compacts_at_cadence_and_provisions_base(
     spark, tmp_path
 ):

@@ -1441,3 +1441,25 @@ def test_era_scan_matches_per_child_reads(spark, tmp_path, monkeypatch):
     assert ("d3", 2, 1, "d3/2", None) not in [
         (r.day, r.k, r.v, r.payload, r.extra) for r in fast.collect()
     ]  # the DV'd row is gone on the fast path too
+
+
+def test_merge_rejects_retyped_batch_even_into_new_partition(
+    spark, tmp_path
+):
+    """The TYPE half of the table-level schema law (round-11 review):
+    a batch whose column types drift from the table's record must be
+    rejected at the door — with or without allow_schema_evolution —
+    because a retyped batch routed exclusively to a NEW partition
+    creates a drifted child no child-level check ever sees, and an
+    era-grouped whole-table scan then dies on the mixed types."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 2)]))
+    drifted = spark.createDataFrame(
+        [Row(day="d9", k=1, v=1, payload=7)]  # payload long, was string
+    )
+    with pytest.raises(ValueError, match="TYPES"):
+        st.merge(drifted)
+    with pytest.raises(ValueError, match="TYPES"):
+        st.merge(drifted, allow_schema_evolution=True)
+    # the table is untouched and still fully readable
+    assert len(_rows(st.read(spark))) == 2
