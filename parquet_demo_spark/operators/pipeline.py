@@ -1680,3 +1680,90 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — overlapping document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 600
+_CHUNK_STRIDE = 480  # 20% overlap between consecutive chunks
+
+
+@register(
+    "q186_overlap_chunking",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source, u.s AS start,
+             length(substring(coalesce(text, ''),
+                              CAST(u.s AS INTEGER) + 1, {_CHUNK_CHARS}))
+               AS chunk_chars
+      FROM documents,
+           unnest(range(0, greatest(length(coalesce(text, '')), 1),
+                        {_CHUNK_STRIDE})) AS u(s)
+    ),
+    per_doc AS (
+      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(chunk_chars) AS BIGINT) AS cc
+      FROM c GROUP BY source, doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chunks,
+           CAST(SUM(cc) AS BIGINT) AS sum_chunk_chars,
+           CAST(MAX(nc) AS BIGINT) AS max_chunks_per_doc
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    doc="Overlapping document chunking — the RAG / context-window "
+    "prep step (fixed-size character windows, 600 chars at stride "
+    "480 = 20% overlap, the public LangChain/LlamaIndex recipe): "
+    "each document explodes into ceil(len/stride) chunks whose ids "
+    "are (doc_id, start) — a pure function of content position, so "
+    "re-chunking is idempotent and chunk references stay stable "
+    "across reruns. Checked rows are per-source chunk inventories "
+    "(docs, chunks, chunk chars, max chunks per doc). Scale shape: "
+    "chunking is MAP-SIDE (sequence + explode + substr, whole-stage "
+    "codegen, no UDF); the only shuffles are the two partial-agg "
+    "rollups — a 100 TB corpus chunks at scan speed with no "
+    "data-sized exchange of the text itself.",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    n = F.length("text")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(n - 1, F.lit(0)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        "source",
+        F.length(
+            F.col("text").substr(
+                F.col("start") + 1, F.lit(_CHUNK_CHARS)
+            )
+        ).alias("chunk_chars"),
+    )
+    per_doc = chunks.groupBy("source", "doc_id").agg(
+        F.count("*").cast("bigint").alias("nc"),
+        F.sum("chunk_chars").cast("bigint").alias("cc"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chunks"),
+            F.sum("cc").cast("bigint").alias("sum_chunk_chars"),
+            F.max("nc").cast("bigint").alias("max_chunks_per_doc"),
+        )
+        .orderBy("source")
+    )
