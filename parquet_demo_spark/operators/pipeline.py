@@ -1767,3 +1767,122 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — hashed-feature importance selection (DSIR-shape)
+# ---------------------------------------------------------------------------
+
+# Hashed n-gram feature space (DSIR, Xie et al. 2023 uses 10k buckets
+# over uni+bigrams; 64 unigram buckets here keeps the sf0.01 oracle
+# fast while exercising the identical plan shape).
+_Q187_BUCKETS = 64
+_Q187_TOP_K = 20
+
+
+@register(
+    "q187_importance_selection",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             {poly_hash_sql("token")} % {_Q187_BUCKETS} AS bucket
+      FROM tok0 WHERE token <> ''
+    ),
+    bt AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt_r,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_r) AS BIGINT) AS t_r,
+             CAST(SUM(cnt_t) AS BIGINT) AS t_t
+      FROM bt
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR((CAST(cnt_t AS DOUBLE) / CAST(t_t AS DOUBLE)
+                       - CAST(cnt_r AS DOUBLE) / CAST(t_r AS DOUBLE))
+                        * 1000000) AS BIGINT) AS w_ppm
+      FROM bt, tot
+    ),
+    db AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, lang, bucket
+    )
+    SELECT db.doc_id AS doc_id, db.lang AS lang,
+           CAST(SUM(db.c * w.w_ppm) AS BIGINT) AS score_ppm
+    FROM db JOIN w USING (bucket)
+    GROUP BY db.doc_id, db.lang
+    ORDER BY score_ppm DESC, doc_id LIMIT {_Q187_TOP_K}
+    """,
+    doc="Hashed-feature importance selection — the DSIR recipe (Data "
+    "Selection via Importance Resampling, Xie et al. 2023, public): "
+    "tokens hash into a fixed bucket space, a tiny per-bucket "
+    "distribution table is estimated for the TARGET corpus (lang='en' "
+    "stands in for the curated target) and the RAW corpus, and each "
+    "document scores by how far its bucket mass leans toward the "
+    "target. The per-bucket weight is the first-order surrogate of "
+    "the DSIR log-ratio — (p_target(b) - p_raw(b)) floored to integer "
+    "ppm — chosen over ln() because multiply/divide/floor are "
+    "IEEE-correctly-rounded in both engines (ln is not guaranteed "
+    "bit-identical), so the selection reproduces exactly cross-engine; "
+    "weights are bounded by ±1e6 ppm, so doc scores never overflow "
+    "BIGINT at any corpus size. Scale shape: the weight table is "
+    "BUCKETS rows (metadata-sized) and BROADCAST onto the per-(doc,"
+    "bucket) counts; the corpus shuffles only as partial-agg'd "
+    "(doc,bucket) tallies; the final cut is a TakeOrdered heap, never "
+    "a global sort (both plan-asserted).",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens("text")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (poly_hash("token") % _Q187_BUCKETS).alias("bucket"),
+        )
+    )
+    bt = tok.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("cnt_r"),
+        F.count(F.when(F.col("lang") == "en", True))
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    tot = bt.agg(
+        F.sum("cnt_r").cast("bigint").alias("t_r"),
+        F.sum("cnt_t").cast("bigint").alias("t_t"),
+    )
+    w = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.col("cnt_t").cast("double") / F.col("t_t").cast("double")
+                - F.col("cnt_r").cast("double") / F.col("t_r").cast("double")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("w_ppm"),
+    )
+    db = tok.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        db.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("w_ppm")).cast("bigint").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(_Q187_TOP_K)
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import tokens
+from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
 from parquet_demo_spark.registry import register, register_phases
 
 _DEFAULT_BUCKETS = 1024
@@ -979,3 +979,154 @@ def _q182_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q182_stream_index_mor", _q182_build, _q182_read)
+
+
+# ---------------------------------------------------------------------------
+# q188 — hashed-TF chunk retrieval (feature-hashing RAG, end to end)
+# ---------------------------------------------------------------------------
+
+# Same chunk grid as q186 (600-char windows, stride 480) so chunk ids
+# (doc_id, start) are interchangeable between the chunker and retrieval.
+_Q188_CHUNK_CHARS = 600
+_Q188_CHUNK_STRIDE = 480
+_Q188_DIMS = 1024  # feature-hashing dimensionality (hashing trick)
+_Q188_QUERY = "window merge scan window"  # repeated token: tf=2 path
+_Q188_TOP_K = 10
+
+
+@register(
+    "q188_hashed_tf_retrieval",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, u.s AS start,
+             substring(coalesce(text, ''),
+                       CAST(u.s AS INTEGER) + 1, {_Q188_CHUNK_CHARS})
+               AS ctext
+      FROM documents,
+           unnest(range(0, greatest(length(coalesce(text, '')), 1),
+                        {_Q188_CHUNK_STRIDE})) AS u(s)
+    ),
+    ct0 AS (
+      SELECT doc_id, start,
+             unnest(string_split_regex(lower(ctext), '[^a-z]+')) AS token
+      FROM ch
+    ),
+    cb AS (
+      SELECT doc_id, start,
+             {poly_hash_sql("token")} % {_Q188_DIMS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ct0 WHERE token <> ''
+      GROUP BY doc_id, start, bucket
+    ),
+    qt0 AS (
+      SELECT unnest(string_split_regex(lower('{_Q188_QUERY}'),
+                                       '[^a-z]+')) AS token
+    ),
+    qb AS (
+      SELECT {poly_hash_sql("token")} % {_Q188_DIMS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS qc
+      FROM qt0 WHERE token <> '' GROUP BY bucket
+    ),
+    qn AS (SELECT CAST(SUM(qc * qc) AS BIGINT) AS norm_q FROM qb),
+    pc AS (
+      SELECT cb.doc_id, cb.start,
+             CAST(SUM(cb.c * cb.c) AS BIGINT) AS norm_c,
+             CAST(SUM(cb.c * COALESCE(qb.qc, 0)) AS BIGINT) AS dot
+      FROM cb LEFT JOIN qb USING (bucket)
+      GROUP BY cb.doc_id, cb.start
+    )
+    SELECT pc.doc_id AS doc_id, CAST(pc.start AS BIGINT) AS start,
+           pc.dot AS dot,
+           CAST(FLOOR(CAST(pc.dot AS DOUBLE)
+                      / sqrt(CAST(pc.norm_c * qn.norm_q AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+    FROM pc, qn WHERE pc.dot > 0
+    ORDER BY cos_ppm DESC, doc_id, start LIMIT {_Q188_TOP_K}
+    """,
+    doc="Feature-hashing chunk retrieval — the embedding-free RAG "
+    "pipeline end to end: q186's overlapping chunker (600/480, stable "
+    "(doc_id, start) chunk ids) feeds a hashing-trick vectorizer "
+    "(token -> poly_hash % 1024, the public Weinberger et al. 2009 "
+    "recipe), and a literal query string is vectorized by the SAME "
+    "featurization; chunks rank by cosine against the query. All "
+    "counts and dot products are exact integers; the single cosine is "
+    "one IEEE divide + sqrt quantized to integer ppm, so ranking and "
+    "values reproduce bit-for-bit cross-engine. Scale shape: chunking "
+    "+ featurization are MAP-SIDE (explode/substr/hash, whole-stage "
+    "codegen); the query vector and its norm are metadata-sized and "
+    "BROADCAST; the corpus shuffles only as partial-agg'd "
+    "(chunk, bucket) tallies; the final cut is a TakeOrdered heap "
+    "(plan-asserted) — no chunk x chunk or corpus-sized sort anywhere.",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("text") - 1, F.lit(0)),
+                F.lit(_Q188_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        "start",
+        F.col("text")
+        .substr(F.col("start") + 1, F.lit(_Q188_CHUNK_CHARS))
+        .alias("ctext"),
+    )
+    cb = (
+        chunks.select(
+            "doc_id", "start", F.explode(tokens("ctext")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(
+            "doc_id",
+            "start",
+            (poly_hash("token") % _Q188_DIMS).alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    qb = (
+        spark.range(1)
+        .select(F.explode(tokens(F.lit(_Q188_QUERY))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy((poly_hash("token") % _Q188_DIMS).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("qc"))
+    )
+    qn = qb.agg(
+        F.sum(F.col("qc") * F.col("qc")).cast("bigint").alias("norm_q")
+    )
+    pc = (
+        cb.join(F.broadcast(qb), "bucket", "left")
+        .groupBy("doc_id", "start")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("norm_c"),
+            F.sum(F.col("c") * F.coalesce(F.col("qc"), F.lit(0)))
+            .cast("bigint")
+            .alias("dot"),
+        )
+        .filter(F.col("dot") > 0)
+    )
+    return (
+        pc.crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            "dot",
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("norm_c") * F.col("norm_q")).cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+        .orderBy(F.col("cos_ppm").desc(), "doc_id", "start")
+        .limit(_Q188_TOP_K)
+    )

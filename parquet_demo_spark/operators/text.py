@@ -17,13 +17,15 @@ n-gram profiles do the work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import (
     df_cut,
     df_cut_sql,
+    mean6,
+    mean6_sql,
     micro6,
     poly_hash,
     poly_hash_sql,
@@ -964,6 +966,134 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
                 / F.col("n_tokens").cast("double"),
                 6,
             ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — winsorized per-language length stats (histogram percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_winsorized_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                                  t -> t <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    hist AS (
+      SELECT lang, n, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY lang, n
+    ),
+    totals AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM hist GROUP BY lang
+    ),
+    cum AS (
+      SELECT hist.lang, n, cnt, total,
+             SUM(cnt) OVER (PARTITION BY hist.lang ORDER BY n) AS cum
+      FROM hist JOIN totals USING (lang)
+    ),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= CEIL(0.05 * CAST(total AS DOUBLE))
+                      THEN n END) AS p05,
+             MIN(CASE WHEN cum >= CEIL(0.95 * CAST(total AS DOUBLE))
+                      THEN n END) AS p95
+      FROM cum GROUP BY lang
+    ),
+    clipped AS (
+      SELECT d.lang, th.p05, th.p95,
+             LEAST(GREATEST(d.n, th.p05), th.p95) AS cn
+      FROM d JOIN th USING (lang)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(p05 AS BIGINT) AS p05, CAST(p95 AS BIGINT) AS p95,
+           CAST(SUM(cn) AS BIGINT) AS sum_clipped,
+           {mean6_sql("cn")} AS mean_clipped
+    FROM clipped GROUP BY lang, p05, p95 ORDER BY lang
+    """,
+    doc="Winsorized per-language token-length statistics — the "
+    "outlier-robust corpus profile a curation pipeline reports before "
+    "setting length filters: per-language p05/p95 token-count "
+    "percentiles, lengths clipped to that band, and the clipped "
+    "sum/mean. Percentiles are computed the SCALABLE way — over the "
+    "per-(lang, value) HISTOGRAM, not per-row: the cumulative window "
+    "runs on distinct length values (bounded by max doc length, "
+    "metadata-sized at any corpus scale), never buffers a language's "
+    "rows in one task the way percentile_disc/sort-based recipes do; "
+    "the row-level pass is a per-doc in-row array count (no explode) "
+    "plus one partial-agg'd (lang, n) rollup, and the 5-row threshold "
+    "table broadcasts back for the clip. percentile_disc semantics "
+    "(smallest value whose cumulative count reaches ceil(q*N)) are "
+    "spelled out identically in both engines — no reliance on either "
+    "engine's quantile builtin agreeing with the other.",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != F.lit("")))
+        .cast("bigint")
+        .alias("n"),
+    )
+    hist = docs.groupBy("lang", "n").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hist.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    cum = hist.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "n",
+        "total",
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+
+    def _cut(q: float) -> Column:
+        return F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(q) * F.col("total").cast("double")),
+                F.col("n"),
+            )
+        )
+
+    th = cum.groupBy("lang").agg(
+        _cut(0.05).alias("p05"), _cut(0.95).alias("p95")
+    )
+    clipped = docs.join(F.broadcast(th), "lang").select(
+        "lang",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("n"), F.col("p05")), F.col("p95")).alias(
+            "cn"
+        ),
+    )
+    return (
+        clipped.groupBy("lang", "p05", "p95")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("cn").cast("bigint").alias("sum_clipped"),
+            mean6("cn").alias("mean_clipped"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("p05").cast("bigint").alias("p05"),
+            F.col("p95").cast("bigint").alias("p95"),
+            "sum_clipped",
+            "mean_clipped",
         )
         .orderBy("lang")
     )

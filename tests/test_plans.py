@@ -378,3 +378,44 @@ def test_q180_vocab_cut_is_heap_probe_is_broadcast(spark, sf_dir):
     df = QUERIES["q180_oov_rate"].spark(spark, sf_dir)
     assert uses_take_ordered(df)
     assert uses_broadcast_join(df)
+
+
+def test_q187_weights_broadcast_cut_is_heap(spark, sf_dir):
+    """q187: the bucket-weight table must BROADCAST onto the
+    (doc, bucket) tallies and the selection cut must be a TakeOrdered
+    heap — the corpus never shuffles on bucket and never global-sorts."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q187_importance_selection"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert uses_broadcast_join(df)
+    assert single_task_window_count(df) == 0
+
+
+def test_q188_query_vector_broadcast_cut_is_heap(spark, sf_dir):
+    """q188: the query vector and its norm are metadata-sized and must
+    BROADCAST; the ranked cut must be a TakeOrdered heap; no
+    chunk x chunk join shape (every join in the plan is broadcast)."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q188_hashed_tf_retrieval"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_take_ordered(df)
+    assert uses_broadcast_join(df)
+    assert single_task_window_count(df) == 0
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q189_percentiles_run_on_histogram_not_rows(spark, sf_dir):
+    """q189: the cumulative percentile window must run over the
+    (lang, n) HISTOGRAM (partitioned by lang — never a single-task
+    window), and the 5-row threshold table must broadcast back onto
+    the per-doc clip — the row-level data shuffles only as
+    partial-agg'd (lang, n) tallies."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q189_winsorized_stats"].spark(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert single_task_window_count(df) == 0
+    # map-side combine on the histogram rollup
+    assert physical_plan(df).count("HashAggregate") >= 2
