@@ -1097,3 +1097,223 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — BPE merge-pair mining (tokenizer-training first step)
+# ---------------------------------------------------------------------------
+
+_Q190_TOP_K = 20
+
+
+@register(
+    "q190_bpe_merge_mining",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok0 WHERE token <> '' GROUP BY token
+    ),
+    pairs AS (
+      SELECT substring(token, CAST(u.i AS INTEGER), 2) AS pair, freq
+      FROM (SELECT * FROM vocab WHERE length(token) >= 2) v,
+           unnest(range(1, length(token))) AS u(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS score
+    FROM pairs GROUP BY pair
+    ORDER BY score DESC, pair LIMIT {_Q190_TOP_K}
+    """,
+    doc="BPE merge-pair mining — the first iteration of byte-pair-"
+    "encoding tokenizer training (Sennrich et al. 2016, public): count "
+    "every adjacent symbol pair across the corpus, weighted by word "
+    "frequency, and surface the top merge candidates. The corpus-sized "
+    "work is exactly one token rollup (the same shuffle shape as q25); "
+    "the pair explode then runs over the DISTINCT-token VOCABULARY "
+    "(weighted by its freq column), which is sublinear in corpus size "
+    "— the property that makes BPE training feasible at 100 TB, where "
+    "production training loops this vocab-sized job once per merge "
+    "with re-segmentation between rounds. Integer counts only; the "
+    "final cut is a TakeOrdered heap (plan-asserted).",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("token") - 1)
+            ).alias("i"),
+            "token",
+        )
+        .select(
+            F.col("token").substr(F.col("i"), F.lit(2)).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), "pair")
+        .limit(_Q190_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — char-trigram language-ID (profile classifier + confusion matrix)
+# ---------------------------------------------------------------------------
+
+_Q191_PROFILE_K = 200  # trigrams kept per language profile
+
+
+@register(
+    "q191_charngram_langid",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    tri0 AS (
+      SELECT doc_id, lang,
+             substring(token, CAST(u.i AS INTEGER), 3) AS tri
+      FROM (SELECT * FROM tok0
+            WHERE token <> '' AND length(token) >= 3) t,
+           unnest(range(1, length(token) - 1)) AS u(i)
+    ),
+    prof0 AS (
+      SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tri0 WHERE doc_id % 10 < 8 GROUP BY lang, tri
+    ),
+    prof AS (
+      SELECT lang, tri, cnt FROM prof0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, tri)
+              <= {_Q191_PROFILE_K}
+    ),
+    ptot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM prof GROUP BY lang
+    ),
+    w AS (
+      SELECT prof.lang, tri,
+             CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                        * 1000000) AS BIGINT) AS w_ppm
+      FROM prof JOIN ptot USING (lang)
+    ),
+    scores AS (
+      SELECT h.doc_id, h.lang AS true_lang, w.lang AS cand,
+             CAST(SUM(w.w_ppm) AS BIGINT) AS score
+      FROM (SELECT * FROM tri0 WHERE doc_id % 10 >= 8) h
+      JOIN w ON h.tri = w.tri
+      GROUP BY h.doc_id, h.lang, w.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang FROM scores
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand) = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+    doc="Char-trigram language identification — the classic n-gram "
+    "profile classifier (Cavnar & Trenkle 1994 / fastText's character "
+    "n-gram features, public): per-language trigram profiles are "
+    "built on the 80% train slice (doc_id%10<8) and cut to the top-"
+    f"{_Q191_PROFILE_K} trigrams per language — a rank<=k that "
+    "compiles to WindowGroupLimit, so map tasks keep k rows per "
+    "language before the shuffle; profile weights are integer-ppm "
+    "shares of the kept profile (floor(cnt/total*1e6): IEEE divide + "
+    "floor, bit-identical cross-engine). Holdout docs score per "
+    "candidate language by summing matched-trigram weights and "
+    "classify by deterministic argmax (score DESC, lang ASC); the "
+    "output is the confusion matrix. Scale shape: the profile is "
+    "langs x k rows, BROADCAST onto the holdout trigram stream (never "
+    "a shuffle on trigram); per-doc scores are partial-agg'd; the "
+    "argmax is a per-doc-partitioned window, never single-task (all "
+    "plan-asserted). Fixture caveat (module docstring): synthetic "
+    "docs share one vocabulary across lang labels, so the matrix "
+    "demonstrates the operator shape, not real discrimination.",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    tri0 = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("token")
+        )
+        .filter((F.col("token") != "") & (F.length("token") >= 3))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("token") - 2)
+            ).alias("i"),
+            "token",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("token").substr(F.col("i"), F.lit(3)).alias("tri"),
+        )
+    )
+    prof0 = (
+        tri0.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("lang", "tri")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), "tri"
+    )
+    prof = (
+        prof0.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _Q191_PROFILE_K)
+        .select("lang", "tri", "cnt")
+    )
+    ptot = prof.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    w = prof.join(F.broadcast(ptot), "lang").select(
+        "lang",
+        "tri",
+        F.floor(
+            F.col("cnt").cast("double")
+            / F.col("total").cast("double")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("w_ppm"),
+    )
+    hold = tri0.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tri"
+    )
+    scores = (
+        hold.join(
+            F.broadcast(w.select(F.col("lang").alias("cand"), "tri", "w_ppm")),
+            "tri",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("w_ppm").cast("bigint").alias("score"))
+    )
+    w_arg = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "cand"
+    )
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w_arg))
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

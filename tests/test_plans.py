@@ -419,3 +419,27 @@ def test_q189_percentiles_run_on_histogram_not_rows(spark, sf_dir):
     assert single_task_window_count(df) == 0
     # map-side combine on the histogram rollup
     assert physical_plan(df).count("HashAggregate") >= 2
+
+
+def test_q190_pair_explode_runs_on_vocab_cut_is_heap(spark, sf_dir):
+    """q190: the merge-candidate cut must be a TakeOrdered heap, and
+    both rollups (corpus->vocab, vocab->pairs) must partial-aggregate
+    map-side — the corpus-sized stage is exactly one token rollup."""
+    df = QUERIES["q190_bpe_merge_mining"].spark(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert physical_plan(df).count("HashAggregate") >= 4
+
+
+def test_q191_profile_cut_is_group_limit_probe_is_broadcast(spark, sf_dir):
+    """q191: the per-language profile cut must plan a WindowGroupLimit
+    (map tasks keep <=k trigrams per language before the shuffle), the
+    profile must BROADCAST onto the holdout trigram stream, and the
+    per-doc argmax window must be doc-partitioned — zero single-task
+    windows."""
+    from parquet_demo_spark.plans import single_task_window_count
+
+    df = QUERIES["q191_charngram_langid"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert uses_broadcast_join(df)
+    assert single_task_window_count(df) == 0
