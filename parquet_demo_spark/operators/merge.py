@@ -2596,3 +2596,124 @@ def _q185_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q185_store_maintain", _q185_build, _q185_read)
+
+
+# ---------------------------------------------------------------------------
+# q192 — write-audit-publish round trip (Iceberg WAP on the merge store)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_wap_roundtrip",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+                              THEN 1 ELSE 0 END) DESC,
+                        ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT 'published' AS action, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Write-audit-publish round trip (the Iceberg WAP pattern, "
+    "public): the events LWW snapshot commits to production, then a "
+    "candidate batch (event_id%5==0) stages on an AUDIT BRANCH — a "
+    "zero-copy shallow clone under _branches/ — with a deliberate "
+    "corruption (event_id%7==0 rows negated). The audit expectation "
+    "('no negative values') FAILS, the branch is abandoned (production "
+    "never saw the bad rows), the cleaned batch re-stages, the audit "
+    "passes, and wap_publish FAST-FORWARDS the exact audited files "
+    "into production history — metadata-only, no recompute, so "
+    "nothing can drift between audit and publish. The read then "
+    "internalizes the adopted buckets (compact min_files=1 + vacuum + "
+    "wap_abandon) and aggregates the final snapshot, so the driver "
+    "hash covers branch isolation, audit gating, fast-forward "
+    "adoption, AND the internalize path. Guards raise (red driver "
+    "row) if the bad audit ever passes or the good one fails. At "
+    "100 TB this is how a pipeline lands a day's partition without "
+    "exposing readers to unaudited data; every leg is O(changed "
+    "buckets), never a table rewrite. sources/merge_store.py "
+    "wap_branch/wap_publish/wap_abandon.",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    return _q192_read(spark, sf, _q192_build(spark, sf))
+
+
+def _q192_build(spark: SparkSession, sf: str):
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q192", sf)
+    store = ParquetMergeStore(
+        root,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+    )
+    store.merge(ev)
+    return store, ev
+
+
+def _q192_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    store, ev = state
+    candidate = ev.filter(F.col("event_id") % 5 == 0)
+    corrupted = candidate.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, -F.col("value")
+        ).otherwise(F.col("value")),
+    )
+
+    def _audit_bad(branch) -> int:
+        # the expectation a WAP audit would run as a table check:
+        # business rule 'value is never negative'
+        return branch.read(spark).filter(F.col("value") < 0).count()
+
+    bad_branch = store.wap_branch("audit")
+    bad_branch.merge(corrupted)
+    if _audit_bad(bad_branch) == 0:
+        raise AssertionError("corrupted batch passed the audit")
+    store.wap_abandon(bad_branch)
+
+    good_branch = store.wap_branch("audit")
+    good_branch.merge(candidate.filter(F.col("event_id") % 7 != 0))
+    if _audit_bad(good_branch) != 0:
+        raise AssertionError("clean batch failed the audit")
+    store.wap_publish(good_branch)
+
+    # internalize the adopted buckets so the branch dir can drop and
+    # reruns in this process can reuse the branch name
+    store.compact(spark, min_files=1)
+    store.vacuum(keep_last=1)
+    store.wap_abandon(good_branch)
+
+    return (
+        store.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            F.lit("published").alias("action"),
+            "event_type",
+            "n_keys",
+            "sum_event_id",
+            "value_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q192_wap_roundtrip", _q192_build, _q192_read)

@@ -2979,6 +2979,175 @@ class ParquetMergeStore:
         )
         return clone
 
+    # --- write-audit-publish (Iceberg WAP, a public design) -----------
+
+    _BRANCHES = "_branches"
+
+    def wap_branch(
+        self, name: str, version: int | None = None
+    ) -> "ParquetMergeStore":
+        """Open an audit branch: a shallow clone under
+        ``<root>/_branches/<name>`` pinned to the current (or given)
+        committed snapshot. This is the WRITE leg of the Iceberg
+        write-audit-publish pattern: the pipeline merges its candidate
+        batch into the branch (copy-on-write into the branch's own
+        data dir — the production table is never touched), the AUDIT
+        leg reads the branch and runs expectations, and
+        :meth:`wap_publish` fast-forwards the audited snapshot into
+        the production history without recomputing the write.
+
+        The branch root lives inside the store root but outside its
+        ``data``/``changes``/``dv`` sweep roots, so production
+        ``vacuum`` never collects branch state (and branch vacuum
+        never crosses into the source — the shallow-clone law).
+        """
+        dst = os.path.join(self.root, self._BRANCHES, str(name))
+        if os.path.exists(dst):
+            raise ValueError(
+                f"branch {name!r} already exists at {dst}: publish or "
+                "abandon it first (wap_publish / wap_abandon)"
+            )
+        return self.shallow_clone(dst, version=version)
+
+    def _branch_base(self, branch: "ParquetMergeStore") -> int:
+        """Validate that ``branch`` is an audit branch of THIS store
+        and return the pinned base version."""
+        try:
+            v0 = branch._read_manifest(0)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{branch.root} has no v0 manifest — not a branch"
+            ) from None
+        params = v0.get("op_params", {})
+        if v0.get("operation") != "clone" or params.get("source") != self.root:
+            raise ValueError(
+                f"{branch.root} is not a branch of {self.root} "
+                f"(v0 operation={v0.get('operation')!r}, "
+                f"source={params.get('source')!r})"
+            )
+        return int(params["source_version"])
+
+    def wap_publish(self, branch: "ParquetMergeStore") -> int:
+        """PUBLISH leg of write-audit-publish: adopt the branch's
+        audited head snapshot as the next committed version of this
+        store — a metadata-only fast-forward (Iceberg's
+        ``fast_forward`` / cherry-pick of a ``wap.id`` snapshot). The
+        EXACT files the audit read become the published snapshot; no
+        data is recomputed or rewritten, so nothing can drift between
+        audit and publish.
+
+        Publishing is intentionally NOT rebase-safe: it adopts the
+        branch's view of every bucket, so if the production table
+        advanced past the branch's base the fast-forward would
+        silently revert those commits. A moved base (or a lost commit
+        race — the manifest O_EXCL create is the arbiter) raises
+        :class:`ConcurrentWriteConflict`; re-branch from the new head
+        and re-audit.
+
+        The published manifest references the branch's data dirs in
+        place (under ``_branches/``, outside vacuum's sweep roots).
+        ``wap_abandon`` refuses to drop a published branch while any
+        live manifest still references it; ``compact(spark,
+        min_files=1)`` rewrites every bucket — adopted branch buckets
+        are single-file, below the default threshold — into the
+        store's own data dir, after which (post-vacuum) the branch
+        directory is droppable.
+        """
+        bcur = branch.current_version()
+        base = self._branch_base(branch)
+        if bcur is None or bcur == 0:
+            raise ValueError(
+                f"branch {branch.root} has no audited commits beyond "
+                "its base — nothing to publish"
+            )
+        bm = branch._read_manifest(bcur)
+        if (
+            tuple(bm["keys"]) != tuple(self.keys)
+            or tuple(bm["version_cols"]) != tuple(self.version_cols)
+            or int(bm["num_buckets"]) != int(self.num_buckets)
+        ):
+            raise ValueError(
+                "branch table definition diverged (keys/version_cols/"
+                "num_buckets) — a rebucketed branch cannot fast-forward "
+                "into the production bucket routing"
+            )
+        cur = self.current_version()
+        if cur != base:
+            raise ConcurrentWriteConflict(
+                f"cannot publish branch {branch.root}: production head "
+                f"moved from the branch base v{base} to v{cur} — "
+                "re-branch from the new head and re-audit"
+            )
+        broot = branch.root
+
+        def _abs(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(broot, p)
+
+        return self._commit(
+            cur + 1,
+            {b: _abs(p) for b, p in branch._bucket_paths(bcur).items()},
+            list(bm["columns"]),
+            stats={int(k): v for k, v in bm.get("stats", {}).items()},
+            blooms={int(k): v for k, v in bm.get("blooms", {}).items()},
+            file_stats={
+                int(k): v for k, v in bm.get("file_stats", {}).items()
+            },
+            dv={
+                int(k): _abs(v) for k, v in bm.get("dv", {}).items()
+            },
+            operation="wap_publish",
+            op_params={
+                "branch": broot,
+                "branch_version": bcur,
+                "base_version": base,
+            },
+            # sticky evolution: the branch may have evolved the schema;
+            # its flag must survive the fast-forward (the main chain's
+            # derivation cannot see the branch's intermediate commits)
+            evolved=bool(bm.get("evolved", True))
+            or self._evolved_flag(cur + 1, list(bm["columns"])),
+        )
+
+    def wap_abandon(
+        self, branch: "ParquetMergeStore", keep_last: int = 1
+    ) -> None:
+        """Drop an audit branch. Refuses when any RETAINED committed
+        version of THIS store still references data under the branch
+        root (i.e. the branch was published and not yet compacted
+        away) — deleting it would destroy committed production data,
+        the same failure mode as vacuuming a shallow clone's source.
+
+        Retention mirrors :meth:`vacuum`: the newest ``keep_last``
+        committed versions plus the head. Older branch-referencing
+        history behaves exactly like vacuumed history afterwards —
+        time travel to it raises the descriptive missing-data error
+        rather than mis-reading. The blessed full cleanup is
+        ``compact(spark, min_files=1)`` (internalize adopted buckets)
+        → ``vacuum()`` → ``wap_abandon()``."""
+        import shutil
+
+        self._branch_base(branch)  # validates ownership
+        bpfx = os.path.abspath(branch.root) + os.sep
+        cur = self.current_version()
+        if cur is not None:
+            committed = [v for v in self.history() if v <= cur]
+            retained = set(committed[-max(1, int(keep_last)) :]) | {cur}
+            for v in sorted(retained):
+                m = self._read_manifest(v)
+                refs = list(m.get("bucket_paths", {}).values()) + list(
+                    m.get("dv", {}).values()
+                )
+                if any(
+                    os.path.isabs(p) and os.path.abspath(p).startswith(bpfx)
+                    for p in refs
+                ):
+                    raise ValueError(
+                        f"branch {branch.root} is referenced by committed "
+                        f"version v{v}: compact() and vacuum() the store "
+                        "before abandoning a published branch"
+                    )
+        shutil.rmtree(branch.root)
+
     def describe_history(self) -> list[dict]:
         """Commit log of the COMMITTED versions, oldest first — Delta's
         DESCRIBE HISTORY: operation name, its parameters, wall-clock

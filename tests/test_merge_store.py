@@ -2867,3 +2867,136 @@ def test_probe_of_vacuumed_version_raises_descriptive_error(
     # is cached per version after the first probe (admission hot path)
     assert [r.payload for r in st.probe(spark, keys).collect()] == ["v1"]
     assert st.current_version() in st._pk_types_by_version
+
+
+# --- write-audit-publish (WAP) laws ----------------------------------------
+
+
+def test_wap_publish_adopts_audited_snapshot_exactly(spark, tmp_path):
+    """The published snapshot must be the EXACT rows the audit read —
+    fast-forward adoption, no recompute."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame(
+            [Row(k=2, v=2, payload="b2"), Row(k=3, v=1, payload="c")]
+        )
+    )
+    audited = _rows(br.read(spark))
+    # production unchanged while the branch is open
+    assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+    v = st.wap_publish(br)
+    assert v == st.current_version()
+    assert _rows(st.read(spark)) == audited == [
+        (1, 1, "a"),
+        (2, 2, "b2"),
+        (3, 1, "c"),
+    ]
+    hist = st.describe_history()
+    assert hist[-1]["operation"] == "wap_publish"
+    assert hist[-1]["op_params"]["branch_version"] == 1
+
+
+def test_wap_publish_refuses_moved_base(spark, tmp_path):
+    """A production commit past the branch base must fail the publish
+    loudly (fast-forward would silently revert it)."""
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    st.merge(spark.createDataFrame([Row(k=9, v=1, payload="z")]))
+    with pytest.raises(ConcurrentWriteConflict, match="re-branch"):
+        st.wap_publish(br)
+    # production kept its own write; the branch stayed intact
+    assert (1, 1, "a") in _rows(st.read(spark))
+    assert (9, 1, "z") in _rows(st.read(spark))
+    assert (2, 1, "b") in _rows(br.read(spark))
+
+
+def test_wap_abandon_refuses_published_branch_then_allows(
+    spark, tmp_path
+):
+    """Abandoning a PUBLISHED branch would destroy committed data —
+    refuse until compact+vacuum internalize the adopted files."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    st.wap_publish(br)
+    with pytest.raises(ValueError, match="referenced by committed"):
+        st.wap_abandon(br)
+    # min_files=1 rewrites every bucket (adopted branch buckets are
+    # single-file, so the default threshold would skip them)
+    st.compact(spark, min_files=1)
+    st.vacuum(keep_last=1)
+    st.wap_abandon(br)
+    assert not os.path.exists(br.root)
+    assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_wap_abandon_unpublished_branch_never_touches_production(
+    spark, tmp_path
+):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=1, v=2, payload="BAD")]))
+    st.wap_abandon(br)
+    assert not os.path.exists(br.root)
+    assert _rows(st.read(spark)) == [(1, 1, "a")]
+    # the branch name is reusable after abandon
+    br2 = st.wap_branch("audit1")
+    assert _rows(br2.read(spark)) == [(1, 1, "a")]
+
+
+def test_wap_publish_rejects_foreign_or_rebucketed_branch(
+    spark, tmp_path
+):
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    other = ParquetMergeStore(
+        str(tmp_path / "other"), keys=("k",), version_cols=("v",)
+    )
+    other.merge(spark.createDataFrame([Row(k=1, v=1, payload="x")]))
+    with pytest.raises(ValueError, match="not a branch"):
+        st.wap_publish(other)
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    br.rebucket(spark, 8)
+    with pytest.raises(ValueError, match="rebucketed"):
+        st.wap_publish(br)
+
+
+def test_wap_publish_loses_commit_race_cleanly(spark, tmp_path):
+    """Even if the base check passes, the manifest CAS must arbitrate:
+    a competitor landing the next version first fails the publish."""
+    from parquet_demo_spark.sources.merge_store import (
+        ConcurrentWriteConflict,
+    )
+
+    import json
+
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    # simulate the exact race window: a competitor created the next
+    # version's manifest (CAS taken) but has not swapped the pointer
+    # yet — the publish's base check passes, the manifest CAS must
+    # still arbitrate
+    assert st._branch_base(br) == st.current_version()
+    nxt = st._manifest_path(st.current_version() + 1)
+    os.makedirs(os.path.dirname(nxt), exist_ok=True)
+    with open(nxt, "x") as fh:
+        json.dump({}, fh)
+    with pytest.raises(ConcurrentWriteConflict):
+        st.wap_publish(br)
