@@ -1886,3 +1886,81 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "doc_id")
         .limit(_Q187_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — k-anonymity audit (privacy gate over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+_Q193_K = 5
+_Q193_BAND = 500  # chars per length band (quasi-identifier coarsening)
+
+
+@register(
+    "q193_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // {_Q193_BAND} AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source, band
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_Q193_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN n < {_Q193_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_docs_at_risk,
+           CAST(FLOOR(CAST(SUM(CASE WHEN n < {_Q193_K} THEN n ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(SUM(n) AS DOUBLE) * 1000000) AS BIGINT)
+             AS risk_ppm
+    FROM g GROUP BY lang ORDER BY lang
+    """,
+    doc="k-anonymity audit — the privacy gate a release pipeline runs "
+    "before publishing a corpus (Sweeney 2002, public): group "
+    "documents by their quasi-identifier tuple (lang, source, "
+    f"{_Q193_BAND}-char length band), flag groups smaller than "
+    f"k={_Q193_K} (a document alone in its quasi-identifier cell is "
+    "re-identifiable), and report per-language group counts, at-risk "
+    "document counts, and the integer-ppm suppression rate a "
+    "k-anonymous release would need. Complements q81's PII redaction "
+    "(masking direct identifiers does not fix quasi-identifier "
+    "uniqueness). Scale shape: two partial-agg'd rollups — the "
+    "quasi-identifier groupBy shuffles only (lang, source, band) "
+    "tallies, never documents; all integer arithmetic plus one final "
+    "IEEE divide/floor, bit-identical cross-engine.",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        load(spark, sf, "documents")
+        .select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _Q193_BAND)
+            .cast("bigint")
+            .alias("band"),
+        )
+        .groupBy("lang", "source", "band")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    small = F.col("n") < _Q193_K
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(small, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small_groups"),
+            F.sum(F.when(small, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_at_risk"),
+            F.floor(
+                F.sum(F.when(small, F.col("n")).otherwise(0)).cast("double")
+                / F.sum("n").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("risk_ppm"),
+        )
+        .orderBy("lang")
+    )
