@@ -232,6 +232,48 @@ def mean6_sql(expr: str) -> str:
     )
 
 
+# --- overlapping chunk grid (RAG prep) -------------------------------------
+# ONE grid shared by the chunker (q186) and chunk retrieval (q188): chunk
+# ids are (doc_id, start), a pure function of content position, and the
+# interchangeability of those ids across queries holds only while both
+# read the grid from here.
+
+CHUNK_CHARS = 600
+CHUNK_STRIDE = 480  # 20% overlap between consecutive chunks
+
+
+def chunk_starts(col: Column | str) -> Column:
+    """0-based start offsets of the overlapping chunk grid over a text
+    column, as an array (explode for one row per chunk). Empty text
+    still yields one chunk at start 0. Twin: :func:`chunk_starts_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sequence(
+        F.lit(0),
+        F.greatest(F.length(c) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+
+
+def chunk_starts_sql(expr: str) -> str:
+    """DuckDB lateral-unnest fragment mirroring :func:`chunk_starts`
+    (append ``AS u(s)`` at the call site)."""
+    return f"unnest(range(0, greatest(length({expr}), 1), {CHUNK_STRIDE}))"
+
+
+def chunk_text(col: Column | str, start: Column) -> Column:
+    """The chunk's text at a 0-based grid offset. Twin:
+    :func:`chunk_text_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.substr(start + 1, F.lit(CHUNK_CHARS))
+
+
+def chunk_text_sql(expr: str, start_expr: str) -> str:
+    return (
+        f"substring({expr}, CAST({start_expr} AS INTEGER) + 1, "
+        f"{CHUNK_CHARS})"
+    )
+
+
 def epoch_us(col: Column | str) -> Column:
     """Microseconds since 1970-01-01 00:00:00, timestamp-type-agnostic.
 

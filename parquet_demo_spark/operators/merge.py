@@ -2693,7 +2693,7 @@ def _q192_read(spark: SparkSession, sf: str, state) -> DataFrame:
     # reruns in this process can reuse the branch name
     store.compact(spark, min_files=1)
     store.vacuum(keep_last=1)
-    store.wap_abandon(good_branch)
+    store.wap_abandon(good_branch, keep_last=1)  # same retention as vacuum
 
     return (
         store.read(spark)

@@ -45,6 +45,10 @@ from pyspark.sql import functions as F
 from parquet_demo_spark.catalog import load
 from parquet_demo_spark.functions import (
     qround,
+    chunk_starts,
+    chunk_starts_sql,
+    chunk_text,
+    chunk_text_sql,
     df_cut,
     df_cut_sql,
     mean6,
@@ -1686,21 +1690,16 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
 # q186 — overlapping document chunking (RAG / context-window prep)
 # ---------------------------------------------------------------------------
 
-_CHUNK_CHARS = 600
-_CHUNK_STRIDE = 480  # 20% overlap between consecutive chunks
-
 
 @register(
     "q186_overlap_chunking",
     oracle=f"""
     WITH c AS (
       SELECT doc_id, source, u.s AS start,
-             length(substring(coalesce(text, ''),
-                              CAST(u.s AS INTEGER) + 1, {_CHUNK_CHARS}))
+             length({chunk_text_sql("coalesce(text, '')", "u.s")})
                AS chunk_chars
       FROM documents,
-           unnest(range(0, greatest(length(coalesce(text, '')), 1),
-                        {_CHUNK_STRIDE})) AS u(s)
+           {chunk_starts_sql("coalesce(text, '')")} AS u(s)
     ),
     per_doc AS (
       SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS nc,
@@ -1732,26 +1731,15 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
-    n = F.length("text")
     chunks = docs.select(
         "doc_id",
         "source",
         "text",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(n - 1, F.lit(0)),
-                F.lit(_CHUNK_STRIDE),
-            )
-        ).alias("start"),
+        F.explode(chunk_starts("text")).alias("start"),
     ).select(
         "doc_id",
         "source",
-        F.length(
-            F.col("text").substr(
-                F.col("start") + 1, F.lit(_CHUNK_CHARS)
-            )
-        ).alias("chunk_chars"),
+        F.length(chunk_text("text", F.col("start"))).alias("chunk_chars"),
     )
     per_doc = chunks.groupBy("source", "doc_id").agg(
         F.count("*").cast("bigint").alias("nc"),
@@ -1854,9 +1842,14 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
             (poly_hash("token") % _Q187_BUCKETS).alias("bucket"),
         )
     )
-    bt = tok.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("cnt_r"),
-        F.count(F.when(F.col("lang") == "en", True))
+    db = tok.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # the bucket distributions fold from db's metadata-sized tallies —
+    # the corpus tokenizes/explodes exactly ONCE, not once per rollup
+    bt = db.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("cnt_t"),
     )
@@ -1875,9 +1868,6 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("w_ppm"),
-    )
-    db = tok.groupBy("doc_id", "lang", "bucket").agg(
-        F.count("*").cast("bigint").alias("c")
     )
     return (
         db.join(F.broadcast(w), "bucket")

@@ -36,7 +36,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import poly_hash, poly_hash_sql, tokens
+from parquet_demo_spark.functions import (
+    chunk_starts,
+    chunk_starts_sql,
+    chunk_text,
+    chunk_text_sql,
+    poly_hash,
+    poly_hash_sql,
+    tokens,
+)
 from parquet_demo_spark.registry import register, register_phases
 
 _DEFAULT_BUCKETS = 1024
@@ -985,10 +993,9 @@ register_phases("q182_stream_index_mor", _q182_build, _q182_read)
 # q188 — hashed-TF chunk retrieval (feature-hashing RAG, end to end)
 # ---------------------------------------------------------------------------
 
-# Same chunk grid as q186 (600-char windows, stride 480) so chunk ids
-# (doc_id, start) are interchangeable between the chunker and retrieval.
-_Q188_CHUNK_CHARS = 600
-_Q188_CHUNK_STRIDE = 480
+# The chunk grid is functions.chunk_starts/chunk_text — the SAME grid
+# q186 chunks with, so chunk ids (doc_id, start) are interchangeable
+# between the chunker and retrieval by construction.
 _Q188_DIMS = 1024  # feature-hashing dimensionality (hashing trick)
 _Q188_QUERY = "window merge scan window"  # repeated token: tf=2 path
 _Q188_TOP_K = 10
@@ -999,12 +1006,9 @@ _Q188_TOP_K = 10
     oracle=f"""
     WITH ch AS (
       SELECT doc_id, u.s AS start,
-             substring(coalesce(text, ''),
-                       CAST(u.s AS INTEGER) + 1, {_Q188_CHUNK_CHARS})
-               AS ctext
+             {chunk_text_sql("coalesce(text, '')", "u.s")} AS ctext
       FROM documents,
-           unnest(range(0, greatest(length(coalesce(text, '')), 1),
-                        {_Q188_CHUNK_STRIDE})) AS u(s)
+           {chunk_starts_sql("coalesce(text, '')")} AS u(s)
     ),
     ct0 AS (
       SELECT doc_id, start,
@@ -1064,20 +1068,12 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     )
     chunks = docs.select(
         "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.length("text") - 1, F.lit(0)),
-                F.lit(_Q188_CHUNK_STRIDE),
-            )
-        ).alias("start"),
+        F.explode(chunk_starts("text")).alias("start"),
         "text",
     ).select(
         "doc_id",
         "start",
-        F.col("text")
-        .substr(F.col("start") + 1, F.lit(_Q188_CHUNK_CHARS))
-        .alias("ctext"),
+        chunk_text("text", F.col("start")).alias("ctext"),
     )
     cb = (
         chunks.select(

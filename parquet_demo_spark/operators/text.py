@@ -981,8 +981,8 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT lang, doc_id,
-             CAST(len(list_filter(string_split_regex(lower(text),
-                                                     '[^a-z]+'),
+             CAST(len(list_filter(string_split_regex(
+                          lower(coalesce(text, '')), '[^a-z]+'),
                                   t -> t <> '')) AS BIGINT) AS n
       FROM documents
     ),
@@ -1038,7 +1038,15 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select(
         "lang",
         "doc_id",
-        F.size(F.filter(tokens("text"), lambda t: t != F.lit("")))
+        # coalesce first: size(NULL array) is -1 in Spark but the
+        # oracle's len() of a NULL list is NULL — a NULL-text row
+        # would silently shift the histogram's head cross-engine
+        F.size(
+            F.filter(
+                tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: t != F.lit(""),
+            )
+        )
         .cast("bigint")
         .alias("n"),
     )

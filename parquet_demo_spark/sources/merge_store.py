@@ -3109,21 +3109,28 @@ class ParquetMergeStore:
         )
 
     def wap_abandon(
-        self, branch: "ParquetMergeStore", keep_last: int = 1
+        self,
+        branch: "ParquetMergeStore",
+        keep_last: int | None = None,
+        older_than: float | None = None,
     ) -> None:
-        """Drop an audit branch. Refuses when any RETAINED committed
-        version of THIS store still references data under the branch
-        root (i.e. the branch was published and not yet compacted
-        away) — deleting it would destroy committed production data,
-        the same failure mode as vacuuming a shallow clone's source.
+        """Drop an audit branch. Refuses when any still-readable
+        committed version of THIS store references data under the
+        branch root (i.e. the branch was published and not yet
+        compacted away) — deleting it would destroy committed
+        production data, the same failure mode as vacuuming a shallow
+        clone's source.
 
-        Retention mirrors :meth:`vacuum`: the newest ``keep_last``
-        committed versions plus the head. Older branch-referencing
-        history behaves exactly like vacuumed history afterwards —
-        time travel to it raises the descriptive missing-data error
-        rather than mis-reading. The blessed full cleanup is
+        By default EVERY committed version guards the branch, except
+        versions that are provably already expired (some referenced
+        store-rooted dir was removed by a prior vacuum — those reads
+        raise the descriptive missing-data error regardless). Passing
+        ``keep_last``/``older_than`` relaxes the guard to exactly
+        :meth:`vacuum`'s retention shape — use the SAME values you
+        vacuum with, so the abandon's notion of time-travelable
+        history matches yours. The blessed full cleanup is
         ``compact(spark, min_files=1)`` (internalize adopted buckets)
-        → ``vacuum()`` → ``wap_abandon()``."""
+        → ``vacuum(...)`` → ``wap_abandon(branch, <same retention>)``."""
         import shutil
 
         self._branch_base(branch)  # validates ownership
@@ -3131,21 +3138,41 @@ class ParquetMergeStore:
         cur = self.current_version()
         if cur is not None:
             committed = [v for v in self.history() if v <= cur]
-            retained = set(committed[-max(1, int(keep_last)) :]) | {cur}
-            for v in sorted(retained):
+            if keep_last is None and older_than is None:
+                retained = list(committed)
+            else:
+                retained = committed[-max(1, int(keep_last or 1)) :]
+                if older_than is not None:
+                    for v in committed:
+                        if v in retained:
+                            continue
+                        at = self._read_manifest(v).get("committed_at")
+                        if at is None or at >= older_than:
+                            retained.append(v)
+            for v in sorted(set(retained) | {cur}):
                 m = self._read_manifest(v)
                 refs = list(m.get("bucket_paths", {}).values()) + list(
                     m.get("dv", {}).values()
                 )
-                if any(
+                if not any(
                     os.path.isabs(p) and os.path.abspath(p).startswith(bpfx)
                     for p in refs
                 ):
-                    raise ValueError(
-                        f"branch {branch.root} is referenced by committed "
-                        f"version v{v}: compact() and vacuum() the store "
-                        "before abandoning a published branch"
+                    continue
+                if v != cur and any(
+                    not os.path.isdir(
+                        p if os.path.isabs(p) else os.path.join(self.root, p)
                     )
+                    for p in refs
+                ):
+                    continue  # provably expired: already unreadable
+                raise ValueError(
+                    f"branch {branch.root} is referenced by committed "
+                    f"version v{v}: compact() and vacuum() the store "
+                    "before abandoning a published branch (pass this "
+                    "abandon the same keep_last/older_than you vacuum "
+                    "with)"
+                )
         shutil.rmtree(branch.root)
 
     def describe_history(self) -> list[dict]:

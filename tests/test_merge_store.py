@@ -2938,7 +2938,7 @@ def test_wap_abandon_refuses_published_branch_then_allows(
     # single-file, so the default threshold would skip them)
     st.compact(spark, min_files=1)
     st.vacuum(keep_last=1)
-    st.wap_abandon(br)
+    st.wap_abandon(br, keep_last=1)
     assert not os.path.exists(br.root)
     assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
 
@@ -3000,3 +3000,28 @@ def test_wap_publish_loses_commit_race_cleanly(spark, tmp_path):
         json.dump({}, fh)
     with pytest.raises(ConcurrentWriteConflict):
         st.wap_publish(br)
+
+
+def test_wap_abandon_default_guards_unvacuumed_history(spark, tmp_path):
+    """With no retention args, EVERY readable committed version guards
+    the branch: a publish the head has since compacted past still
+    blocks the default abandon (time travel to it must keep working),
+    and only an abandon matching the user's vacuum retention drops it."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    pub_v = st.wap_publish(br)
+    st.compact(spark, min_files=1)  # head no longer references branch
+    # no vacuum ran: v_pub is still readable and references the branch
+    with pytest.raises(ValueError, match=f"v{pub_v}"):
+        st.wap_abandon(br)
+    # generous vacuum retention keeps v_pub readable -> still refuses
+    st.vacuum(keep_last=5)
+    with pytest.raises(ValueError, match=f"v{pub_v}"):
+        st.wap_abandon(br, keep_last=5)
+    # tight retention expires it; the matching abandon is allowed
+    st.vacuum(keep_last=1)
+    st.wap_abandon(br, keep_last=1)
+    assert not os.path.exists(br.root)
+    assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
