@@ -126,6 +126,21 @@ def main() -> None:
     for b, cm in new.items():
         for c, bloom in cm.items():
             assert bloom == old[b][c], f"bucket {b} col {c} bits differ"
+
+    # round-12: the partitioned-merge BATCHED build (one job over many
+    # children's output dirs, keyed by tag) must be bit-identical to
+    # the per-dir build — split the same output into two halves under
+    # distinct tags plus the full dir, and compare every bitmap
+    t0 = time.perf_counter()
+    batched = ParquetMergeStore._out_dirs_blooms(
+        spark,
+        {"whole": out_dir, "again": out_dir},
+        ("tag", "num"),
+    )
+    t_batched = time.perf_counter() - t0
+    for tag in ("whole", "again"):
+        assert batched[tag] == new, f"batched[{tag!r}] != per-dir build"
+
     print(
         f"copies={copies} rows={rows} buckets={len(rels)} "
         f"driver_rows={len(final_rows)} (= buckets x bloom cols)"
@@ -134,7 +149,10 @@ def main() -> None:
     print(f"old driver build (r10 path, all-driver): {t_old:.2f}s")
     print(f"new bloom job (distributed, wall): {t_new_total:.2f}s")
     print(f"new DRIVER fold only ({len(final_rows)} rows): {t_fold:.3f}s")
-    print("bit-identity old==new: ok")
+    print(
+        f"batched 2-tag build (one job, both tags): {t_batched:.2f}s"
+    )
+    print("bit-identity old==new==batched: ok")
 
 
 if __name__ == "__main__":

@@ -3025,3 +3025,105 @@ def test_wap_abandon_default_guards_unvacuumed_history(spark, tmp_path):
     st.wap_abandon(br, keep_last=1)
     assert not os.path.exists(br.root)
     assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+
+def test_wap_publish_then_vacuum_keeps_head_readable(spark, tmp_path):
+    """ADVICE r11 (high): vacuum after publish, WITHOUT a compact in
+    between, must keep the published head readable. wap_publish used to
+    commit branch-inherited refs to the store's own data/ dirs as
+    ABSOLUTE paths; vacuum's live set is keyed on relative paths, so it
+    swept those dirs and destroyed committed data."""
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="b")]
+        )
+    )
+    br = st.wap_branch("audit1")
+    # touch ONE bucket; the other buckets' refs stay the clone's
+    # absolute refs into the production data/ dirs
+    br.merge(spark.createDataFrame([Row(k=1, v=2, payload="a2")]))
+    st.wap_publish(br)
+    st.vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [(1, 2, "a2"), (2, 1, "b")]
+    # and the published manifest's store-rooted refs are RELATIVE, so
+    # vacuum's live set saw them (the regression-proof form)
+    m = st._read_manifest(st.current_version())
+    for p in m["bucket_paths"].values():
+        assert not os.path.isabs(p)
+
+
+def test_wap_publish_single_commit_branch_carries_change_feed(
+    spark, tmp_path
+):
+    """A publish is a logical data change: when the branch's single
+    audited commit stored a feed, the published version serves it
+    through change_feed(); a multi-commit branch publish raises the
+    wap-specific error instead of the generic advice (ADVICE r11)."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")]),
+        write_change_feed=True,
+    )
+    v = st.wap_publish(br)
+    feed = st.change_feed(spark, v)
+    assert sorted(
+        (r.k, r._change_type) for r in feed.collect()
+    ) == [(2, "insert")]
+    # the carried feed is a branch ref: abandoning the published
+    # branch would destroy it -> the guard must refuse
+    with pytest.raises(ValueError, match="referenced by committed"):
+        st.wap_abandon(br, keep_last=1)
+
+    # multi-commit branch: no single-commit feed can be adopted
+    st2 = ParquetMergeStore(
+        str(tmp_path / "store2"), keys=("k",), version_cols=("v",)
+    )
+    st2.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br2 = st2.wap_branch("audit1")
+    br2.merge(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")]),
+        write_change_feed=True,
+    )
+    br2.merge(
+        spark.createDataFrame([Row(k=3, v=1, payload="c")]),
+        write_change_feed=True,
+    )
+    v2 = st2.wap_publish(br2)
+    with pytest.raises(ValueError, match="wap_publish"):
+        st2.change_feed(spark, v2)
+
+
+def test_wap_branch_rejects_traversal_names(spark, tmp_path):
+    """wap_abandon rmtree's the branch root: a name containing a path
+    separator or '..' would escape _branches/ (ADVICE r11)."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    for bad in ("../../x", "a/b", "..", "", "a\\b", "a b"):
+        with pytest.raises(ValueError, match="branch name"):
+            st.wap_branch(bad)
+    # the documented safe charset still works
+    br = st.wap_branch("audit-1.0_rc")
+    st.wap_abandon(br)
+
+
+def test_wap_abandon_keep_last_zero_matches_vacuum(spark, tmp_path):
+    """vacuum(keep_last=0) retains EVERY committed version; an abandon
+    passed the same keep_last must therefore refuse to drop a branch
+    any committed version still references (ADVICE r11: max(1, ...)
+    used to map 0 to 1 and dropped it)."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br = st.wap_branch("audit1")
+    br.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    pub_v = st.wap_publish(br)
+    st.compact(spark, min_files=1)  # head no longer references branch
+    assert st.vacuum(keep_last=0) == []  # retains everything
+    with pytest.raises(ValueError, match=f"v{pub_v}"):
+        st.wap_abandon(br, keep_last=0)
+    # time travel to the publish version still works, as vacuum promised
+    assert _rows(st.read(spark, version=pub_v)) == [
+        (1, 1, "a"),
+        (2, 1, "b"),
+    ]

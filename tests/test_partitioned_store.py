@@ -1463,3 +1463,174 @@ def test_merge_rejects_retyped_batch_even_into_new_partition(
         st.merge(drifted, allow_schema_evolution=True)
     # the table is untouched and still fully readable
     assert len(_rows(st.read(spark))) == 2
+
+
+# --- table-level write-audit-publish (VERDICT r11 #3) -----------------------
+
+
+def test_table_wap_publish_adopts_audited_snapshot(spark, tmp_path):
+    """The published table snapshot must be the EXACT rows the audit
+    read, across touched, untouched, and NEW partitions — one global
+    commit, production untouched while the branch is open."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1), ("d3", 1)]))
+    br = st.wap_branch("audit1")
+    # touch d2 (update) and create d4 (new partition) on the branch
+    br.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d2", k=1, v=2, payload="d2/1-fixed"),
+                Row(day="d4", k=9, v=1, payload="d4/9"),
+            ]
+        )
+    )
+    audited = _rows(br.read(spark))
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+        ("d3", 1, 1, "d3/1"),
+    ]
+    v = st.wap_publish(br)
+    assert v == st.current_version()
+    assert _rows(st.read(spark)) == audited
+    hist = st.describe_history()
+    assert hist[-1]["operation"] == "wap_publish"
+    assert hist[-1]["op_params"]["published_partitions"] == ["d2", "d4"]
+    # the fast-forward consumed the branch
+    assert not os.path.exists(br.root)
+    # untouched partitions re-pinned their production entries (no
+    # _branches indirection anywhere in the head manifest)
+    for e in st._parts(v).values():
+        assert "_branches" not in e["dir"]
+
+
+def test_table_wap_abandon_never_touches_production(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="BAD")])
+    )
+    st.wap_abandon(br)
+    assert not os.path.exists(br.root)
+    assert _rows(st.read(spark)) == [("d1", 1, 1, "d1/1")]
+    # the name is reusable after abandon
+    br2 = st.wap_branch("audit1")
+    assert _rows(br2.read(spark)) == [("d1", 1, 1, "d1/1")]
+    st.wap_abandon(br2)
+
+
+def test_table_wap_publish_refuses_moved_base(spark, tmp_path):
+    from parquet_demo_spark.sources.partitioned_store import (
+        ConcurrentWriteConflict,
+    )
+
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame([Row(day="d2", k=2, v=1, payload="d2/2")])
+    )
+    st.merge(_batch(spark, [("d9", 9)]))  # production advances
+    with pytest.raises(ConcurrentWriteConflict, match="re-branch"):
+        st.wap_publish(br)
+    # the branch survived the refused publish intact (no renames stuck)
+    assert _rows(br.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 2, 1, "d2/2"),
+    ]
+    st.wap_abandon(br)
+
+
+def test_table_wap_publish_rejects_foreign_branch(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    other = PartitionedParquetMergeStore(
+        str(tmp_path / "other"),
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    other.merge(_batch(spark, [("d1", 1)]))
+    with pytest.raises(ValueError, match="not a branch"):
+        st.wap_publish(other)
+    br = st.wap_branch("audit1")
+    with pytest.raises(ValueError, match="nothing to publish"):
+        st.wap_publish(br)  # no audited commits beyond the base
+    st.wap_abandon(br)
+
+
+def test_table_wap_branch_rejects_traversal_names(spark, tmp_path):
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    for bad in ("../../x", "a/b", "..", "", "a\\b"):
+        with pytest.raises(ValueError, match="branch name"):
+            st.wap_branch(bad)
+
+
+def test_table_wap_publish_then_vacuum_keeps_head_readable(
+    spark, tmp_path
+):
+    """The table analog of the child store's ADVICE r11 vacuum law: a
+    published (moved) child still references the PRE-publish child's
+    data dirs for buckets the branch never rewrote; expiring the old
+    global versions must not rmtree those dirs while the head reads
+    through them (reference-aware vacuum)."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    br = st.wap_branch("audit1")
+    # touch ONE key of d1: the d1 branch child rewrites one bucket,
+    # inheriting absolute clone refs for the other bucket
+    br.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=1, v=2, payload="d1/1-fixed")]
+        )
+    )
+    st.wap_publish(br)
+    st.vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "d1/1-fixed"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # a LATER rewrite of the published child internalizes its refs;
+    # vacuum may then reclaim the pre-publish epoch dir — and the
+    # table still reads exactly right (the lifecycle completes)
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=2, v=3, payload="d1/2-next")]
+        )
+    )
+    st.vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "d1/1-fixed"),
+        ("d1", 2, 3, "d1/2-next"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+
+
+def test_table_wap_publish_drop_and_time_travel(spark, tmp_path):
+    """A drop_partition on the branch publishes too, the pre-publish
+    version stays time-travelable while retained, and the branch's
+    intermediate states never appear in production history."""
+    st = _store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    pre = st.current_version()
+    br = st.wap_branch("audit1")
+    br.drop_partition("d2")
+    br.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="d1/1b")])
+    )
+    v = st.wap_publish(br)
+    assert st.describe_history()[-1]["op_params"][
+        "dropped_partitions"
+    ] == ["d2"]
+    assert _rows(st.read(spark)) == [("d1", 1, 2, "d1/1b")]
+    # ONE production commit adopted two branch commits
+    assert v == pre + 1
+    # time travel to the base still shows d2
+    assert _rows(st.read(spark, version=pre)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+    ]
