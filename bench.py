@@ -70,6 +70,10 @@ SINGLE_READ_QUERIES = {
     "q157_stream_partitioned_ingest",
     "q160_ann_stream_maintenance",
     "q166_dedup_stream_maintenance",
+    # the read phase IS a multi-commit backfill (2 scatter merges +
+    # tombstone delete + fold) — idempotent on re-run but each repeat
+    # pays the full store round trip, like the stream reads above
+    "q195_partitioned_mor_backfill",
 }
 
 _TABLES = (

@@ -76,6 +76,17 @@ _OP = "__op"
 _SEQ = "__seq"
 
 
+def _apply_where(df: DataFrame, where: dict) -> DataFrame:
+    """The base read's residual range filter (merge_store.py read):
+    column → (lo, hi) closed range, either bound optional."""
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 class MergeOnReadStore:
     """A :class:`ParquetMergeStore` plus an append-only delta log,
     resolved last-write-wins at read time (Hudi MOR shape)."""
@@ -157,6 +168,14 @@ class MergeOnReadStore:
             log = self._log()
             new = dict(mutate(log))
             new.pop("entry", None)
+            # every entry records the base version it overlays (round
+            # 12): entry-pinned reads (read(version=)) resolve the
+            # base AS OF the entry, so a later compact's base advance
+            # cannot leak into a pinned snapshot. mutate may override
+            # (restore preserves the PINNED base, not the live one).
+            new.setdefault(
+                "base_version", self.base.current_version()
+            )
             entry = log["entry"] + 1
             try:
                 fh = open(self._entry_path(entry), "x")
@@ -178,6 +197,72 @@ class MergeOnReadStore:
 
     def delta_count(self) -> int:
         return len(self._log()["dirs"])
+
+    def current_version(self) -> int | None:
+        """Committed LOG ENTRY number — the store's version for the
+        partitioned table's pin protocol (round 12). Every state
+        change commits an entry (appends, truncations, restores), so
+        the entry number totally orders the store's history the way
+        the base store's manifest version does. ``None`` for a store
+        with no committed entry (empty, or legacy base-only)."""
+        e = self._log()["entry"]
+        return None if e < 0 else e
+
+    def _entry_state(self, n: int) -> dict:
+        """The committed full state at entry ``n`` — raises the
+        descriptive expired error when the entry file is gone
+        (vacuumed) or was never committed."""
+        head = self._log()["entry"]
+        if n < 0 or n > head:
+            raise ValueError(
+                f"log entry {n} does not exist in {self.root} "
+                f"(committed head: {head})"
+            )
+        try:
+            with open(self._entry_path(n)) as f:
+                return {**json.load(f), "entry": n}
+        except FileNotFoundError:
+            raise ValueError(
+                f"log entry {n} in {self.root} was removed by "
+                "vacuum(keep_last=...)"
+            ) from None
+
+    def restore(self, target: int) -> int:
+        """Re-commit entry ``target``'s state as a NEW entry — the
+        base store's metadata-only restore, on the log chain. The
+        partitioned table's ``_pinned_child`` fencing uses this: a
+        crashed global writer leaves child entries above the pin, and
+        the next write must build on the pinned state, never fold the
+        aborted entries in. The restored entry preserves the TARGET's
+        ``base_version`` stamp (an aborted compact may have advanced
+        the live base past the pin)."""
+        head = self._log()["entry"]
+        if target == head:
+            return head
+        state = self._entry_state(target)
+        missing = [
+            d
+            for d in state["dirs"]
+            if not os.path.isdir(os.path.join(self._deltas_root, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore entry {target}: delta dirs "
+                f"{missing[:3]} were removed by vacuum"
+            )
+        new = self._commit_log(
+            lambda cur: {
+                **{
+                    k: v
+                    for k, v in state.items()
+                    if k not in ("entry", "seq")
+                },
+                # seq stays monotonic over the head (it only feeds
+                # provisional dir naming; LWW order is the dirs list)
+                "seq": cur["seq"],
+            }
+        )
+        return new["entry"]
 
     def _entry_files(self) -> list[tuple[int, str]]:
         """(entry number, filename) for every well-formed e*.json in
@@ -484,10 +569,15 @@ class MergeOnReadStore:
         )
 
     def _overlay(
-        self, spark: SparkSession, base_df: DataFrame | None
+        self,
+        spark: SparkSession,
+        base_df: DataFrame | None,
+        dirs: list[str] | None = None,
+        cols: list[str] | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
-        latest = self._resolved(spark)
-        cols = self._columns()
+        latest = self._resolved(spark, dirs)
+        cols = self._columns() if cols is None else cols
         if latest is None:
             if base_df is None:
                 if self._schema_record() is not None:
@@ -495,6 +585,13 @@ class MergeOnReadStore:
                 raise ValueError(f"empty merge-on-read store: {self.root}")
             return base_df
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
+        if where:
+            # the base side arrives already where-filtered (exact, via
+            # the base read's bucket pruning); filtering the upsert
+            # side to the same ranges keeps the algebra exact:
+            # σ(overlay(B, Δ)) = σ(B) ⟕̸ keys(Δ) ∪ σ(ups(Δ)) — the
+            # anti-join commutes with a row-wise filter on its left
+            ups = _apply_where(ups, where)
         if base_df is None:
             return ups
         keep = base_df.join(
@@ -502,14 +599,46 @@ class MergeOnReadStore:
         )
         return keep.select(*cols).unionByName(ups)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """The resolved head snapshot: base rows not superseded by any
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """The resolved snapshot: base rows not superseded by any
         delta action, plus the newest delta upsert per PK. Base cost
         is the usual bucket union; overlay cost is O(live delta rows)
-        — bounded by compaction cadence, never by base size."""
-        cur = self.base.current_version()
-        base_df = self.base.read(spark) if cur is not None else None
-        return self._overlay(spark, base_df)
+        — bounded by compaction cadence, never by base size.
+
+        ``version`` pins a committed LOG ENTRY (round 12, the
+        partitioned table's child-pin protocol): the read overlays
+        exactly that entry's delta dirs over the base version the
+        entry recorded, so neither later appends nor a later compact's
+        base advance leak in. ``where`` ({col: (lo, hi)} closed
+        ranges, the base read's shape) prunes the base scan through
+        its min/max/bloom machinery and filters the delta overlay to
+        the same ranges — exact, like the base store's."""
+        if version is None:
+            state = self._log()
+        else:
+            state = self._entry_state(int(version))
+        bv = (
+            state["base_version"]
+            if "base_version" in state
+            else self.base.current_version()
+        )
+        base_df = (
+            self.base.read(spark, version=bv, where=where)
+            if bv is not None
+            else None
+        )
+        return self._overlay(
+            spark,
+            base_df,
+            dirs=list(state["dirs"]),
+            cols=state.get("columns") or self._columns(),
+            where=where,
+        )
 
     def probe(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
         """Bucket-pruned point read THROUGH the delta overlay: the
@@ -577,10 +706,17 @@ class MergeOnReadStore:
             lambda cur: {
                 **{k: v for k, v in cur.items() if k != "entry"},
                 "dirs": [d for d in cur["dirs"] if d not in folded],
+                # the truncation entry overlays the POST-fold base; the
+                # spread above would otherwise carry the pre-compact
+                # stamp and an entry-pinned read would miss the folds
+                "base_version": self.base.current_version(),
             }
         )
-        for d in folded:
-            shutil.rmtree(os.path.join(self._deltas_root, d), True)
+        # folded dirs stay on disk for entry-pinned readers (a global
+        # table version may still pin a pre-compaction entry, the same
+        # reason the base store keeps rewritten bucket dirs) — vacuum
+        # reclaims dirs no retained entry lists
+
 
     def maintain(
         self,
@@ -609,13 +745,32 @@ class MergeOnReadStore:
         ``older_than``) plus delta-side cleanup: orphan delta
         directories a crashed writer left that no entry ever
         committed, stray ``_DELTAS.*`` pointer-swap temp files a crash
-        left in the root, and log entries older than the committed
-        head (each entry carries the FULL state, so history below the
-        head is never read). Same contract as the base vacuum: the
-        caller asserts no writer is mid-commit."""
+        left in the root, and log entries below the RETAINED window.
+
+        ``keep_last`` retains the newest ``keep_last`` committed log
+        entries (the head never expires) — entry-pinned time travel
+        (``read(version=)``, the partitioned table's child pins) stays
+        readable for the retained window and raises the descriptive
+        vacuumed error below it, mirroring the base store's version
+        retention. Live delta dirs are the UNION over retained
+        entries' dirs (a folded dir a retained pre-compaction entry
+        still lists survives until that entry expires). Same contract
+        as the base vacuum: the caller asserts no writer is
+        mid-commit."""
         removed = self.base.vacuum(keep_last=keep_last, **kwargs)
         log = self._log()
-        live = set(log["dirs"])
+        head = log["entry"]
+        lo = head - max(1, int(keep_last)) + 1
+        live: set[str] = set(log["dirs"])
+        for n, name in self._entry_files():
+            if lo <= n < head:
+                try:
+                    with open(
+                        os.path.join(self._entries_root, name)
+                    ) as f:
+                        live |= set(json.load(f).get("dirs", []))
+                except (OSError, ValueError):
+                    continue
         for d in sorted(os.listdir(self._deltas_root)):
             if d not in live:
                 shutil.rmtree(os.path.join(self._deltas_root, d), True)
@@ -626,7 +781,7 @@ class MergeOnReadStore:
                 os.unlink(os.path.join(self.root, name))
                 removed.append(name)
         for n, name in self._entry_files():
-            if n < log["entry"]:
+            if n < lo:
                 os.unlink(os.path.join(self._entries_root, name))
                 removed.append(os.path.join("_log", name))
         return removed

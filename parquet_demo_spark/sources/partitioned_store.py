@@ -129,6 +129,7 @@ class PartitionedParquetMergeStore:
         bloom_cols: tuple[str, ...] = (),
         write_concurrency: int = 8,
         constraints: dict[str, str] | None = None,
+        child_store: str = "cow",
     ) -> None:
         # a string means one partition column; a tuple is HIVE-style
         # multi-level partitioning, e.g. (date, source) — real retention
@@ -170,10 +171,42 @@ class PartitionedParquetMergeStore:
         # a violating multi-partition backfill fails before ANY child
         # commits (no partial-transaction cleanup needed)
         self.constraints: dict[str, str] = dict(constraints or {})
+        # child-store strategy (VERDICT r11 #4): "cow" children are
+        # ParquetMergeStore (copy-on-write bucket rewrites — perfect
+        # reads, write amplification); "mor" children are
+        # MergeOnReadStore (O(batch) delta appends resolved at read
+        # time — the scatter-write backfill trade). MOR children pin
+        # by LOG ENTRY number instead of manifest version; per-bucket
+        # stats/bloom rollups, change feeds, clones/WAP, conditional
+        # merges, and schema evolution are copy-on-write machinery and
+        # raise for a MOR table (reads, scoped reads, time travel,
+        # deletes, compaction, retention, restore all work).
+        if child_store not in ("cow", "mor"):
+            raise ValueError(
+                f"child_store must be 'cow' or 'mor', got {child_store!r}"
+            )
+        self.child_store = child_store
+        if child_store == "mor":
+            if self.bloom_cols:
+                raise ValueError(
+                    "bloom_cols require copy-on-write children (MOR "
+                    "delta logs carry no per-bucket bloom manifests)"
+                )
+            if self.constraints:
+                raise ValueError(
+                    "CHECK constraints require copy-on-write children"
+                )
         os.makedirs(root, exist_ok=True)
         committed = self.current_version()
         if committed is not None:
             m = self._read_manifest(committed)
+            persisted_cs = m.get("child_store", "cow")
+            if persisted_cs != child_store:
+                raise ValueError(
+                    f"partitioned store at {root} was created with "
+                    f"child_store={persisted_cs!r}, reopened with "
+                    f"{child_store!r}"
+                )
             # manifests persist a bare string for single-column stores
             # (older format) and a list for composite keys
             persisted_pc = m["partition_col"]
@@ -302,6 +335,7 @@ class PartitionedParquetMergeStore:
             "operation": operation,
             "op_params": op_params or {},
             "constraints": self.constraints,
+            "child_store": self.child_store,
             "committed_at": __import__("time").time(),
         }
         if columns is not None:
@@ -557,7 +591,26 @@ class PartitionedParquetMergeStore:
             ]
         )
 
-    def _child(self, dirname: str) -> ParquetMergeStore:
+    def _require_cow(self, op: str) -> None:
+        if self.child_store != "cow":
+            raise ValueError(
+                f"{op} requires copy-on-write children "
+                "(child_store='cow'): MOR children carry no per-bucket "
+                "manifests/change feeds/clones to compose it from"
+            )
+
+    def _child(self, dirname: str):
+        if self.child_store == "mor":
+            from parquet_demo_spark.sources.mor_store import (
+                MergeOnReadStore,
+            )
+
+            return MergeOnReadStore(
+                os.path.join(self.root, dirname),
+                keys=self.keys,
+                version_cols=self.version_cols,
+                num_buckets=self.num_buckets,
+            )
         return ParquetMergeStore(
             os.path.join(self.root, dirname),
             keys=self.keys,
@@ -758,6 +811,13 @@ class PartitionedParquetMergeStore:
         ]
         if lacking:
             raise ValueError(f"batch lacks partition column(s) {lacking}")
+        if self.child_store == "mor" and (
+            write_change_feed or conditional or allow_schema_evolution
+        ):
+            raise ValueError(
+                "write_change_feed/conditional/allow_schema_evolution "
+                "require copy-on-write children (child_store='cow')"
+            )
         # TABLE-level schema law (the child's strict-mode mirror, one
         # level up): a drifting batch must be rejected HERE, not only by
         # the touched children — a widening batch routed exclusively to
@@ -879,21 +939,30 @@ class PartitionedParquetMergeStore:
                 if only in parts
                 else self._child(dirnames[only])
             )
-            pend = child._merge_prepare(
-                upserts,
-                write_change_feed=write_change_feed,
-                conditional=conditional,
-                allow_schema_evolution=allow_schema_evolution,
-                touched=sorted(touched_buckets[only]),
-            )
-            v = child._merge_commit(
-                pend, child._out_dir_blooms(spark, pend["out_dir"])
-            )
+            if self.child_store == "mor":
+                # O(batch) delta append — no bucket read or rewrite at
+                # any child size (the scatter-write backfill trade)
+                child.commit_delta(upserts)
+                v = child.current_version()
+                rollup_stats, rollup_blooms = {}, {}
+            else:
+                pend = child._merge_prepare(
+                    upserts,
+                    write_change_feed=write_change_feed,
+                    conditional=conditional,
+                    allow_schema_evolution=allow_schema_evolution,
+                    touched=sorted(touched_buckets[only]),
+                )
+                v = child._merge_commit(
+                    pend, child._out_dir_blooms(spark, pend["out_dir"])
+                )
+                rollup_stats = self._child_stats_rollup(child, v)
+                rollup_blooms = self._child_blooms_rollup(child, v)
             parts[only] = {
                 "dir": dirnames[only],
                 "version": v,
-                "stats": self._child_stats_rollup(child, v),
-                "blooms": self._child_blooms_rollup(child, v),
+                "stats": rollup_stats,
+                "blooms": rollup_blooms,
             }
             new_version = 0 if cur is None else cur + 1
             return self._commit(
@@ -978,7 +1047,43 @@ class PartitionedParquetMergeStore:
         # invisible to readers, restored-over by the next write through
         # _pinned_child — so propagating the first error is
         # crash-consistent either way.
+        def _mor_merge_one(pval: str) -> dict:
+            child = (
+                self._pinned_child(parts[pval])
+                if pval in parts
+                else self._child(dirnames[pval])
+            )
+            child.commit_delta(
+                spark.read.parquet(slices[pval]).select(*upserts.columns)
+            )
+            return {
+                "dir": dirnames[pval],
+                "version": child.current_version(),
+                "stats": {},
+                "blooms": {},
+            }
+
         try:
+            if self.child_store == "mor":
+                # each child is one O(slice) delta append — no prepare/
+                # bloom/commit phases (nothing to build blooms over)
+                with ThreadPoolExecutor(
+                    max_workers=min(self.write_concurrency, len(pvals))
+                ) as pool:
+                    futs = {
+                        p: pool.submit(_mor_merge_one, p) for p in pvals
+                    }
+                    results = {p: f.result() for p, f in futs.items()}
+                parts.update(results)
+                new_version = 0 if cur is None else cur + 1
+                return self._commit(
+                    new_version,
+                    parts,
+                    "merge",
+                    {"touched_partitions": pvals},
+                    columns=g_cols,
+                    column_types=g_types,
+                )
             with ThreadPoolExecutor(
                 max_workers=min(self.write_concurrency, len(pvals))
             ) as pool:
@@ -1045,12 +1150,39 @@ class PartitionedParquetMergeStore:
         delete applies. A delete scoped to one day of a 100 TB table
         opens one partition directory.
         """
+        if self.child_store == "mor" and (
+            write_change_feed or deletion_vectors
+        ):
+            raise ValueError(
+                "write_change_feed/deletion_vectors require copy-on-"
+                "write children (a MOR delete IS already a soft "
+                "tombstone in the delta log)"
+            )
         cur = self.current_version()
         parts = self._parts(cur)
         in_scope = self._select(parts, partitions)
 
         def _delete_one(pval: str) -> dict | None:
             child = self._pinned_child(parts[pval])
+            if self.child_store == "mor":
+                # MOR DELETE WHERE: tombstone the matching rows' PKs as
+                # a 'd' delta — O(matching) appended, no bucket rewrite
+                # at any child size; the next compact materializes them
+                matching = child.read(
+                    spark, version=int(parts[pval]["version"])
+                ).filter(condition)
+                if matching.isEmpty():
+                    return None  # no match, no child commit burned
+                child.commit_delta(
+                    matching.withColumn("__del_op", F.lit("d")),
+                    op_col="__del_op",
+                )
+                return {
+                    "dir": parts[pval]["dir"],
+                    "version": child.current_version(),
+                    "stats": {},
+                    "blooms": {},
+                }
             v = child.delete(
                 spark,
                 condition,
@@ -1156,6 +1288,7 @@ class PartitionedParquetMergeStore:
         write (children receive it through construction), so both
         levels carry the invariant independently.
         """
+        self._require_cow("add_constraint")
         if not name.isidentifier():
             raise ValueError(
                 f"constraint name must be an identifier: {name}"
@@ -1218,8 +1351,11 @@ class PartitionedParquetMergeStore:
                     f"{e['dir']} (partition {pval!r}) was removed by "
                     "vacuum"
                 )
-            child_manifest = self._child(e["dir"])._manifest_path(
-                int(e["version"])
+            child = self._child(e["dir"])
+            child_manifest = (
+                child._entry_path(int(e["version"]))
+                if self.child_store == "mor"
+                else child._manifest_path(int(e["version"]))
             )
             if not os.path.exists(child_manifest):
                 raise ValueError(
@@ -1268,6 +1404,7 @@ class PartitionedParquetMergeStore:
         (Delta's caveat); vacuum on the clone never crosses into the
         source.
         """
+        self._require_cow("shallow_clone")
         cur = self.current_version()
         if cur is None:
             raise ValueError(
@@ -1336,6 +1473,7 @@ class PartitionedParquetMergeStore:
         """
         import re
 
+        self._require_cow("wap_branch")
         if not re.fullmatch(
             r"[A-Za-z0-9._-]+", str(name)
         ) or ".." in str(name):
@@ -1582,11 +1720,14 @@ class PartitionedParquetMergeStore:
                 spark, version=parts[any_p]["version"], where=where
             )
             return self._aligned_union(spark, [df], version).limit(0)
-        if where is None:
+        if where is None and self.child_store == "cow":
             era_frames, slow = self._era_scan_frames(spark, parts, selected)
         else:
             # value-pruned reads go through each child's own min/max/
-            # bloom bucket pruning (and usually touch few children)
+            # bloom bucket pruning (and usually touch few children);
+            # MOR children always take per-child reads — each must
+            # resolve its own delta overlay, which a bare multi-dir
+            # scan cannot reproduce
             era_frames, slow = [], list(selected)
         dfs = era_frames + [
             self._child(parts[pval]["dir"]).read(
@@ -1794,6 +1935,7 @@ class PartitionedParquetMergeStore:
         the pruning evidence (footer-free: manifests + listing), with
         both levels applied: global stats rollup across partitions,
         then each survivor's own bucket min/max/bloom pruning."""
+        self._require_cow("files_read")
         parts = self._parts(version)
         total = 0
         for pval in self._stats_select(
@@ -1922,7 +2064,10 @@ class PartitionedParquetMergeStore:
         version: int | None = None,
         partitions: tuple | dict | None = None,
     ) -> int:
-        """Footer-metadata row count over the selected partitions."""
+        """Footer-metadata row count over the selected partitions.
+        COW children only: a MOR child's count must resolve the delta
+        overlay (use ``read(...).count()``)."""
+        self._require_cow("count_rows")
         parts = self._parts(version)
         return sum(
             self._child(parts[p]["dir"]).count_rows(
@@ -1955,6 +2100,7 @@ class PartitionedParquetMergeStore:
         """
         from parquet_demo_spark.sources.merge_store import changes_between
 
+        self._require_cow("changes_between")
         p_from = self._parts(v_from)
         p_to = self._parts(v_to)
 
@@ -2036,6 +2182,21 @@ class PartitionedParquetMergeStore:
             # only compact the child version this table pins — a child
             # pointer ahead of the pin (crashed writer) must not leak in
             if child.current_version() != parts[pval]["version"]:
+                continue
+            if self.child_store == "mor":
+                if cluster_by is not None:
+                    raise ValueError(
+                        "cluster_by requires copy-on-write children"
+                    )
+                # fold the child's delta log into its base; the
+                # truncation commits a new log entry, which becomes
+                # the new pin (no live deltas -> no entry, no burn)
+                if child.delta_count() == 0:
+                    continue
+                child.compact(spark)
+                v = child.current_version()
+                parts[pval]["version"] = v
+                touched.append(pval)
                 continue
             v = child.compact(
                 spark,
@@ -2148,7 +2309,9 @@ class PartitionedParquetMergeStore:
         # one child-manifest read per distinct (dir, pinned version).
         root_pfx = os.path.abspath(self.root) + os.sep
         seen: set[tuple[str, int]] = set()
-        for v in sorted(keep):
+        # MOR children never hold cross-dir refs (clone/WAP are
+        # copy-on-write machinery and raise for MOR tables)
+        for v in sorted(keep) if self.child_store == "cow" else []:
             for e in self._read_manifest(v)["partitions"].values():
                 pin = (e["dir"], int(e["version"]))
                 if pin in seen:

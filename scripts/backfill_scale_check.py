@@ -1,120 +1,134 @@
-"""Backfill wall-clock vs touched-partition count (VERDICT r7 #1).
+"""N× scale check for scatter-write backfills into a partitioned
+table: copy-on-write vs merge-on-read children (VERDICT r11 #4).
 
-One merge of a FIXED total row count into a PartitionedParquetMergeStore,
-varying only how many partitions the batch touches (P = 5, 25, 50). With
-the serial write path this costs P sequential Spark-job rounds; with the
-thread-pooled path (write_concurrency) the wall should stay near-flat —
-each child's merge is an independent directory + commit, and the global
-O_EXCL CAS arbitrates once at the end.
+The workload is the backfill shape the MOR child type exists for: a
+fixed-size correction batch whose keys scatter across EVERY partition
+(and, inside each child, across every bucket — distinct keys ≫ bucket
+count). With COW children each batch rewrites each touched bucket, so
+per-batch cost grows with BUCKET size — i.e. with the base table —
+at any bucket count. With MOR children each batch is one O(batch)
+delta append per touched child; the rewrite is deferred to compact()
+(amortized once per cadence).
 
-Prints per-P wall seconds for the single multi-partition merge and the
-ratio vs P=5. Record in BASELINE.md §'Backfill scaling'.
+Measured terms at a fixed layout (8 partitions × 4 buckets; base size
+grows with --copies):
 
-Usage: python scripts/backfill_scale_check.py [--rows N] [--concurrency C]
+- ``bulk load``: one-time table build (plus the MOR fold) — linear by
+  design, reported for context.
+- ``COW scatter batch``: median of 3 ``merge(batch)`` into the COW
+  table — the term that grows with the base.
+- ``MOR scatter batch``: median of 3 ``merge(batch)`` into the MOR
+  table — the ~flat term.
+- ``MOR compact``: one table ``compact()`` after the batches — the
+  deferred amortized cost, for honesty (MOR does not make the rewrite
+  free, it moves it off the ingest path).
+
+Output parity is asserted: after the batches (and the MOR fold), both
+tables' snapshots must be row-identical.
+
+Usage: python scripts/backfill_scale_check.py [--copies N]  (default 1)
+Run at 1/10/100 and record the rows in BASELINE.md.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import statistics
 import sys
-import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
-from parquet_demo_spark.session import get_spark
-from parquet_demo_spark.sources.partitioned_store import (
+from parquet_demo_spark.session import get_spark  # noqa: E402
+from parquet_demo_spark.sources.partitioned_store import (  # noqa: E402
     PartitionedParquetMergeStore,
 )
 
-ROWS = 200_000
-CONCURRENCY = 8
-PARTITION_COUNTS = (5, 25, 50)
+ROWS_BASE = 20_000
+BATCH_ROWS = 2_000
+PARTITIONS = 8
+BUCKETS = 4
+
+
+def _frame(spark, n, start=0, bump=0.0):
+    return spark.range(start, start + n).select(
+        (F.col("id") % PARTITIONS).cast("string").alias("day"),
+        F.col("id").alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+        (F.col("id").cast("double") + F.lit(bump)).alias("value"),
+    )
 
 
 def main() -> None:
-    rows = ROWS
-    conc = CONCURRENCY
-    args = sys.argv[1:]
-    if "--rows" in args:
-        rows = int(args[args.index("--rows") + 1])
-    if "--concurrency" in args:
-        conc = int(args[args.index("--concurrency") + 1])
+    copies = 1
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    spark = get_spark()
+    base_rows = ROWS_BASE * copies
+    base = _frame(spark, base_rows)
+    # the scatter batch: every partition, keys spread over the whole
+    # key domain so distinct keys >> bucket count in every child
+    batch = _frame(spark, BATCH_ROWS, bump=0.5).withColumn(
+        "k", F.col("k") * F.lit(max(1, base_rows // BATCH_ROWS))
+    ).withColumn("day", (F.col("k") % PARTITIONS).cast("string"))
 
-    spark = get_spark(
-        app_name="backfill_scale_check", shuffle_partitions=8
-    )
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_backfill_{os.getpid()}"
-    )
-    # warm-up: one small merge so the first timed P doesn't absorb JVM
-    # / codegen warmup
-    warm_root = os.path.join(base, "warm")
-    shutil.rmtree(warm_root, ignore_errors=True)
-    warm = PartitionedParquetMergeStore(
-        warm_root,
-        keys=("day", "k"),
-        partition_col="day",
-        version_cols=("v",),
-        num_buckets=4,
-    )
-    warm.merge(
-        spark.range(1000).select(
-            F.lit("d0").alias("day"),
-            F.col("id").alias("k"),
-            F.lit(1).cast("long").alias("v"),
-            F.col("id").alias("payload"),
-        )
-    )
-    shutil.rmtree(warm_root, ignore_errors=True)
-    results = {}
-    for n_parts in PARTITION_COUNTS:
-        root = os.path.join(base, f"p{n_parts}")
-        shutil.rmtree(root, ignore_errors=True)
-        store = PartitionedParquetMergeStore(
+    stores = {}
+    for kind in ("cow", "mor"):
+        root = f"/tmp/spark_graft_backfill_{kind}_{copies}"
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        st = PartitionedParquetMergeStore(
             root,
             keys=("day", "k"),
             partition_col="day",
             version_cols=("v",),
-            num_buckets=4,
-            write_concurrency=conc,
+            num_buckets=BUCKETS,
+            child_store=kind,
         )
-        batch = (
-            spark.range(rows)
-            .select(
-                F.concat(
-                    F.lit("d"),
-                    F.lpad((F.col("id") % n_parts).cast("string"), 3, "0"),
-                ).alias("day"),
-                F.col("id").alias("k"),
-                F.lit(1).cast("long").alias("v"),
-                (F.col("id") * 2).alias("payload"),
-            )
-            .localCheckpoint()  # pin the input: time ONLY the merge
-        )
-        t0 = time.time()
-        store.merge(batch)
-        wall = time.time() - t0
-        results[n_parts] = wall
-        total = store.count_rows()
+        t0 = time.perf_counter()
+        st.merge(base)
+        if kind == "mor":
+            st.compact(spark)  # establish each child's base
+        print(f"{kind} bulk load ({base_rows} rows): "
+              f"{time.perf_counter() - t0:.2f}s")
+        stores[kind] = st
+
+    times = {}
+    for kind, st in stores.items():
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st.merge(batch)
+            runs.append(time.perf_counter() - t0)
+        times[kind] = statistics.median(runs)
         print(
-            f"P={n_parts:3d}  rows={total}  partitions="
-            f"{len(store.partitions())}  wall={wall:6.2f}s",
-            flush=True,
+            f"{kind} scatter batch ({BATCH_ROWS} rows x "
+            f"{PARTITIONS} partitions, median of 3): "
+            f"{times[kind]:.2f}s  runs={[round(r, 2) for r in runs]}"
         )
-        shutil.rmtree(root, ignore_errors=True)
-    p0 = PARTITION_COUNTS[0]
-    for n_parts in PARTITION_COUNTS[1:]:
-        print(
-            f"ratio P={n_parts}/P={p0}: "
-            f"{results[n_parts] / results[p0]:.2f}x "
-            f"(serial would be ~{n_parts / p0:.0f}x)",
-            flush=True,
-        )
-    shutil.rmtree(base, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    stores["mor"].compact(spark)
+    print(f"mor compact (deferred fold): {time.perf_counter() - t0:.2f}s")
+
+    a = sorted(
+        tuple(r)
+        for r in stores["cow"].read(spark).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in stores["mor"].read(spark).collect()
+    )
+    assert a == b, "COW and MOR snapshots diverged"
+    print(
+        f"copies={copies} parity: ok ({len(a)} rows); "
+        f"cow/mor batch ratio: {times['cow'] / times['mor']:.2f}x"
+    )
 
 
 if __name__ == "__main__":

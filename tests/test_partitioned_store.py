@@ -1634,3 +1634,170 @@ def test_table_wap_publish_drop_and_time_travel(spark, tmp_path):
         ("d1", 1, 1, "d1/1"),
         ("d2", 1, 1, "d2/1"),
     ]
+
+
+# --- merge-on-read children (VERDICT r11 #4) --------------------------------
+
+
+def _mor_store(tmp_path, **kw):
+    defaults = dict(
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+        child_store="mor",
+    )
+    defaults.update(kw)
+    return PartitionedParquetMergeStore(
+        str(tmp_path / "pmor"), **defaults
+    )
+
+
+def test_mor_children_merge_read_and_time_travel(spark, tmp_path):
+    """Scatter-write batches append O(batch) deltas per child; reads
+    resolve the overlay; global versions pin child LOG ENTRIES, so
+    time travel sees exactly each version's state."""
+    st = _mor_store(tmp_path)
+    v0 = st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d1", k=1, v=2, payload="d1/1b"),
+                Row(day="d2", k=9, v=1, payload="d2/9"),
+            ]
+        )
+    )
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "d1/1b"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+        ("d2", 9, 1, "d2/9"),
+    ]
+    # time travel to v0: the second batch's deltas are invisible
+    assert _rows(st.read(spark, version=v0)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # partition-scoped read prunes children by manifest
+    assert _rows(st.read(spark, partitions=("d2", "d2"))) == [
+        ("d2", 1, 1, "d2/1"),
+        ("d2", 9, 1, "d2/9"),
+    ]
+    # reopen with the wrong child type raises
+    with pytest.raises(ValueError, match="child_store"):
+        PartitionedParquetMergeStore(
+            st.root,
+            keys=("day", "k"),
+            partition_col="day",
+            version_cols=("v",),
+            num_buckets=2,
+        )
+
+
+def test_mor_children_delete_compact_restore(spark, tmp_path):
+    """DELETE WHERE tombstones matching rows as 'd' deltas; table
+    compact folds each child's log into its base and re-pins the
+    truncation entry; restore re-pins an earlier global version."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    v1 = st.delete_where(spark, F.col("k") == 2)
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # no-match delete burns nothing (the child no-op law)
+    assert st.delete_where(spark, F.col("k") == 777) == v1
+    v2 = st.compact(spark)
+    assert v2 == v1 + 1
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # the fold materialized the deltas: the children's logs are empty
+    parts = st._parts(v2)
+    assert all(
+        st._child(e["dir"]).delta_count() == 0 for e in parts.values()
+    )
+    # pre-delete state is still one restore away (metadata-only)
+    v3 = st.restore(0)
+    assert v3 == v2 + 1
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+
+
+def test_mor_children_fence_crashed_writer(spark, tmp_path):
+    """Child log entries above the global pin (a crashed global
+    writer) must not fold into the next successful commit: the next
+    write restores the child to the pin first."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    pin = st._parts(st.current_version())["d1"]["version"]
+    # simulate the crash: a child delta committed, global commit lost
+    orphan_child = st._child(st._parts(st.current_version())["d1"]["dir"])
+    orphan_child.commit_delta(
+        spark.createDataFrame(
+            [Row(day="d1", k=1, v=9, payload="ABORTED")]
+        )
+    )
+    assert orphan_child.current_version() > pin
+    # next table write builds on the PIN: the aborted row never lands
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=2, v=1, payload="d1/2")])
+    )
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 2, 1, "d1/2"),
+    ]
+
+
+def test_mor_children_cow_only_surfaces_raise(spark, tmp_path):
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    with pytest.raises(ValueError, match="copy-on-write"):
+        st.merge(_batch(spark, [("d1", 2)]), write_change_feed=True)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        st.merge(_batch(spark, [("d1", 2)]), conditional=True)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        st.delete_where(spark, F.col("k") == 1, deletion_vectors=True)
+    for op in (
+        lambda: st.shallow_clone(str(tmp_path / "c")),
+        lambda: st.wap_branch("a"),
+        lambda: st.changes_between(spark, 0, 0),
+        lambda: st.count_rows(),
+        lambda: st.files_read(),
+        lambda: st.add_constraint(spark, "c1", "k > 0"),
+    ):
+        with pytest.raises(ValueError, match="copy-on-write"):
+            op()
+    with pytest.raises(ValueError, match="bloom_cols"):
+        PartitionedParquetMergeStore(
+            str(tmp_path / "b"),
+            keys=("day", "k"),
+            partition_col="day",
+            child_store="mor",
+            bloom_cols=("k",),
+        )
+
+
+def test_mor_children_vacuum_keeps_retained_window(spark, tmp_path):
+    """Table + child vacuum retention: entries below the keep window
+    expire (pinned reads raise the descriptive error), retained
+    versions stay exactly readable."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))                      # v0
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="b")])
+    )                                                          # v1
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=3, payload="c")])
+    )                                                          # v2
+    st.vacuum(keep_last=1)
+    for e in st._parts(st.current_version()).values():
+        st._child(e["dir"]).vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [("d1", 1, 3, "c")]
+    with pytest.raises(ValueError, match="vacuum"):
+        st.read(spark, version=0).collect()
