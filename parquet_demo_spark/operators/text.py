@@ -1325,3 +1325,262 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — BPE training loop (iterative merge mining, VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+_Q196_STEPS = 4
+
+
+def _q196_fold_spark(a: str, b: str) -> str:
+    """Spark SQL expr applying ONE BPE merge (a, b) to a '|'-separated
+    segmentation string, greedy left-to-right (the reference BPE
+    apply): fold the symbols, replacing a trailing 'a' with 'ab'
+    whenever 'b' arrives. Symbols are [a-z]+ so literal embedding is
+    quote-safe."""
+    return (
+        "aggregate(split(substring(seg, 2), '\\\\|'), '', (acc, s) -> "
+        f"CASE WHEN endswith(acc, '|{a}') AND s = '{b}' "
+        f"THEN substring(acc, 1, length(acc) - {len(a)}) || '{a}{b}' "
+        "ELSE acc || '|' || s END)"
+    )
+
+
+def _q196_oracle() -> str:
+    """DuckDB replay of the SAME loop, unrolled over the fixed step
+    count: per step, count adjacent symbol pairs weighted by word
+    freq, pick the (score DESC, a, b) winner, re-segment the
+    vocabulary with list_reduce's string fold (bit-identical greedy
+    semantics to the Spark aggregate), repeat."""
+    parts = [
+        """
+    WITH tok0 AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    v1 AS (
+      SELECT regexp_replace(token, '(.)', '|\\1', 'g') AS seg,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok0 WHERE token <> '' GROUP BY token
+    )"""
+    ]
+    for k in range(1, _Q196_STEPS + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT l[CAST(i AS INTEGER)] AS a, l[CAST(i AS INTEGER) + 1] AS b,
+             freq
+      FROM (SELECT string_split(substr(seg, 2), '|') AS l, freq
+            FROM v{k}),
+           unnest(range(1, len(l))) AS u(i)
+    ),
+    b{k} AS (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS score
+      FROM p{k} GROUP BY a, b
+      ORDER BY score DESC, a, b LIMIT 1
+    )"""
+        )
+        if k < _Q196_STEPS:
+            parts.append(
+                f""",
+    v{k + 1} AS (
+      SELECT list_reduce(
+               list_prepend('', string_split(substr(seg, 2), '|')),
+               (acc, s) -> CASE
+                 WHEN ends_with(acc, '|' || b{k}.a) AND s = b{k}.b
+                 THEN substr(acc, 1, length(acc) - length(b{k}.a))
+                      || (b{k}.a || b{k}.b)
+                 ELSE acc || '|' || s END) AS seg,
+             freq
+      FROM v{k}, b{k}
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym, score FROM b{k}"
+        for k in range(1, _Q196_STEPS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({selects}) ORDER BY step")
+    return "".join(parts)
+
+
+@register(
+    "q196_bpe_training_loop",
+    oracle=_q196_oracle(),
+    doc="BPE TRAINING LOOP (VERDICT r11 #5 — step 2 of the q190 arc): "
+    "the full Sennrich et al. 2016 iteration, not just the first "
+    "mine. Per step: count adjacent SYMBOL pairs over the vocabulary "
+    "weighted by word frequency, take the (score DESC, pair) winner, "
+    "apply it to every word's segmentation (greedy left-to-right "
+    "string fold — '|'-separated symbol strings, the same fold "
+    "DuckDB's list_reduce replays), re-count. The corpus-sized work "
+    "is ONE token rollup up front; every iteration after is VOCAB-"
+    "sized (distinct words x symbols) — the property that makes BPE "
+    "training feasible at 100 TB, where the corpus never re-shuffles "
+    "and each merge costs one small agg + one map-side re-segment "
+    "over the cached vocabulary. The per-step winner is a 1-row "
+    "driver collect (a scalar, not data). The driver hash checks the "
+    "first 4 merges' (left, right, score) SEQUENCE — any divergence "
+    "in the apply step cascades into the next step's counts, so the "
+    "sequence check covers the loop, not just one mine.",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            F.regexp_replace("token", "(.)", r"|$1").alias("seg"),
+            "freq",
+        )
+        .persist()
+    )
+    try:
+        cur = vocab
+        rows = []
+        for step in range(1, _Q196_STEPS + 1):
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.expr(
+                        "split(substring(seg, 2), '\\\\|')"
+                    ).alias("l"),
+                )
+                .select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(l, 1, size(l) - 1)").alias("a"),
+                            F.expr("slice(l, 2, size(l) - 1)").alias("b"),
+                        )
+                    ).alias("p"),
+                )
+                .select(
+                    F.col("p.a").alias("a"),
+                    F.col("p.b").alias("b"),
+                    "freq",
+                )
+            )
+            best = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").cast("bigint").alias("score"))
+                .orderBy(F.col("score").desc(), "a", "b")
+                .limit(1)
+                .collect()[0]
+            )
+            rows.append((step, best.a, best.b, int(best.score)))
+            if step < _Q196_STEPS:
+                cur = cur.select(
+                    F.expr(_q196_fold_spark(best.a, best.b)).alias("seg"),
+                    "freq",
+                )
+        return spark.createDataFrame(
+            rows, "step int, left_sym string, right_sym string, score bigint"
+        ).orderBy("step")
+    finally:
+        vocab.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q197 — apply-tokenizer (greedy BPE segmentation, map-side)
+# ---------------------------------------------------------------------------
+
+# a FIXED merge list (ordered — later merges may consume earlier
+# merges' symbols, e.g. t+h then th+e), so the operator is
+# deterministic and the oracle replays the identical chain
+_Q197_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("an", "d"),
+]
+
+
+def _q197_seg_spark() -> str:
+    """Nested Spark expr: token -> '|'-separated segmentation after
+    the whole merge chain (innermost = initial char split)."""
+    seg = "regexp_replace(t, '(.)', '\\\\|$1')"
+    for a, b in _Q197_MERGES:
+        seg = (
+            f"aggregate(split(substring({seg}, 2), '\\\\|'), '', "
+            f"(acc, s) -> CASE WHEN endswith(acc, '|{a}') AND s = '{b}' "
+            f"THEN substring(acc, 1, length(acc) - {len(a)}) || '{a}{b}' "
+            "ELSE acc || '|' || s END)"
+        )
+    return seg
+
+
+def _q197_seg_duck() -> str:
+    seg = "regexp_replace(t, '(.)', '|\\1', 'g')"
+    for a, b in _Q197_MERGES:
+        seg = (
+            f"list_reduce(list_prepend('', string_split(substr({seg}, 2),"
+            f" '|')), (acc, s) -> CASE WHEN ends_with(acc, '|{a}') "
+            f"AND s = '{b}' THEN substr(acc, 1, length(acc) - {len(a)}) "
+            f"|| '{a}{b}' ELSE acc || '|' || s END)"
+        )
+    return seg
+
+
+@register(
+    "q197_apply_tokenizer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, lang,
+             len(string_split(substr({_q197_seg_duck()}, 2), '|'))
+               ::BIGINT AS n_pieces
+      FROM tok WHERE t <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+    FROM seg GROUP BY lang ORDER BY lang
+    """,
+    doc="APPLY-TOKENIZER (VERDICT r11 #6 — closes the q180 OOV -> "
+    "q190/q196 mining -> apply arc): greedy BPE segmentation of the "
+    "corpus under a FIXED ordered merge list (later merges consume "
+    "earlier merges' symbols: t+h, th+e, ...), computed ENTIRELY "
+    "map-side — each document's piece count folds inside its own row "
+    "(transform over the token array, merge-chain fold per token, "
+    "sum), so the segmentation needs NO shuffle at any corpus size; "
+    "the only exchange in the plan is the final per-language partial "
+    "agg (plan-asserted in tests/test_plans.py). The driver hash "
+    "checks per-language word and piece totals against DuckDB's "
+    "list_reduce replay of the identical fold chain.",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    pieces_per_token = (
+        f"size(split(substring({_q197_seg_spark()}, 2), '\\\\|'))"
+    )
+    per_doc = docs.select(
+        "lang",
+        F.expr(
+            "aggregate(filter(split(lower(text), '[^a-z]+'), "
+            "t -> t <> ''), 0L, (acc, t) -> acc + 1L)"
+        ).alias("n_words"),
+        F.expr(
+            "aggregate(filter(split(lower(text), '[^a-z]+'), "
+            f"t -> t <> ''), 0L, (acc, t) -> acc + {pieces_per_token})"
+        ).alias("n_pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .orderBy("lang")
+    )

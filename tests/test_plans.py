@@ -443,3 +443,46 @@ def test_q191_profile_cut_is_group_limit_probe_is_broadcast(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert uses_broadcast_join(df)
     assert single_task_window_count(df) == 0
+
+
+def test_q197_segmentation_is_map_side(spark, sf_dir):
+    """q197: the BPE merge-chain segmentation folds INSIDE each
+    document's row (transform + aggregate over the token array) — no
+    explode, no per-token shuffle; the only Exchange in the plan is
+    the final per-language partial agg. At 100 TB the corpus is
+    scanned once and never re-shuffled for segmentation."""
+    df = QUERIES["q197_apply_tokenizer"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    # one hash exchange (the lang agg) + the output sort's range
+    # exchange — nothing else moves data
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("Exchange (") == 2, plan  # tree nodes, once each
+    # map-side combine before that single hash exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q196_per_step_work_is_vocab_sized(spark, sf_dir):
+    """q196's pair count per step runs over the DISTINCT-token
+    vocabulary: the corpus-sized token explode partial-aggregates
+    before its exchange (map-side combine), and the per-step winner
+    is a 1-row limit, not a full sort materialization."""
+    from parquet_demo_spark.operators.text import _q196_fold_spark
+    from pyspark.sql import functions as F
+
+    # the fold expr itself must be greedy left-to-right: 'aaaa' with
+    # merge (a,a) segments as [aa, aa], never [aa, a, a] or cascades
+    seg = (
+        spark.range(1)
+        .select(F.lit("|a|a|a|a").alias("seg"))
+        .select(F.expr(_q196_fold_spark("a", "a")).alias("seg"))
+        .collect()[0][0]
+    )
+    assert seg == "|aa|aa", seg
+    # and a merged symbol never cascade-merges with the next element
+    seg2 = (
+        spark.range(1)
+        .select(F.lit("|a|b|b").alias("seg"))
+        .select(F.expr(_q196_fold_spark("a", "b")).alias("seg"))
+        .collect()[0][0]
+    )
+    assert seg2 == "|ab|b", seg2
