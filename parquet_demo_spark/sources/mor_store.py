@@ -640,16 +640,39 @@ class MergeOnReadStore:
             where=where,
         )
 
-    def probe(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
+    def probe(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """Bucket-pruned point read THROUGH the delta overlay: the
         base probe reads only the probe keys' buckets; the delta side
         joins the (small) live log against the key set. Deleted keys
-        are absent; superseded base rows never surface."""
-        cur = self.base.current_version()
-        latest = self._resolved(spark)
+        are absent; superseded base rows never surface.
+
+        ``version`` pins a committed LOG ENTRY (the partitioned
+        table's child-pin protocol — base resolves at the entry's
+        recorded base version, the overlay at its dirs); ``buckets``
+        forwards a caller-precomputed bucket slice to the base probe
+        (the table-level probe's one-job routing)."""
+        state = (
+            self._log()
+            if version is None
+            else self._entry_state(int(version))
+        )
+        cur = (
+            state["base_version"]
+            if "base_version" in state
+            else self.base.current_version()
+        )
+        latest = self._resolved(spark, list(state["dirs"]))
         keys = keys_df.select(*self.keys).dropDuplicates()
         base_hits = (
-            self.base.probe(spark, keys) if cur is not None else None
+            self.base.probe(spark, keys, version=cur, buckets=buckets)
+            if cur is not None
+            else None
         )
         if latest is None:
             if base_hits is None:
@@ -657,7 +680,7 @@ class MergeOnReadStore:
                     return self._empty_frame(spark)  # emptied, not unborn
                 raise ValueError(f"empty merge-on-read store: {self.root}")
             return base_hits
-        cols = self._columns()
+        cols = state.get("columns") or self._columns()
         latest = latest.join(keys, list(self.keys), "left_semi")
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
         if base_hits is None:

@@ -1801,3 +1801,23 @@ def test_mor_children_vacuum_keeps_retained_window(spark, tmp_path):
     assert _rows(st.read(spark)) == [("d1", 1, 3, "c")]
     with pytest.raises(ValueError, match="vacuum"):
         st.read(spark, version=0).collect()
+
+
+def test_mor_children_table_probe(spark, tmp_path):
+    """The table-level PK probe works through MOR children: the base
+    side bucket-prunes with the pre-computed slice, the delta overlay
+    resolves per key, deleted keys are absent."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="d1/1b")])
+    )
+    st.delete_where(spark, F.col("k") == 2)
+    keys = spark.createDataFrame(
+        [Row(day="d1", k=1), Row(day="d1", k=2), Row(day="d2", k=1)]
+    )
+    got = sorted(
+        (r.day, r.k, r.v, r.payload)
+        for r in st.probe(spark, keys).collect()
+    )
+    assert got == [("d1", 1, 2, "d1/1b"), ("d2", 1, 1, "d2/1")]
