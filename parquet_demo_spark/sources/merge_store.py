@@ -156,6 +156,20 @@ def _load_manifest(path: str) -> dict:
     return _manifest_copy(m)
 
 
+def apply_where_ranges(df: DataFrame, where: dict | None) -> DataFrame:
+    """THE residual range filter for ``read(where=...)``: column →
+    (lo, hi) closed range, either bound optional. One definition —
+    the base read and the merge-on-read overlay (mor_store) must
+    filter with identical semantics or a pinned-entry MOR read would
+    diverge from the base snapshot it overlays."""
+    for col, (lo, hi) in (where or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def _writer_token() -> str:
     """Unique per-commit-attempt suffix for data/changes/dv dir names.
 
@@ -1212,12 +1226,7 @@ class ParquetMergeStore:
         df = self._read_aligned(spark, paths, v)
         # deletion vectors: soft-deleted PKs anti-join out
         df = self._apply_dv(spark, df, v)
-        for col, (lo, hi) in (where or {}).items():
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
-        return df
+        return apply_where_ranges(df, where)
 
     def probe(
         self,
@@ -3154,12 +3163,15 @@ class ParquetMergeStore:
         """
         import re
 
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", str(name)) or ".." in str(
-            name
+        if (
+            not re.fullmatch(r"[A-Za-z0-9._-]+", str(name))
+            or ".." in str(name)
+            or str(name) == "."
         ):
             # the name is joined into a path and wap_abandon later
             # rmtree's the branch root — a separator or '..' would
-            # escape _branches/ and delete an arbitrary directory
+            # escape _branches/, and '.' resolves to _branches/
+            # ITSELF (abandoning it would delete every open branch)
             raise ValueError(
                 f"invalid branch name {name!r}: use letters, digits, "
                 "'.', '_', '-' only"

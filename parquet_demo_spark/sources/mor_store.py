@@ -69,22 +69,12 @@ from pyspark.sql import functions as F
 from parquet_demo_spark.sources.merge_store import (
     ConcurrentWriteConflict,
     ParquetMergeStore,
+    apply_where_ranges,
 )
 from parquet_demo_spark.sources.mongo import collapse_for_upsert
 
 _OP = "__op"
 _SEQ = "__seq"
-
-
-def _apply_where(df: DataFrame, where: dict) -> DataFrame:
-    """The base read's residual range filter (merge_store.py read):
-    column → (lo, hi) closed range, either bound optional."""
-    for col, (lo, hi) in where.items():
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
-    return df
 
 
 class MergeOnReadStore:
@@ -591,7 +581,7 @@ class MergeOnReadStore:
             # side to the same ranges keeps the algebra exact:
             # σ(overlay(B, Δ)) = σ(B) ⟕̸ keys(Δ) ∪ σ(ups(Δ)) — the
             # anti-join commutes with a row-wise filter on its left
-            ups = _apply_where(ups, where)
+            ups = apply_where_ranges(ups, where)
         if base_df is None:
             return ups
         keep = base_df.join(
@@ -771,29 +761,51 @@ class MergeOnReadStore:
         left in the root, and log entries below the RETAINED window.
 
         ``keep_last`` retains the newest ``keep_last`` committed log
-        entries (the head never expires) — entry-pinned time travel
+        entries (the head never expires; ``keep_last=0`` retains
+        EVERYTHING, mirroring the base store's ``committed[-0:]``
+        slicing — the wap_abandon law) — entry-pinned time travel
         (``read(version=)``, the partitioned table's child pins) stays
         readable for the retained window and raises the descriptive
-        vacuumed error below it, mirroring the base store's version
-        retention. Live delta dirs are the UNION over retained
-        entries' dirs (a folded dir a retained pre-compaction entry
-        still lists survives until that entry expires). Same contract
+        vacuumed error below it. Live delta dirs are the UNION over
+        retained entries' dirs (a folded dir a retained
+        pre-compaction entry still lists survives until that entry
+        expires). The BASE keep window is widened to cover every
+        retained entry's recorded ``base_version`` — compaction burns
+        up to two base versions per single log entry, so a base
+        window paced by the same ``keep_last`` could expire a
+        retained entry's pinned base out from under it. Same contract
         as the base vacuum: the caller asserts no writer is
         mid-commit."""
-        removed = self.base.vacuum(keep_last=keep_last, **kwargs)
         log = self._log()
         head = log["entry"]
-        lo = head - max(1, int(keep_last)) + 1
+        kl = int(keep_last)
+        lo = head - kl + 1 if kl > 0 else -(1 << 62)
         live: set[str] = set(log["dirs"])
+        min_base: int | None = (
+            log["base_version"]
+            if isinstance(log.get("base_version"), int)
+            else None
+        )
         for n, name in self._entry_files():
             if lo <= n < head:
                 try:
                     with open(
                         os.path.join(self._entries_root, name)
                     ) as f:
-                        live |= set(json.load(f).get("dirs", []))
+                        state = json.load(f)
                 except (OSError, ValueError):
                     continue
+                live |= set(state.get("dirs", []))
+                bv = state.get("base_version")
+                if isinstance(bv, int) and (
+                    min_base is None or bv < min_base
+                ):
+                    min_base = bv
+        base_keep = kl
+        bhead = self.base.current_version()
+        if kl > 0 and min_base is not None and bhead is not None:
+            base_keep = max(kl, bhead - min_base + 1)
+        removed = self.base.vacuum(keep_last=base_keep, **kwargs)
         for d in sorted(os.listdir(self._deltas_root)):
             if d not in live:
                 shutil.rmtree(os.path.join(self._deltas_root, d), True)

@@ -1167,16 +1167,24 @@ class PartitionedParquetMergeStore:
             if self.child_store == "mor":
                 # MOR DELETE WHERE: tombstone the matching rows' PKs as
                 # a 'd' delta — O(matching) appended, no bucket rewrite
-                # at any child size; the next compact materializes them
-                matching = child.read(
-                    spark, version=int(parts[pval]["version"])
-                ).filter(condition)
-                if matching.isEmpty():
-                    return None  # no match, no child commit burned
-                child.commit_delta(
-                    matching.withColumn("__del_op", F.lit("d")),
-                    op_col="__del_op",
+                # at any child size; the next compact materializes
+                # them. The overlay-resolved read is pinned so the
+                # emptiness probe and the commit's write consume ONE
+                # materialization, not two full child reads.
+                matching = (
+                    child.read(spark, version=int(parts[pval]["version"]))
+                    .filter(condition)
+                    .persist()
                 )
+                try:
+                    if matching.isEmpty():
+                        return None  # no match, no child commit burned
+                    child.commit_delta(
+                        matching.withColumn("__del_op", F.lit("d")),
+                        op_col="__del_op",
+                    )
+                finally:
+                    matching.unpersist()
                 return {
                     "dir": parts[pval]["dir"],
                     "version": child.current_version(),
@@ -1474,12 +1482,15 @@ class PartitionedParquetMergeStore:
         import re
 
         self._require_cow("wap_branch")
-        if not re.fullmatch(
-            r"[A-Za-z0-9._-]+", str(name)
-        ) or ".." in str(name):
+        if (
+            not re.fullmatch(r"[A-Za-z0-9._-]+", str(name))
+            or ".." in str(name)
+            or str(name) == "."
+        ):
             # the name is joined into a path and wap_abandon later
             # rmtree's the branch root — a separator or '..' would
-            # escape _branches/ (the child store's same law)
+            # escape _branches/, and '.' IS _branches/ (the child
+            # store's same law)
             raise ValueError(
                 f"invalid branch name {name!r}: use letters, digits, "
                 "'.', '_', '-' only"

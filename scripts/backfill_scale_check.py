@@ -71,10 +71,16 @@ def main() -> None:
     spark = get_spark()
     base_rows = ROWS_BASE * copies
     base = _frame(spark, base_rows)
-    # the scatter batch: every partition, keys spread over the whole
-    # key domain so distinct keys >> bucket count in every child
+    # the scatter batch: keys spread over the whole key domain so
+    # distinct keys >> bucket count in every child. The stride is
+    # forced ODD (coprime with the power-of-two partition count): an
+    # even stride makes k % PARTITIONS collapse onto a subset — at
+    # --copies=100 the old even stride hit exactly ONE partition,
+    # degenerating the scatter workload the script exists to measure
+    # (round-12 review finding)
+    stride = max(1, base_rows // BATCH_ROWS) | 1
     batch = _frame(spark, BATCH_ROWS, bump=0.5).withColumn(
-        "k", F.col("k") * F.lit(max(1, base_rows // BATCH_ROWS))
+        "k", F.col("k") * F.lit(stride)
     ).withColumn("day", (F.col("k") % PARTITIONS).cast("string"))
 
     stores = {}

@@ -129,17 +129,40 @@ def main() -> None:
 
     # round-12: the partitioned-merge BATCHED build (one job over many
     # children's output dirs, keyed by tag) must be bit-identical to
-    # the per-dir build — split the same output into two halves under
-    # distinct tags plus the full dir, and compare every bitmap
+    # the per-dir build AND per-tag isolated. Two GENUINELY DISJOINT
+    # halves (even/odd bucket dirs symlinked under two synthetic out
+    # dirs) catch cross-tag contamination — tagging the same dir
+    # twice could not (OR of identical bitmaps is identical; a
+    # regression ORing across tags would still 'pass').
+    halves = {"even": {}, "odd": {}}
+    for tag in halves:
+        hd = os.path.join(os.path.dirname(out_dir), f"_half_{tag}")
+        if os.path.exists(hd):
+            shutil.rmtree(hd)
+        os.makedirs(hd)
+        halves[tag] = hd
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("__bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        os.symlink(
+            os.path.join(out_dir, d),
+            os.path.join(halves["even" if b % 2 == 0 else "odd"], d),
+        )
     t0 = time.perf_counter()
     batched = ParquetMergeStore._out_dirs_blooms(
         spark,
-        {"whole": out_dir, "again": out_dir},
+        {"whole": out_dir, **halves},
         ("tag", "num"),
     )
     t_batched = time.perf_counter() - t0
-    for tag in ("whole", "again"):
-        assert batched[tag] == new, f"batched[{tag!r}] != per-dir build"
+    assert batched["whole"] == new, "batched['whole'] != per-dir build"
+    for tag, want_mod in (("even", 0), ("odd", 1)):
+        want = {b: cm for b, cm in new.items() if b % 2 == want_mod}
+        assert batched[tag] == want, (
+            f"batched[{tag!r}] != the per-dir build's {tag} buckets "
+            "(cross-tag contamination or a dropped tag key)"
+        )
 
     print(
         f"copies={copies} rows={rows} buckets={len(rels)} "
@@ -150,9 +173,10 @@ def main() -> None:
     print(f"new bloom job (distributed, wall): {t_new_total:.2f}s")
     print(f"new DRIVER fold only ({len(final_rows)} rows): {t_fold:.3f}s")
     print(
-        f"batched 2-tag build (one job, both tags): {t_batched:.2f}s"
+        f"batched 3-tag build (one job: whole + disjoint halves): "
+        f"{t_batched:.2f}s"
     )
-    print("bit-identity old==new==batched: ok")
+    print("bit-identity old==new==batched (+ per-tag isolation): ok")
 
 
 if __name__ == "__main__":

@@ -726,3 +726,51 @@ def test_merge_kwargs_passthrough_and_live_log_guard(spark, tmp_path):
             spark.createDataFrame([Row(k=1, v=3, payload="c", extra=3)]),
             conditional=True,
         )
+
+
+def test_vacuum_keep_last_zero_retains_everything(spark, tmp_path):
+    """keep_last=0 mirrors the base store's committed[-0:] slicing:
+    EVERY entry (and every dir any entry lists) is retained — the
+    same law wap_abandon follows (round-12 review: max(1, ...) used
+    to map 0 to 1 and destroyed all log history)."""
+    st = _store(tmp_path)
+    st.commit_delta(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.commit_delta(spark.createDataFrame([Row(k=1, v=2, payload="b")]))
+    st.vacuum(keep_last=0)
+    # entry 0 is still pinned-readable
+    assert _rows(st.read(spark, version=0)) == [(1, 1, "a")]
+    assert _rows(st.read(spark)) == [(1, 2, "b")]
+
+
+def test_vacuum_base_window_covers_retained_entry_pins(spark, tmp_path):
+    """A compact burns up to TWO base versions for ONE log entry, so
+    a base window paced by the same keep_last could expire a retained
+    entry's pinned base (round-12 review). The base keep window must
+    widen to cover every retained entry's recorded base_version."""
+    st = _store(tmp_path)
+    # e0: bulk append; compact -> base v0 (merge), e1 truncation
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=2, v=1, payload="x")]
+        )
+    )
+    st.compact(spark)
+    # e2: upsert + delete; compact -> base v1 (merge) + v2 (DV
+    # delete), e3 truncation
+    st.commit_delta(
+        spark.createDataFrame(
+            [
+                Row(k=1, v=2, payload="b", op="u"),
+                Row(k=2, v=2, payload=None, op="d"),
+            ]
+        ),
+        op_col="op",
+    )
+    e2 = st.current_version()  # the append entry is the head here
+    st.compact(spark)
+    # retain the last 2 entries: e2 (append, base_version=v0) and the
+    # truncation head; base keep_last=2 alone would keep only v1, v2
+    # and expire e2's pinned v0
+    st.vacuum(keep_last=2)
+    assert _rows(st.read(spark, version=e2)) == [(1, 2, "b")]
+    assert _rows(st.read(spark)) == [(1, 2, "b")]
