@@ -2185,41 +2185,58 @@ class PartitionedParquetMergeStore:
         was fragmented enough to touch (no version burns — the no-op
         law).
         """
+        if self.child_store == "mor" and cluster_by is not None:
+            raise ValueError("cluster_by requires copy-on-write children")
         cur = self.current_version()
         parts = self._parts(cur)
-        touched = []
-        for pval in sorted(parts):
+
+        def _compact_one(pval: str) -> dict | None:
             child = self._child(parts[pval]["dir"])
             # only compact the child version this table pins — a child
             # pointer ahead of the pin (crashed writer) must not leak in
             if child.current_version() != parts[pval]["version"]:
-                continue
+                return None
             if self.child_store == "mor":
-                if cluster_by is not None:
-                    raise ValueError(
-                        "cluster_by requires copy-on-write children"
-                    )
                 # fold the child's delta log into its base; the
                 # truncation commits a new log entry, which becomes
                 # the new pin (no live deltas -> no entry, no burn)
                 if child.delta_count() == 0:
-                    continue
+                    return None
                 child.compact(spark)
-                v = child.current_version()
-                parts[pval]["version"] = v
-                touched.append(pval)
-                continue
+                return {**parts[pval], "version": child.current_version()}
             v = child.compact(
                 spark,
                 min_files=min_files,
                 cluster_by=cluster_by,
                 files_per_bucket=files_per_bucket,
             )
-            if v is not None:
-                parts[pval]["version"] = v
-                parts[pval]["stats"] = self._child_stats_rollup(child, v)
-                parts[pval]["blooms"] = self._child_blooms_rollup(child, v)
-                touched.append(pval)
+            if v is None:
+                return None
+            return {
+                **parts[pval],
+                "version": v,
+                "stats": self._child_stats_rollup(child, v),
+                "blooms": self._child_blooms_rollup(child, v),
+            }
+
+        # children are independent directories + commit domains: fan
+        # the per-child compactions across the write pool exactly like
+        # merge()/delete_where() — the serial loop paid each child's
+        # fold/rewrite jobs back-to-back (round-12 store-suite
+        # overhead audit, VERDICT r11 #7)
+        touched = []
+        if parts:
+            with ThreadPoolExecutor(
+                max_workers=min(self.write_concurrency, len(parts))
+            ) as pool:
+                futs = {
+                    p: pool.submit(_compact_one, p) for p in sorted(parts)
+                }
+                for pval in sorted(parts):
+                    entry = futs[pval].result()
+                    if entry is not None:
+                        parts[pval] = entry
+                        touched.append(pval)
         if not touched:
             return None
         new_version = cur + 1
