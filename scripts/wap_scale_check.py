@@ -62,7 +62,82 @@ def _batch(spark, stamp):
     )
 
 
+def table_main(n_parts: int) -> None:
+    """TABLE-level WAP at W partitions (round 12, VERDICT r11 #3):
+    branch = global shallow clone (W child clones, metadata-only);
+    publish = W renames + ONE global commit. Both must track the
+    PARTITION COUNT, never the table bytes — run at
+    --table-parts {16,64,256} and record the rows in BASELINE.md.
+    Rows per partition are tiny by design: this measures the
+    metadata path, the data path is the ordinary merge already
+    tiered elsewhere."""
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    spark = get_spark()
+    root = f"/tmp/spark_graft_wap_table{n_parts}"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    st = PartitionedParquetMergeStore(
+        os.path.join(root, "t"),
+        keys=("day", "k"),
+        partition_col="day",
+        version_cols=("v",),
+        num_buckets=2,
+    )
+    st.merge(
+        spark.range(2 * n_parts).select(
+            (F.col("id") % n_parts).cast("string").alias("day"),
+            F.col("id").alias("k"),
+            F.lit(1).cast("bigint").alias("v"),
+            F.col("id").cast("string").alias("payload"),
+        )
+    )
+    t_branch, t_publish = [], []
+    for i in range(RUNS + 1):  # first is warm-up
+        t0 = time.perf_counter()
+        br = st.wap_branch(f"audit{i}")
+        t1 = time.perf_counter()
+        # the candidate touches EVERY partition (the backfill shape)
+        br.merge(
+            spark.range(n_parts).select(
+                F.col("id").cast("string").alias("day"),
+                (F.col("id") + 1_000_000).alias("k"),
+                F.lit(100 + i).cast("bigint").alias("v"),
+                F.lit("fix").alias("payload"),
+            )
+        )
+        n = br.read(spark).count()
+        t2 = time.perf_counter()
+        st.wap_publish(br)
+        t3 = time.perf_counter()
+        assert st.read(spark).count() == n
+        if i:
+            t_branch.append(t1 - t0)
+            t_publish.append(t3 - t2)
+
+    def _med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    print(
+        f"table parts={n_parts}: wap_branch median {_med(t_branch):.3f}s "
+        f"(runs {[f'{t:.3f}' for t in t_branch]})"
+    )
+    print(
+        f"table parts={n_parts}: wap_publish median "
+        f"{_med(t_publish):.3f}s "
+        f"(runs {[f'{t:.3f}' for t in t_publish]}) "
+        f"— {n_parts} renames + 1 global commit, zero data jobs"
+    )
+
+
 def main() -> None:
+    if "--table-parts" in sys.argv:
+        table_main(
+            int(sys.argv[sys.argv.index("--table-parts") + 1])
+        )
+        return
     copies = 1
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
