@@ -367,9 +367,14 @@ def _q141_build(spark: SparkSession, sf: str):
     # deterministic data-derived probes: no fixed id survives the LWW
     # collapse at every sf (later events supersede earlier keys)
     snap = store.read(spark)
-    lo, hi = snap.agg(F.min("event_id"), F.max("event_id")).first()
-    (pmin,) = snap.filter(F.col("event_type") == "purchase").agg(
-        F.min("event_id")
+    lo, hi, pmin = snap.agg(
+        F.min("event_id"),
+        F.max("event_id"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("event_id")
+            )
+        ),
     ).first()
     return store, sorted({lo, hi, pmin})
 

@@ -53,6 +53,11 @@ def main() -> None:
     copies = 1
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    # this script times the DISTRIBUTED build (its whole point); the
+    # round-13 small-commit driver fast path would otherwise intercept
+    # the sub-64 MiB tiers. The adaptive path's bit-identity is
+    # asserted separately below (and in tests/test_merge_store.py).
+    os.environ["SPARK_GRAFT_BLOOM_DRIVER_MAX_BYTES"] = "0"
     spark = get_spark()
     rows = ROWS_BASE * copies
     df = spark.range(rows).select(
@@ -176,7 +181,20 @@ def main() -> None:
         f"batched 3-tag build (one job: whole + disjoint halves): "
         f"{t_batched:.2f}s"
     )
-    print("bit-identity old==new==batched (+ per-tag isolation): ok")
+
+    # round-13 adaptive fast path: the driver-side small-commit build
+    # must be bit-identical to the distributed one over the same dirs
+    t0 = time.perf_counter()
+    fast = ParquetMergeStore._dirs_blooms_driver(
+        {"whole": out_dir, **halves}, ("tag", "num")
+    )
+    t_fast = time.perf_counter() - t0
+    assert fast == batched, "driver fast path != distributed build"
+    print(f"driver fast path (round-13, 3 tags): {t_fast:.2f}s")
+    print(
+        "bit-identity old==new==batched==fastpath "
+        "(+ per-tag isolation): ok"
+    )
 
 
 if __name__ == "__main__":

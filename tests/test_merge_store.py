@@ -11,6 +11,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from parquet_demo_spark.sources.merge_store import ParquetMergeStore
 
@@ -1118,6 +1119,73 @@ def test_bloom_survives_delete_and_compact(spark, tmp_path):
         spark, where={"payload": ("p5", "p5")}
     ).count() == 0
     assert st._read_manifest(cur)["blooms"]
+
+
+def test_bloom_fastpath_bit_identical(spark, tmp_path, monkeypatch):
+    """The small-commit DRIVER-side bloom build (round 13,
+    ``_dirs_blooms_driver``) is bit-identical to the distributed
+    ``_out_dirs_blooms`` job over the same written dirs — including
+    the all-null column yielding no bloom — and the dispatch is
+    governed by SPARK_GRAFT_BLOOM_DRIVER_MAX_BYTES."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+        F.concat(F.lit("t"), (F.col("id") % 30).cast("string")).alias(
+            "tag"
+        ),
+        (F.col("id") * 31).alias("num"),
+        F.lit(None).cast("string").alias("blank"),
+    )
+    # distributed path, forced: threshold 0 means nothing is "small"
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_DRIVER_MAX_BYTES", "0")
+    st = ParquetMergeStore(
+        str(tmp_path / "bloomdist"),
+        keys=("k",),
+        version_cols=("v",),
+        num_buckets=4,
+        bloom_cols=("tag", "num", "blank"),
+    )
+    st.merge(df)
+    dist = st._read_manifest(0)["blooms"]
+    assert dist and all(
+        set(cm) == {"tag", "num"} for cm in dist.values()
+    )  # all-null column yields no bloom, hashable ones do
+
+    # driver fast path over the SAME written dir must match bit-for-bit
+    out_dir = os.path.join(
+        st.root,
+        os.path.dirname(
+            next(iter(st._read_manifest(0)["bucket_paths"].values()))
+        ),
+    )
+    fast = ParquetMergeStore._dirs_blooms_driver(
+        {"": out_dir}, ("tag", "num", "blank")
+    )[""]
+    assert {str(b): cm for b, cm in fast.items()} == dist
+
+    # default threshold: the same small commit dispatches to the fast
+    # path (no Spark job) and commits identical manifest blooms
+    monkeypatch.delenv("SPARK_GRAFT_BLOOM_DRIVER_MAX_BYTES")
+    st2 = ParquetMergeStore(
+        str(tmp_path / "bloomfast"),
+        keys=("k",),
+        version_cols=("v",),
+        num_buckets=4,
+        bloom_cols=("tag", "num", "blank"),
+    )
+    called = {}
+    orig = ParquetMergeStore._dirs_blooms_driver.__func__
+
+    def spy(cls, live, cols):
+        called["yes"] = True
+        return orig(cls, live, cols)
+
+    monkeypatch.setattr(
+        ParquetMergeStore, "_dirs_blooms_driver", classmethod(spy)
+    )
+    st2.merge(df)
+    assert called.get("yes"), "small commit did not take the fast path"
+    assert st2._read_manifest(0)["blooms"] == dist
 
 
 def test_maintain_noop_under_target(spark, tmp_path):
