@@ -774,3 +774,171 @@ def test_vacuum_base_window_covers_retained_entry_pins(spark, tmp_path):
     st.vacuum(keep_last=2)
     assert _rows(st.read(spark, version=e2)) == [(1, 2, "b")]
     assert _rows(st.read(spark)) == [(1, 2, "b")]
+
+
+# -- CDC: changes_between over the log-entry chain (round 13) ----------
+
+
+def _cdc_rows(df):
+    return sorted(
+        (r.k, r._change_type, r.payload) for r in df.collect()
+    )
+
+
+def _delta(spark, rows):
+    """[(k, v, payload, op)] -> a typed delta batch."""
+    return spark.createDataFrame(
+        rows, "k bigint, v bigint, payload string, op string"
+    )
+
+
+def test_changes_between_append_span(spark, tmp_path):
+    """The O(Δ) append fast path classifies insert / update / delete,
+    drops identical rewrites and absent-key tombstones, and emits
+    pre-images on request."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"a{i}") for i in range(1, 5)]
+        )
+    )  # e0
+    st.commit_delta(
+        _delta(
+            spark,
+            [
+                (1, 2, "CHANGED", "u"),  # real update
+                (2, 1, "a2", "u"),  # identical rewrite -> dropped
+                (10, 1, "new", "u"),  # insert
+            ],
+        ),
+        op_col="op",
+    )  # e1
+    st.commit_delta(
+        _delta(
+            spark,
+            [
+                (3, 3, None, "d"),  # delete of a live key
+                (99, 3, None, "d"),  # tombstone of an absent key
+            ],
+        ),
+        op_col="op",
+    )  # e2
+    got = _cdc_rows(st.changes_between(spark, 0, 2))
+    assert got == sorted(
+        [
+            (1, "update_postimage", "CHANGED"),
+            (3, "delete", "a3"),
+            (10, "insert", "new"),
+        ]
+    )
+    with_pre = _cdc_rows(
+        st.changes_between(spark, 0, 2, include_preimages=True)
+    )
+    assert with_pre == sorted(
+        [
+            (1, "update_postimage", "CHANGED"),
+            (1, "update_preimage", "a1"),
+            (3, "delete", "a3"),
+            (10, "insert", "new"),
+        ]
+    )
+    # empty span: same entry both ends -> typed empty frame
+    assert st.changes_between(spark, 2, 2).count() == 0
+
+
+def test_changes_between_replay_law(spark, tmp_path):
+    """Applying the feed to snapshot@from reproduces snapshot@to —
+    the law every CDC consumer (MV refresh, replication) builds on."""
+    st = _seed(spark, tmp_path)  # base only, no entries yet
+    st.commit_delta(
+        _delta(spark, [(1, 2, "upd", "u"), (9, 1, "ins", "u")]),
+        op_col="op",
+    )  # e0
+    st.commit_delta(
+        _delta(spark, [(2, 3, None, "d"), (3, 2, "upd3", "u")]),
+        op_col="op",
+    )  # e1
+    cdc = st.changes_between(spark, 0, 1).collect()
+    old = {
+        (r.k): (r.k, r.v, r.payload)
+        for r in st.read(spark, version=0).collect()
+    }
+    for r in cdc:
+        if r._change_type == "delete":
+            old.pop(r.k)
+        else:
+            old[r.k] = (r.k, r.v, r.payload)
+    assert sorted(old.values()) == _rows(st.read(spark, version=1))
+
+
+def test_changes_between_across_compact_is_logical(spark, tmp_path):
+    """A span crossing a compact boundary (snapshot-diff fallback)
+    emits the logical changes only — compaction itself is CDC-silent."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"a{i}") for i in range(1, 4)]
+        )
+    )  # e0
+    st.commit_delta(
+        _delta(spark, [(1, 2, "upd", "u"), (2, 2, None, "d")]),
+        op_col="op",
+    )  # e1
+    st.compact(spark)  # e2: truncation entry, base stamped
+    e2 = st.current_version()
+    # pure compact span: no logical change
+    assert st.changes_between(spark, 1, e2).count() == 0
+    # span from BEFORE the appends, across the compact
+    assert _cdc_rows(st.changes_between(spark, 0, e2)) == sorted(
+        [(1, "update_postimage", "upd"), (2, "delete", "a2")]
+    )
+
+
+def test_changes_between_append_after_compact_keeps_fast_path(
+    spark, tmp_path
+):
+    """commit_delta carries a prior compact's base stamp forward, so
+    post-compact appends still satisfy the append fast path AND an
+    entry-pinned read never resolves against a later compact's base."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")])
+    )  # e0
+    st.compact(spark)  # e1
+    e1 = st.current_version()
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")])
+    )  # e2
+    e2 = st.current_version()
+    s1, s2 = st._entry_state(e1), st._entry_state(e2)
+    assert s2.get("base_version") == s1.get("base_version")
+    assert _cdc_rows(st.changes_between(spark, e1, e2)) == [
+        (2, "insert", "b")
+    ]
+    # a SECOND compact must not leak into e2's pinned read
+    st.compact(spark)
+    assert _rows(st.read(spark, version=e2)) == [
+        (1, 1, "a"),
+        (2, 1, "b"),
+    ]
+
+
+def test_post_compact_bootstrap_merge_is_visible(spark, tmp_path):
+    """Round-13 store-law fix: a bootstrap (COW-path) merge into a
+    store whose head entry stamps a base version must re-stamp the
+    entry — its rows were previously committed BEHIND the pin and
+    invisible to every read."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")])
+    )
+    st.compact(spark)
+    e_compact = st.current_version()
+    st.merge(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    assert _rows(st.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+    # the pre-merge entry still reads the OLD snapshot (pin isolation)
+    assert _rows(st.read(spark, version=e_compact)) == [(1, 1, "a")]
+    # and the boundary is CDC-visible
+    assert _cdc_rows(
+        st.changes_between(spark, e_compact, st.current_version())
+    ) == [(2, "insert", "b")]

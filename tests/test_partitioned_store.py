@@ -1763,10 +1763,12 @@ def test_mor_children_cow_only_surfaces_raise(spark, tmp_path):
         st.merge(_batch(spark, [("d1", 2)]), conditional=True)
     with pytest.raises(ValueError, match="copy-on-write"):
         st.delete_where(spark, F.col("k") == 1, deletion_vectors=True)
+    # changes_between is NOT in this list anymore: round 13 derives
+    # MOR CDC from the children's delta logs (see
+    # test_mor_children_changes_between below)
     for op in (
         lambda: st.shallow_clone(str(tmp_path / "c")),
         lambda: st.wap_branch("a"),
-        lambda: st.changes_between(spark, 0, 0),
         lambda: st.count_rows(),
         lambda: st.files_read(),
         lambda: st.add_constraint(spark, "c1", "k > 0"),
@@ -1821,3 +1823,51 @@ def test_mor_children_table_probe(spark, tmp_path):
         for r in st.probe(spark, keys).collect()
     )
     assert got == [("d1", 1, 2, "d1/1b"), ("d2", 1, 1, "d2/1")]
+
+
+def test_mor_children_changes_between(spark, tmp_path):
+    """MOR-backed table CDC (round 13): changes_between composes the
+    children's delta-log diffs (O(Δ) append spans), a dropped
+    partition surfaces as delete rows, and the replay law holds —
+    feed applied to snapshot@from == snapshot@to."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1), ("d3", 1)]))  # v0
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d1", k=1, v=2, payload="d1/1b"),   # update
+                Row(day="d1", k=1, v=1, payload="stale"),   # LWW loser
+                Row(day="d2", k=9, v=1, payload="d2/9"),    # insert
+                Row(day="d2", k=1, v=1, payload="d2/1"),    # identical
+            ]
+        )
+    )  # v1
+    st.delete_where(spark, F.col("k") == 2)  # v2: tombstone d1/2
+    st.drop_partition("d3")  # v3: retention drop
+    cdc = st.changes_between(spark, 0, 3, include_preimages=True)
+    got = sorted(
+        (r.day, r.k, r._change_type, r.payload) for r in cdc.collect()
+    )
+    assert got == sorted(
+        [
+            ("d1", 1, "update_postimage", "d1/1b"),
+            ("d1", 1, "update_preimage", "d1/1"),
+            ("d1", 2, "delete", "d1/2"),
+            ("d2", 9, "insert", "d2/9"),
+            ("d3", 1, "delete", "d3/1"),
+        ]
+    )
+    # replay law: snapshot@0 + feed == snapshot@3
+    state = {
+        (r.day, r.k): (r.day, r.k, r.v, r.payload)
+        for r in st.read(spark, version=0).collect()
+    }
+    for r in cdc.collect():
+        if r._change_type == "delete":
+            state.pop((r.day, r.k))
+        elif r._change_type != "update_preimage":
+            state[(r.day, r.k)] = (r.day, r.k, r.v, r.payload)
+    assert sorted(state.values()) == _rows(st.read(spark, version=3))
+    # span across a table compact: still only the logical changes
+    v4 = st.compact(spark)
+    assert st.changes_between(spark, 3, v4).count() == 0
