@@ -2995,3 +2995,128 @@ def _q195_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q195_partitioned_mor_backfill", _q195_build, _q195_read)
+
+
+# ---------------------------------------------------------------------------
+# q199 — replication through a WAP gate (multi-commit synthesized feed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q199_wap_feed_replication",
+    oracle="""
+    WITH non_click AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (event_id % 2) DESC, ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type <> 'click'
+    ),
+    reinserted AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'click' AND event_id % 3 = 0
+    ),
+    final AS (
+      SELECT * FROM non_click WHERE rn = 1
+      UNION ALL
+      SELECT * FROM reinserted WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM final
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="CDC replication THROUGH a write-audit-publish gate (VERDICT "
+    "r12 #3): the audit branch lands THREE feed-bearing commits — "
+    "merge the odd batch (unconditional replace, odd beats even per "
+    "PK), DELETE WHERE event_type='click' (every click key gone), "
+    "then re-insert the clicks with event_id%3==0 — and wap_publish "
+    "adopts the branch's per-commit feeds as ONE ordered ref list "
+    "(metadata-only, no feed rewrite). change_feed(published) serves "
+    "the rows tagged _commit_version in branch order, and "
+    "replay_change_feed applies each source commit's upserts-then-"
+    "deletes phases IN ORDER into an initially base-seeded replica — "
+    "the delete-then-REINSERT of the same PKs is exactly the case a "
+    "flat concatenated replay gets wrong (the reborn clicks would "
+    "come back deleted). The returned aggregate reads the REPLICA, "
+    "so the driver hash proves feed synthesis, ordering, and replay "
+    "fidelity end-to-end; the oracle recomputes the final state from "
+    "scratch. Scale: the publish adopts O(branch commits) refs — no "
+    "data moves — and replication reads O(delta) feed files. "
+    "sources/merge_store.py wap_publish/change_feed/"
+    "replay_change_feed.",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    return _q199_read(spark, sf, _q199_build(spark, sf))
+
+
+def _q199_build(spark: SparkSession, sf: str):
+    """Build phase: base commit + the audited 3-commit branch +
+    metadata-only publish with the synthesized feed ref list."""
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    root = _scratch_root("q199", sf)
+    src = ParquetMergeStore(
+        os.path.join(root, "src"),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    src.merge(ev.filter(F.col("event_id") % 2 == 0))  # v0, the base
+    branch = src.wap_branch("replicate")
+    branch.merge(
+        ev.filter(F.col("event_id") % 2 == 1), write_change_feed=True
+    )
+    branch.delete(spark, "event_type = 'click'", write_change_feed=True)
+    branch.merge(
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("event_id") % 3 == 0)
+        ),
+        write_change_feed=True,
+    )
+    published = src.wap_publish(branch)  # v1: ordered feed-ref list
+    return root, src, published
+
+
+_Q199_REPLICA_N = [0]
+
+
+def _q199_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    """Operation under test: seed a FRESH replica with the base
+    snapshot, replay ONLY the published version's synthesized feed,
+    read the replica back."""
+    from parquet_demo_spark.sources.merge_store import replay_change_feed
+
+    root, src, published = state
+    _Q199_REPLICA_N[0] += 1
+    dst = ParquetMergeStore(
+        os.path.join(root, f"dst{_Q199_REPLICA_N[0]}"),
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=8,
+    )
+    dst.merge(src.read(spark, version=0))
+    replay_change_feed(src, dst, spark, v_from=published, v_to=published)
+    return (
+        dst.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register_phases("q199_wap_feed_replication", _q199_build, _q199_read)

@@ -417,7 +417,7 @@ class ParquetMergeStore:
         bucket_paths: dict[int, str],
         columns: list[str],
         stats: dict[int, dict] | None = None,
-        change_feed: str | None = None,
+        change_feed: str | list[str] | None = None,
         blooms: dict[int, dict] | None = None,
         operation: str = "merge",
         op_params: dict | None = None,
@@ -433,7 +433,9 @@ class ParquetMergeStore:
             "version_cols": list(self.version_cols),
             "num_buckets": self.num_buckets,
             # relative dir of this commit's stored change rows (Delta
-            # CDF-style), or None when the merge didn't write a feed
+            # CDF-style), an ORDERED LIST of such dirs for a
+            # multi-commit wap_publish (one per branch commit, replay
+            # order), or None when the commit wrote no feed
             "change_feed": change_feed,
             # the table schema (column names, stable order): bucket dirs
             # from different versions may carry different physical
@@ -2630,23 +2632,42 @@ class ParquetMergeStore:
         if rel is None:
             if m.get("operation") == "wap_publish":
                 # a feed-less publish is a LOGICAL data change CDF
-                # consumers must not silently skip: the branch carried
-                # multiple commits (or wrote no feeds), so no
-                # single-commit feed could be adopted. Point at the
-                # branch history instead of the generic advice.
+                # consumers must not silently skip: some branch commit
+                # wrote no feed (and wasn't a CDC-silent compact), so
+                # no feed could be adopted or synthesized. Point at
+                # the branch history instead of the generic advice.
                 p = m.get("op_params", {})
                 raise ValueError(
                     f"version {v} landed via wap_publish of "
                     f"{p.get('branch')!r} (branch versions 1.."
-                    f"{p.get('branch_version')}) without an adoptable "
-                    "single-commit change feed; replay the branch's "
-                    "own feeds in order, or diff snapshots with "
-                    f"changes_between({p.get('base_version')}, {v})"
+                    f"{p.get('branch_version')}) without adoptable "
+                    "change feeds (a branch commit was written "
+                    "without write_change_feed=True); diff snapshots "
+                    f"with changes_between({p.get('base_version')}, "
+                    f"{v}) instead"
                 )
             raise ValueError(
                 f"version {v} has no stored change feed; merge with "
                 "write_change_feed=True or diff snapshots with "
                 "changes_between"
+            )
+        if isinstance(rel, list):
+            # multi-commit publish (round 13): the refs are the
+            # branch's per-commit feeds in version order; tag each
+            # with its ordinal so a replayer can apply the commits'
+            # upserts-then-deletes phases IN ORDER (a PK deleted in
+            # one branch commit and re-inserted in a later one must
+            # end up present)
+            out = None
+            for i, r in enumerate(rel):
+                part = spark.read.parquet(
+                    os.path.join(self.root, r)
+                ).withColumn(
+                    "_commit_version", F.lit(i + 1).cast("bigint")
+                )
+                out = part if out is None else out.unionByName(part)
+            return out.select(
+                *m["columns"], "_change_type", "_commit_version"
             )
         df = spark.read.parquet(os.path.join(self.root, rel))
         return df.select(*m["columns"], "_change_type")
@@ -3389,19 +3410,35 @@ class ParquetMergeStore:
                 root_pfx
             ) else p
 
-        # CDF: a publish is a logical data change; when the branch's
-        # single audited commit carried a stored feed, adopt it so
-        # change_feed()/replay consumers see the published rows. A
-        # multi-commit branch has no single-commit feed (concatenating
-        # would break replay's upserts-then-deletes ordering across
-        # the intermediate states) — change_feed() raises a
-        # wap-specific error pointing at the branch feeds instead of
-        # the generic advice (ADVICE r11 medium).
+        # CDF: a publish is a logical data change. A single audited
+        # commit's stored feed is adopted directly. A MULTI-commit
+        # branch's feeds are adopted as an ORDERED LIST of refs
+        # (round 13, VERDICT r12 #3) — publish stays metadata-only;
+        # change_feed() reads them tagged with a per-source-commit
+        # ``_commit_version`` ordinal so replay can preserve the
+        # upserts-then-deletes ordering PER source commit (a flat
+        # concatenation would mis-replay a delete-then-reinsert of
+        # the same PK across branch commits). A feed-less branch
+        # commit that is provably CDC-silent (compact) is skipped;
+        # any other feed-less commit leaves the publish feed-less and
+        # change_feed() raises the wap-specific error as before.
         rel_changes = None
         if bcur == 1:
             bfeed = bm.get("change_feed")
             if bfeed is not None:
                 rel_changes = _norm(bfeed)
+        else:
+            feeds = []
+            for v in range(1, bcur + 1):
+                vm = branch._read_manifest(v)
+                f = vm.get("change_feed")
+                if f is not None:
+                    feeds.append(_norm(f))
+                elif vm.get("operation") != "compact":
+                    feeds = None  # not synthesizable
+                    break
+            if feeds:
+                rel_changes = feeds
 
         return self._commit(
             cur + 1,
@@ -3483,7 +3520,9 @@ class ParquetMergeStore:
                     m.get("dv", {}).values()
                 )
                 feed = m.get("change_feed")
-                if feed is not None:
+                if isinstance(feed, list):  # multi-commit publish
+                    refs.extend(feed)
+                elif feed is not None:
                     refs.append(feed)
                 # refs may be store-relative (wap_publish normalizes
                 # branch refs to relative so vacuum's live set sees
@@ -3644,10 +3683,13 @@ class ParquetMergeStore:
         # change feeds are per-version artifacts: live iff their
         # version's manifest is kept (committed feeds only — an orphan
         # version's dir was removed with its manifest above)
-        live_feeds = {
-            self._read_manifest(v).get("change_feed")
-            for v in keep_versions
-        }
+        live_feeds = set()
+        for v in keep_versions:
+            f = self._read_manifest(v).get("change_feed")
+            if isinstance(f, list):  # multi-commit publish refs
+                live_feeds.update(f)
+            else:
+                live_feeds.add(f)
         changes_root = os.path.join(self.root, "changes")
         if os.path.isdir(changes_root):
             for d in sorted(os.listdir(changes_root)):
@@ -3816,8 +3858,8 @@ def replay_change_feed(
     if v_to is None:
         raise ValueError(f"empty source store: {src.root}")
     committed: list[int] = []
-    for v in range(v_from, v_to + 1):
-        feed = src.change_feed(spark, v)
+
+    def _apply(feed: DataFrame) -> None:
         upserts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type")
@@ -3828,6 +3870,29 @@ def replay_change_feed(
         )
         if not dels.isEmpty():
             committed.append(dst.delete_keys(dels))
+
+    for v in range(v_from, v_to + 1):
+        feed = src.change_feed(spark, v)
+        if "_commit_version" in feed.columns:
+            # a multi-commit wap_publish feed: apply each source
+            # commit's phase pair IN ORDER — within one commit a PK
+            # has one action, but across commits a delete may precede
+            # a re-insert of the same PK, which a single flattened
+            # upserts-then-deletes pass would replay wrong
+            ordinals = sorted(
+                r[0]
+                for r in feed.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for o in ordinals:
+                _apply(
+                    feed.filter(F.col("_commit_version") == o).drop(
+                        "_commit_version"
+                    )
+                )
+        else:
+            _apply(feed)
     return committed
 
 

@@ -3144,7 +3144,10 @@ def test_wap_publish_single_commit_branch_carries_change_feed(
     with pytest.raises(ValueError, match="referenced by committed"):
         st.wap_abandon(br, keep_last=1)
 
-    # multi-commit branch: no single-commit feed can be adopted
+    # multi-commit branch with a FEED-LESS commit: nothing adoptable,
+    # the wap-specific error names the gap (round 13: feeds on every
+    # non-silent commit are synthesized instead — see
+    # test_wap_publish_multi_commit_feed_synthesis)
     st2 = ParquetMergeStore(
         str(tmp_path / "store2"), keys=("k",), version_cols=("v",)
     )
@@ -3154,13 +3157,73 @@ def test_wap_publish_single_commit_branch_carries_change_feed(
         spark.createDataFrame([Row(k=2, v=1, payload="b")]),
         write_change_feed=True,
     )
-    br2.merge(
-        spark.createDataFrame([Row(k=3, v=1, payload="c")]),
-        write_change_feed=True,
-    )
+    br2.merge(spark.createDataFrame([Row(k=3, v=1, payload="c")]))
     v2 = st2.wap_publish(br2)
     with pytest.raises(ValueError, match="wap_publish"):
         st2.change_feed(spark, v2)
+
+
+def test_wap_publish_multi_commit_feed_synthesis(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): a multi-commit branch publish whose
+    commits all stored feeds serves them through change_feed() as one
+    _commit_version-tagged feed (branch order), a CDC-silent branch
+    compact is skipped, replay_change_feed applies the phases per
+    source commit — a delete-then-reinsert of the same PK lands
+    PRESENT — and vacuum keeps every adopted feed ref."""
+    from parquet_demo_spark.sources.merge_store import (
+        replay_change_feed,
+    )
+
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=5, v=1, payload="e")]
+        )
+    )
+    br = st.wap_branch("audit-multi")
+    br.merge(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")]),
+        write_change_feed=True,
+    )  # branch v1: insert k2
+    br.delete(spark, "k = 1", write_change_feed=True)  # v2: delete k1
+    br.compact(spark, min_files=1)  # v3: CDC-silent, feed-less
+    br.merge(
+        spark.createDataFrame([Row(k=1, v=2, payload="reborn")]),
+        write_change_feed=True,
+    )  # v4: REINSERT k1
+    v = st.wap_publish(br)
+
+    feed = st.change_feed(spark, v)
+    assert "_commit_version" in feed.columns
+    got = sorted(
+        (r._commit_version, r.k, r._change_type)
+        for r in feed.collect()
+    )
+    # ordinals follow branch order; the compact contributed nothing
+    assert got == [
+        (1, 2, "insert"),
+        (2, 1, "delete"),
+        (3, 1, "insert"),
+    ]
+
+    # replay law: base snapshot + published feed == published snapshot
+    dst = ParquetMergeStore(
+        str(tmp_path / "replica"), keys=("k",), version_cols=("v",)
+    )
+    dst.merge(st.read(spark, version=0))
+    replay_change_feed(st, dst, spark, v_from=v, v_to=v)
+    assert _rows_kp(dst.read(spark)) == _rows_kp(st.read(spark, v))
+    # the reinserted PK is PRESENT — a flat upserts-then-deletes
+    # replay of the concatenated feed would have deleted it
+    assert (1, "reborn") in _rows_kp(dst.read(spark))
+
+    # vacuum keeps the adopted branch feed refs readable
+    st.vacuum(keep_last=1)
+    assert st.change_feed(spark, v).count() == 3
+
+
+def _rows_kp(df):
+    return sorted((r.k, r.payload) for r in df.collect())
 
 
 def test_wap_branch_rejects_traversal_names(spark, tmp_path):
