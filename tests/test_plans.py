@@ -486,3 +486,27 @@ def test_q196_per_step_work_is_vocab_sized(spark, sf_dir):
         .collect()[0][0]
     )
     assert seg2 == "|ab|b", seg2
+
+
+def test_q200_apply_leg_is_map_side_and_train_loop_guarded(
+    spark, sf_dir
+):
+    """q200 (round 13): the apply leg under MINED merges keeps q197's
+    map-side shape — one hash exchange (the lang agg), segmentation
+    folded per row — and the training loop's driver-collect-per-step
+    pattern is capped (a 10k-merge call must fail loudly, not
+    serialize 10k jobs through the driver)."""
+    import pytest
+
+    from parquet_demo_spark.operators.text import (
+        _Q196_MAX_STEPS,
+        _q196_mine,
+        _q200_read,
+    )
+
+    df = _q200_read(spark, sf_dir, [("t", "h"), ("th", "e")])
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("Exchange (") == 2, plan
+    with pytest.raises(ValueError, match="per merge step"):
+        _q196_mine(spark, sf_dir, _Q196_MAX_STEPS + 1)
