@@ -904,6 +904,11 @@ class MergeOnReadStore:
         latest = self._resolved(spark, folded_dirs)
         if latest is None:
             return
+        # one materialization feeds the emptiness probes AND the base
+        # merge/delete below — without it the per-PK window recomputes
+        # up to three times per compact (the delta log is O(batch)
+        # rows, so the checkpoint is small)
+        latest = latest.localCheckpoint(eager=False)
         folded = set(folded_dirs)
         cols = self._columns()
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
