@@ -1156,7 +1156,7 @@ def dedup_index_batch_applier(spark: SparkSession, store):
                 )
                 .drop("__cur_ts")
             )
-        winners = latest.localCheckpoint()  # read by encode + tombstones
+        winners = latest.localCheckpoint(eager=False)  # read by encode + tombstones
         if winners.isEmpty():
             return
         # materialize the encoding ONCE: it feeds the emptiness check,
@@ -1166,7 +1166,7 @@ def dedup_index_batch_applier(spark: SparkSession, store):
         fresh = (
             minhash_band_signatures(winners.select("doc_id", "text"))
             .join(winners.select("doc_id", "edit_ts"), "doc_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         empty_store = not store.has_data()
         if empty_store:

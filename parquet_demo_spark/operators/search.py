@@ -626,7 +626,7 @@ def index_batch_applier(spark: SparkSession, store):
                 .drop("__cur_ts")
             )
             prior_terms = "__cur_terms"
-        winners = latest.localCheckpoint()  # read twice below
+        winners = latest.localCheckpoint(eager=False)  # read twice below
         if winners.isEmpty():
             return
         # materialize the postings ONCE: they feed the stale anti-join,
@@ -636,7 +636,7 @@ def index_batch_applier(spark: SparkSession, store):
             inverted_index(winners.select("doc_id", "text", "edit_ts"))
             .drop("bucket")
             .join(winners.select("doc_id", "edit_ts"), "doc_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if not store.has_data():
             # an all-tokenless first batch produces no postings; merging

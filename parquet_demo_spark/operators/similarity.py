@@ -2465,7 +2465,7 @@ def ann_index_batch_applier(
                 )
                 .drop("__cur_ts")
             )
-        winners = latest.localCheckpoint()  # read by encode + tombstones
+        winners = latest.localCheckpoint(eager=False)  # read by encode + tombstones
         if winners.isEmpty():
             return
         ups = winners.filter(F.col("op") == "upsert").select(
@@ -2496,7 +2496,7 @@ def ann_index_batch_applier(
             ups.join(cells, "vec_id")
             .join(codes, "vec_id")
             .select("vec_id", "edit_ts", "cid", "codes", "e")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if not store.has_data():
             # deletes against an empty store are no-ops by definition;

@@ -3432,7 +3432,12 @@ class ParquetMergeStore:
             for v in range(1, bcur + 1):
                 vm = branch._read_manifest(v)
                 f = vm.get("change_feed")
-                if f is not None:
+                if isinstance(f, list):
+                    # a nested multi-commit publish inside the branch:
+                    # its ordered refs flatten in place (they replay
+                    # at this position in the branch order)
+                    feeds.extend(_norm(r) for r in f)
+                elif f is not None:
                     feeds.append(_norm(f))
                 elif vm.get("operation") != "compact":
                     feeds = None  # not synthesizable
