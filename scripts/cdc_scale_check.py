@@ -139,6 +139,46 @@ def main() -> None:
         f"feed {t_full / t_feed:.1f}x"
     )
 
+    # --- MOR tier (round 13): the log-entry diff must stay O(Δ) as
+    # the base grows — candidate keys are the appended dirs' rows,
+    # pre-state is one bucket-pruned probe, never a base scan ---
+    from parquet_demo_spark.sources.mor_store import MergeOnReadStore
+
+    mroot = f"/tmp/spark_graft_cdc_scale/mor_{copies}x"
+    if os.path.exists(mroot):
+        shutil.rmtree(mroot)
+    mst = MergeOnReadStore(
+        mroot,
+        keys=("user_id", "event_type"),
+        version_cols=("ts", "event_id"),
+        num_buckets=64,
+    )
+    mst.commit_delta(ev)  # e0: bulk load through the log
+    t0 = time.time()
+    mst.compact(spark)  # e1: fold to base (stamps base_version)
+    print(f"MOR bulk fold (compact): {time.time() - t0:.2f}s")
+    e1 = mst.current_version()
+    mmv0 = _mv_agg(mst.read(spark, version=e1)).localCheckpoint()
+    t0 = time.time()
+    mst.commit_delta(delta)  # e2: the same fixed-size correction
+    t_append = time.time() - t0
+    e2 = mst.current_version()
+    print(f"MOR delta append ({nd:,} rows): {t_append:.2f}s")
+    mfull, t_mfull = timed(
+        "MOR recompute", lambda: _mv_agg(mst.read(spark, version=e2))
+    )
+    mdiff, t_mdiff = timed(
+        "MOR log diff",
+        lambda: refresh_incremental(
+            mmv0,
+            mst.changes_between(spark, e1, e2, include_preimages=True),
+        ),
+    )
+    assert mfull == mdiff == full, "MOR refresh paths disagree"
+    print(
+        f"MOR speedup vs recompute: log diff {t_mfull / t_mdiff:.1f}x"
+    )
+
 
 if __name__ == "__main__":
     main()
