@@ -712,6 +712,43 @@ class MergeOnReadStore:
         )
         return keep.select(*cols).unionByName(ups)
 
+    # --- inspection ---
+
+    def files_read(
+        self,
+        version: int | None = None,
+        where: dict | None = None,
+    ) -> int:
+        """How many data files a :meth:`read` with this scope opens —
+        the base store's pruning-evidence contract through the
+        overlay: the pinned base's own manifest-pruned count, plus
+        EVERY live delta dir's files (the overlay is always fully
+        read; ``where`` filters its rows, not its files — that is the
+        read-amplification term compaction cadence bounds)."""
+        state = (
+            self._log()
+            if version is None
+            else self._entry_state(int(version))
+        )
+        bv = (
+            state["base_version"]
+            if "base_version" in state
+            else self.base.current_version()
+        )
+        total = (
+            self.base.files_read(version=bv, where=where)
+            if bv is not None
+            else 0
+        )
+        for d in state["dirs"]:
+            dd = os.path.join(self._deltas_root, d)
+            total += sum(
+                1
+                for f in os.listdir(dd)
+                if f.endswith(".parquet")
+            )
+        return total
+
     # --- CDC ---
 
     def changes_between(

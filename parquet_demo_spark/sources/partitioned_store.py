@@ -592,11 +592,17 @@ class PartitionedParquetMergeStore:
         )
 
     def _require_cow(self, op: str) -> None:
+        """Gate for the surfaces still composed from COW children's
+        per-bucket manifests (clones, WAP, stored feeds, footer
+        counts). NOT in this set anymore (round 13):
+        ``changes_between`` (MOR CDC derives from the children's
+        delta logs) and ``files_read`` (base pruning evidence + delta
+        dir listing)."""
         if self.child_store != "cow":
             raise ValueError(
                 f"{op} requires copy-on-write children "
                 "(child_store='cow'): MOR children carry no per-bucket "
-                "manifests/change feeds/clones to compose it from"
+                "manifests/stored feeds/clones to compose it from"
             )
 
     def _child(self, dirname: str):
@@ -1945,8 +1951,10 @@ class PartitionedParquetMergeStore:
         """How many data files a :meth:`read` with this scope opens —
         the pruning evidence (footer-free: manifests + listing), with
         both levels applied: global stats rollup across partitions,
-        then each survivor's own bucket min/max/bloom pruning."""
-        self._require_cow("files_read")
+        then each survivor's own bucket min/max/bloom pruning. MOR
+        children report their pinned base's pruned count plus their
+        live delta dirs' files (round 13 — the overlay is always
+        read in full)."""
         parts = self._parts(version)
         total = 0
         for pval in self._stats_select(

@@ -1763,14 +1763,15 @@ def test_mor_children_cow_only_surfaces_raise(spark, tmp_path):
         st.merge(_batch(spark, [("d1", 2)]), conditional=True)
     with pytest.raises(ValueError, match="copy-on-write"):
         st.delete_where(spark, F.col("k") == 1, deletion_vectors=True)
-    # changes_between is NOT in this list anymore: round 13 derives
-    # MOR CDC from the children's delta logs (see
-    # test_mor_children_changes_between below)
+    # changes_between and files_read are NOT in this list anymore:
+    # round 13 derives MOR CDC from the children's delta logs (see
+    # test_mor_children_changes_between) and files_read from base
+    # pruning evidence + delta dir listing (see
+    # test_mor_children_files_read)
     for op in (
         lambda: st.shallow_clone(str(tmp_path / "c")),
         lambda: st.wap_branch("a"),
         lambda: st.count_rows(),
-        lambda: st.files_read(),
         lambda: st.add_constraint(spark, "c1", "k > 0"),
     ):
         with pytest.raises(ValueError, match="copy-on-write"):
@@ -1871,3 +1872,25 @@ def test_mor_children_changes_between(spark, tmp_path):
     # span across a table compact: still only the logical changes
     v4 = st.compact(spark)
     assert st.changes_between(spark, 3, v4).count() == 0
+
+
+def test_mor_children_files_read(spark, tmp_path):
+    """files_read on an MOR-backed table (round 13): each child
+    reports its pinned base's manifest-pruned count PLUS its live
+    delta dirs' files (the overlay is always fully read); a compact
+    moves the delta term back into the prunable base."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))  # v0
+    st.compact(spark)  # v1: folds into the bases
+    base_files = st.files_read()
+    assert base_files > 0
+    st.merge(_batch(spark, [("d1", 1)]))  # v2: one delta append to d1
+    with_delta = st.files_read()
+    assert with_delta == base_files + 1  # exactly the appended file
+    # pinned evidence: the pre-append version still reports base-only
+    assert st.files_read(version=1) == base_files
+    # partition scoping composes (only d1 carries the delta)
+    assert (
+        st.files_read(partitions=("d1", "d1"))
+        == st.files_read(version=1, partitions=("d1", "d1")) + 1
+    )
