@@ -2658,15 +2658,41 @@ class ParquetMergeStore:
             # upserts-then-deletes phases IN ORDER (a PK deleted in
             # one branch commit and re-inserted in a later one must
             # end up present)
-            out = None
-            for i, r in enumerate(rel):
-                part = spark.read.parquet(
+            if not rel:
+                # every branch commit was CDC-silent: a zero-change
+                # publish serves an empty typed feed
+                return (
+                    self.read(spark, v)
+                    .select(*m["columns"])
+                    .limit(0)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn(
+                        "_commit_version", F.lit(0).cast("bigint")
+                    )
+                )
+            parts = [
+                spark.read.parquet(
                     os.path.join(self.root, r)
                 ).withColumn(
                     "_commit_version", F.lit(i + 1).cast("bigint")
                 )
-                out = part if out is None else out.unionByName(part)
-            return out.select(
+                for i, r in enumerate(rel)
+            ]
+            # balanced fold (the _delta_frame law: O(n log n) driver
+            # analysis, not a left-deep chain) with missing columns
+            # null-filled — a branch evolution between feed-bearing
+            # commits leaves earlier feeds narrower; the head commit's
+            # feed always carries the published column set
+            while len(parts) > 1:
+                parts = [
+                    parts[i].unionByName(
+                        parts[i + 1], allowMissingColumns=True
+                    )
+                    if i + 1 < len(parts)
+                    else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            return parts[0].select(
                 *m["columns"], "_change_type", "_commit_version"
             )
         df = spark.read.parquet(os.path.join(self.root, rel))
@@ -3425,8 +3451,15 @@ class ParquetMergeStore:
         rel_changes = None
         if bcur == 1:
             bfeed = bm.get("change_feed")
-            if bfeed is not None:
+            if isinstance(bfeed, list):
+                # the lone commit is itself a multi-commit publish:
+                # adopt its ordered refs (round-13 review finding —
+                # _norm on a list would crash the publish)
+                rel_changes = [_norm(r) for r in bfeed]
+            elif bfeed is not None:
                 rel_changes = _norm(bfeed)
+            elif bm.get("operation") == "compact":
+                rel_changes = []  # provably zero-change publish
         else:
             feeds = []
             for v in range(1, bcur + 1):
@@ -3442,7 +3475,10 @@ class ParquetMergeStore:
                 elif vm.get("operation") != "compact":
                     feeds = None  # not synthesizable
                     break
-            if feeds:
+            # [] (every commit a CDC-silent compact) is a VALID
+            # synthesis — a zero-change publish serves an empty typed
+            # feed, not the feed-less error (round-13 review finding)
+            if feeds is not None:
                 rel_changes = feeds
 
         return self._commit(
@@ -3869,7 +3905,13 @@ def replay_change_feed(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type")
         if not upserts.isEmpty():
-            committed.append(dst.merge(upserts))
+            # the feed is the SOURCE's committed history — if it
+            # carries columns the replica hasn't seen, the source
+            # evolved and the replica must follow (strict mode would
+            # strand replication at the evolution boundary)
+            committed.append(
+                dst.merge(upserts, allow_schema_evolution=True)
+            )
         dels = feed.filter(F.col("_change_type") == "delete").select(
             *src.keys
         )

@@ -302,8 +302,26 @@ class MergeOnReadStore:
                     f"(got {sorted(kwargs)})"
                 )
             return self.commit_delta(batch)
+        pinned_present = log["entry"] >= 0 and "base_version" in log
+        pinned = log.get("base_version")
+        if pinned_present and pinned != self.base.current_version():
+            # the head entry pins a base BEHIND the live base head
+            # (a restore fenced out an aborted compact's folds, or a
+            # crashed writer advanced the base): merging onto the live
+            # head would RESURRECT the fenced-out state, and
+            # re-stamping would commit it — route through the delta
+            # log, which overlays the PINNED base (round-13 review
+            # finding)
+            if kwargs:
+                raise ValueError(
+                    "merge options are only available on the copy-on-"
+                    "write bootstrap path; the head entry pins base "
+                    f"v{pinned} behind the live base head (got "
+                    f"{sorted(kwargs)})"
+                )
+            return self.commit_delta(batch)
         v = self.base.merge(batch, **kwargs)
-        if log["entry"] >= 0 and "base_version" in log:
+        if pinned_present:
             # the committed head PINS a base version (a prior compact
             # stamped it); a base write behind that pin would be
             # INVISIBLE to every read resolving through the entry

@@ -3258,3 +3258,85 @@ def test_wap_abandon_keep_last_zero_matches_vacuum(spark, tmp_path):
         (1, 1, "a"),
         (2, 1, "b"),
     ]
+
+
+def test_wap_publish_feed_edge_cases(spark, tmp_path):
+    """Round-13 review findings on the synthesized publish feed:
+    (a) an all-compact branch publishes a ZERO-CHANGE feed (empty,
+    typed) instead of raising; (b) a branch that evolved the schema
+    between feed-bearing commits still serves a readable feed
+    (earlier feeds null-fill the new column); (c) a single-commit
+    branch whose commit is itself a multi-commit publish adopts the
+    nested ordered refs."""
+    from parquet_demo_spark.sources.merge_store import (
+        replay_change_feed,
+    )
+
+    # (a) all-compact branch -> empty typed feed
+    st = _store(tmp_path)
+    st.merge(
+        spark.createDataFrame(
+            [Row(k=1, v=1, payload="a"), Row(k=1, v=2, payload="b")]
+        )
+    )
+    br = st.wap_branch("silent")
+    br.compact(spark, min_files=1)
+    v = st.wap_publish(br)
+    feed = st.change_feed(spark, v)
+    assert feed.count() == 0
+    assert "_commit_version" in feed.columns
+
+    # (b) evolution between feed-bearing branch commits
+    st2 = ParquetMergeStore(
+        str(tmp_path / "evolve"), keys=("k",), version_cols=("v",)
+    )
+    st2.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    br2 = st2.wap_branch("wide")
+    br2.merge(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")]),
+        write_change_feed=True,
+    )
+    br2.merge(
+        spark.createDataFrame(
+            [Row(k=3, v=1, payload="c", extra="X")]
+        ),
+        write_change_feed=True,
+        allow_schema_evolution=True,
+    )
+    v2 = st2.wap_publish(br2)
+    feed2 = st2.change_feed(spark, v2)
+    got = sorted(
+        (r._commit_version, r.k, r.payload, r.extra)
+        for r in feed2.collect()
+    )
+    assert got == [(1, 2, "b", None), (2, 3, "c", "X")]
+    dst = ParquetMergeStore(
+        str(tmp_path / "evolve_dst"), keys=("k",), version_cols=("v",)
+    )
+    dst.merge(st2.read(spark, version=0))
+    replay_change_feed(st2, dst, spark, v_from=v2, v_to=v2)
+    assert sorted(
+        (r.k, r.payload) for r in dst.read(spark).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # (c) nested publish adopted through a single-commit branch
+    st3 = ParquetMergeStore(
+        str(tmp_path / "nested"), keys=("k",), version_cols=("v",)
+    )
+    st3.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    outer = st3.wap_branch("outer")
+    inner = outer.wap_branch("inner")
+    inner.merge(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")]),
+        write_change_feed=True,
+    )
+    inner.merge(
+        spark.createDataFrame([Row(k=3, v=1, payload="c")]),
+        write_change_feed=True,
+    )
+    outer.wap_publish(inner)  # outer v1: LIST feed
+    v3 = st3.wap_publish(outer)  # bcur == 1 with a list feed
+    got3 = sorted(
+        (r._commit_version, r.k) for r in st3.change_feed(spark, v3).collect()
+    )
+    assert got3 == [(1, 2), (2, 3)]

@@ -942,3 +942,29 @@ def test_post_compact_bootstrap_merge_is_visible(spark, tmp_path):
     assert _cdc_rows(
         st.changes_between(spark, e_compact, st.current_version())
     ) == [(2, "insert", "b")]
+
+
+def test_bootstrap_merge_after_restore_does_not_resurrect(
+    spark, tmp_path
+):
+    """Round-13 review finding: a bootstrap merge into a store whose
+    head entry pins a base BEHIND the live base head (a restore
+    fenced out later folds) must not merge onto — and re-stamp — the
+    fenced-out state; it routes through the delta log over the
+    PINNED base."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="keep")])
+    )  # e0
+    st.compact(spark)  # e1: base v1? (v0+DV-free fold), stamps pin
+    e1 = st.current_version()
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=1, payload="aborted")])
+    )  # e2
+    st.compact(spark)  # e3: folds the aborted batch into the base
+    st.restore(e1)  # e4: fence the aborted fold out
+    st.merge(spark.createDataFrame([Row(k=3, v=1, payload="new")]))
+    rows = _rows(st.read(spark))
+    assert rows == [(1, 1, "keep"), (3, 1, "new")], rows
+    # the fenced-out key must NOT resurrect
+    assert (2, 1, "aborted") not in rows
