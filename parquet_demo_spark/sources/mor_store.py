@@ -955,10 +955,24 @@ class MergeOnReadStore:
         # second read would include a concurrently appended delta in
         # `folded` that `latest` never resolved — truncated and deleted
         # without ever reaching the base (round-11 review finding)
-        folded_dirs = list(self._log()["dirs"])
+        snap = self._log()
+        folded_dirs = list(snap["dirs"])
         latest = self._resolved(spark, folded_dirs)
         if latest is None:
             return
+        pinned = snap.get("base_version")
+        if (
+            isinstance(pinned, int)
+            and pinned != self.base.current_version()
+        ):
+            # the head entry pins a base BEHIND the live base head (a
+            # restore fenced out an aborted compact's folds): folding
+            # onto the live head — and re-stamping to it below — would
+            # RESURRECT the fenced-out state. Fence the base first
+            # (metadata-only restore), so the fold and the truncation
+            # stamp both build on the pinned snapshot (round-14 ADVICE
+            # HIGH; mirrors the merge() bootstrap-path fix above).
+            self.base.restore(pinned)
         # one materialization feeds the emptiness probes AND the base
         # merge/delete below — without it the per-PK window recomputes
         # up to three times per compact (the delta log is O(batch)

@@ -968,3 +968,41 @@ def test_bootstrap_merge_after_restore_does_not_resurrect(
     assert rows == [(1, 1, "keep"), (3, 1, "new")], rows
     # the fenced-out key must NOT resurrect
     assert (2, 1, "aborted") not in rows
+
+
+def test_compact_after_restore_does_not_resurrect(spark, tmp_path):
+    """Round-14 ADVICE HIGH: compact() folded resolved deltas onto the
+    LIVE base head and re-stamped base_version to it — so the compact
+    AFTER a restore-then-merge resurrected the aborted fold the
+    restore had fenced out. compact must fence the base to the pinned
+    version (metadata-only restore) before folding."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="keep")])
+    )  # e0
+    st.compact(spark)  # e1 pins base v_keep
+    e1 = st.current_version()
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=1, payload="aborted")])
+    )  # e2
+    st.compact(spark)  # e3: folds the aborted batch into the base
+    st.restore(e1)  # e4: fence the aborted fold out
+    st.merge(spark.createDataFrame([Row(k=3, v=1, payload="new")]))
+    # pre-fix: this compact folds onto the live (fenced-out) base head
+    st.compact(spark)
+    rows = _rows(st.read(spark))
+    assert rows == [(1, 1, "keep"), (3, 1, "new")], rows
+    # idempotent under further maintenance cycles
+    st.commit_delta(
+        spark.createDataFrame([Row(k=4, v=1, payload="later")])
+    )
+    st.compact(spark)
+    rows = _rows(st.read(spark))
+    assert rows == [(1, 1, "keep"), (3, 1, "new"), (4, 1, "later")]
+    # and the boundary stays CDC-coherent: head diff vs e1 shows the
+    # net effect (k=2 never appears)
+    changed = _cdc_rows(
+        st.changes_between(spark, e1, st.current_version())
+    )
+    assert (2, "insert", "aborted") not in changed
+    assert {(3, "insert", "new"), (4, "insert", "later")} <= set(changed)
