@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquet_demo_spark.sources.cdc import classify_changes
+
 _BUCKET = "__bucket"
 _FROM_UPSERT = "__from_upsert"
 
@@ -2578,39 +2580,21 @@ class ParquetMergeStore:
             )
 
         if ranked is None:
-            return _with_cols(batch).withColumn(
-                "_change_type", F.lit("insert")
+            return classify_changes(
+                None, _with_cols(batch), None, cols, list(self.keys), True
             )
-        surv = ranked.filter(
-            (F.col("__rn") == 1) & (F.col(_FROM_UPSERT) == 1)
+        surv = _with_cols(
+            ranked.filter(
+                (F.col("__rn") == 1) & (F.col(_FROM_UPSERT) == 1)
+            )
         )
-        surv = _with_cols(surv)
-        old = ranked.filter(F.col(_FROM_UPSERT) == 0)
-        old_tagged = _with_cols(old).select(
-            *[F.col(c).alias(f"__old_{c}") for c in cols]
+        old = _with_cols(ranked.filter(F.col(_FROM_UPSERT) == 0))
+        # merges never remove a key, so the feed has no delete leg; the
+        # insert/update classification is the shared Delta-CDF
+        # classifier both stores call (sources/cdc.py)
+        return classify_changes(
+            old, surv, None, cols, list(self.keys), True
         )
-        cond = [
-            F.col(k).eqNullSafe(F.col(f"__old_{k}")) for k in self.keys
-        ]
-        joined = surv.join(old_tagged, cond, "left")
-        non_keys = [c for c in cols if c not in self.keys]
-        differs = F.lit(False)
-        for c in non_keys:
-            differs = differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
-        is_insert = F.col(f"__old_{self.keys[0]}").isNull()
-        changed = joined.filter(is_insert | differs)
-        post = changed.withColumn(
-            "_change_type",
-            F.when(is_insert, F.lit("insert")).otherwise(
-                F.lit("update_postimage")
-            ),
-        ).select(*cols, "_change_type")
-        pre = (
-            changed.filter(~is_insert)
-            .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
-            .withColumn("_change_type", F.lit("update_preimage"))
-        )
-        return post.unionByName(pre)
 
     def change_feed(
         self, spark: SparkSession, version: int | None = None
@@ -4092,8 +4076,9 @@ def changes_between(
     old = _read(old_paths, changed_old, v_from)
     keys = list(store.keys)
     if old is None:
-        return _residual(
-            _align(new).withColumn("_change_type", F.lit("insert"))
+        return classify_changes(
+            None, _residual(_align(new)), None, cols, keys,
+            include_preimages,
         )
     old = _align(old)
 
@@ -4121,35 +4106,18 @@ def changes_between(
             [F.col(k).eqNullSafe(F.col(f"__new_{k}")) for k in keys],
             "left_anti",
         )
-    deletes = _residual(gone).withColumn("_change_type", F.lit("delete"))
+    # deletes qualify a `where` range by their only image — the old row
+    gone = _residual(gone)
 
     if new is None:
-        return deletes
-    new = _align(new)
-    old_tagged = old.select(
-        *[F.col(c).alias(f"__old_{c}") for c in cols]
+        # no changed NEW dirs: the span's only candidates are deletes
+        return classify_changes(
+            None, old.limit(0), gone, cols, keys, include_preimages
+        )
+    # the where residual pre-filters the POST side (post-images qualify
+    # the changed pair — filtering the join's left input commutes with
+    # the left join); the classification law itself is the shared
+    # Delta-CDF classifier both stores call (sources/cdc.py)
+    return classify_changes(
+        old, _residual(_align(new)), gone, cols, keys, include_preimages
     )
-    cond = [
-        F.col(k).eqNullSafe(F.col(f"__old_{k}")) for k in keys
-    ]
-    joined = new.select(*cols).join(old_tagged, cond, "left")
-    non_keys = [c for c in cols if c not in keys]
-    row_differs = F.lit(False)
-    for c in non_keys:
-        row_differs = row_differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
-    is_insert = F.col(f"__old_{keys[0]}").isNull()
-    changed = _residual(joined.filter(is_insert | row_differs))
-    post = changed.withColumn(
-        "_change_type",
-        F.when(is_insert, F.lit("insert")).otherwise(
-            F.lit("update_postimage")
-        ),
-    ).select(*cols, "_change_type")
-    if not include_preimages:
-        return post.unionByName(deletes)
-    pre = (
-        changed.filter(~is_insert)
-        .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
-        .withColumn("_change_type", F.lit("update_preimage"))
-    )
-    return post.unionByName(pre).unionByName(deletes)
