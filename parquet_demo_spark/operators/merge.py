@@ -3120,3 +3120,159 @@ def _q199_read(spark: SparkSession, sf: str, state) -> DataFrame:
 
 
 register_phases("q199_wap_feed_replication", _q199_build, _q199_read)
+
+
+# ---------------------------------------------------------------------------
+# q201 — table-level WAP on merge-on-read children (round-14 VERDICT #2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q201_mor_table_wap",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             user_id, event_type, event_id, ts, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT wk, user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY wk, user_id, event_type
+               ORDER BY (CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+                              THEN 1 ELSE 0 END) DESC,
+                        ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT 'published' AS action, CAST(wk AS VARCHAR) AS wk, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY wk, event_type ORDER BY wk, event_type
+    """,
+    doc="TABLE-level write-audit-publish on MERGE-ON-READ children "
+    "(round-14 VERDICT #2): q194's audit-gate flow on the "
+    "backfill-optimized table q195/q198 made first-class. The "
+    "week-partitioned MOR store bulk-loads and compacts; a corrupted "
+    "candidate batch stages on a TABLE audit branch — a global clone "
+    "whose MOR children are base-shallow-clones + copied live deltas "
+    "— fails the audit and is abandoned; the cleaned batch re-stages "
+    "as O(batch) DELTA APPENDS in the branch children (no production "
+    "bucket ever rewritten pre-publish), an error-row DELETE WHERE "
+    "tombstones on the branch too, the audit passes, and wap_publish "
+    "adopts everything atomically across all touched weeks. A "
+    "post-publish table compact folds the published children's delta "
+    "logs into their clone bases (the restore-fencing law applies: "
+    "the fold builds on each entry's pinned base). At 100 TB this is "
+    "how a scatter backfill lands hundreds of date partitions behind "
+    "one audit gate WITHOUT paying copy-on-write amplification twice "
+    "— once on the branch and once on publish. "
+    "sources/partitioned_store.py wap_branch/wap_publish; "
+    "sources/mor_store.py shallow_clone.",
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    return _q201_read(spark, sf, _q201_build(spark, sf))
+
+
+def _q201_build(spark: SparkSession, sf: str):
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("week", F.col("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("wk"),
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    root = _scratch_root("q201", sf)
+    store = PartitionedParquetMergeStore(
+        root,
+        keys=("wk", "user_id", "event_type"),
+        partition_col="wk",
+        version_cols=("ts", "event_id"),
+        num_buckets=4,
+        child_store="mor",
+    )
+    store.merge(ev)
+    store.compact(spark)  # children get real bases before branching
+    return store, ev
+
+
+def _q201_read(spark: SparkSession, sf: str, state) -> DataFrame:
+    store, ev = state
+    candidate = ev.filter(F.col("event_id") % 5 == 0)
+    corrupted = candidate.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, -F.col("value")
+        ).otherwise(F.col("value")),
+    )
+
+    def _audit_bad(branch) -> int:
+        return (
+            branch.read(spark)
+            .filter(
+                (F.col("value") < 0)
+                | (F.col("event_type") == "error")
+            )
+            .count()
+        )
+
+    bad_branch = store.wap_branch("audit")
+    bad_branch.merge(corrupted)
+    if bad_branch.read(spark).filter(F.col("value") < 0).count() == 0:
+        raise AssertionError("corrupted batch passed the MOR table audit")
+    store.wap_abandon(bad_branch)
+
+    good_branch = store.wap_branch("audit")
+    good_branch.merge(candidate.filter(F.col("event_id") % 7 != 0))
+    good_branch.delete_where(spark, F.col("event_type") == "error")
+    if _audit_bad(good_branch) != 0:
+        raise AssertionError("clean batch failed the MOR table audit")
+    # the gate holds: production still carries the error rows the
+    # branch tombstoned (nothing published yet)
+    if store.read(spark).filter(F.col("event_type") == "error").limit(
+        1
+    ).count() == 0:
+        raise AssertionError("branch tombstones leaked into production")
+    v = store.wap_publish(good_branch)
+    if any(
+        "_branches" in e["dir"] for e in store._parts(v).values()
+    ):
+        raise AssertionError("published manifest references _branches")
+    # fold the published children's delta logs into their clone bases
+    store.compact(spark)
+
+    return (
+        store.read(spark)
+        .groupBy(
+            F.col("wk").cast("string").alias("wk"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            F.lit("published").alias("action"),
+            "wk",
+            "event_type",
+            "n_keys",
+            "sum_event_id",
+            "value_cents",
+        )
+        .orderBy("wk", "event_type")
+    )
+
+
+register_phases("q201_mor_table_wap", _q201_build, _q201_read)

@@ -66,6 +66,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_demo_spark.sources.cdc import classify_changes
 from parquet_demo_spark.sources.merge_store import (
     ConcurrentWriteConflict,
     ParquetMergeStore,
@@ -767,6 +768,106 @@ class MergeOnReadStore:
             )
         return total
 
+    # --- clone ---
+
+    def shallow_clone(
+        self, dst_root: str, version: int | None = None
+    ) -> "MergeOnReadStore":
+        """Zero-copy-ish clone of a committed LOG ENTRY (Delta SHALLOW
+        CLONE through the MOR overlay): the clone's BASE is a shallow
+        clone of this store's base at the entry's pinned
+        ``base_version`` (absolute-path refs, no data moved — the base
+        store's own clone law), and the entry's live delta dirs are
+        COPIED into the clone (O(live delta rows), bounded by
+        compaction cadence — copying keeps the clone's vacuum
+        self-contained instead of adding a second cross-store ref
+        kind). One e0 entry pins the cloned state; the clone is
+        independently writable (delta appends land in its own log;
+        a compact copy-on-writes inside its own base).
+
+        ``version`` clones an earlier committed entry (the partitioned
+        table clones each child at its globally PINNED entry). Same
+        caveat as the base store: vacuum on the SOURCE can strand the
+        clone's base refs; vacuum on the clone never crosses into the
+        source. This is what lets a ``child_store='mor'`` table open
+        TABLE-level audit branches (wap_branch) — round-14 VERDICT #2.
+        """
+        head = self.current_version()
+        src_base_head = self.base.current_version()
+        if head is None and src_base_head is None:
+            raise ValueError(
+                f"cannot clone an empty merge-on-read store: {self.root}"
+            )
+        if head is None:
+            # legacy base-only store (no committed entry)
+            state: dict = {"seq": -1, "dirs": []}
+            if version is not None:
+                raise ValueError(
+                    f"log entry {version} does not exist in {self.root} "
+                    "(base-only store)"
+                )
+        else:
+            state = self._entry_state(
+                head if version is None else int(version)
+            )
+        bv = (
+            state["base_version"]
+            if "base_version" in state
+            else src_base_head
+        )
+        missing = [
+            d
+            for d in state["dirs"]
+            if not os.path.isdir(os.path.join(self._deltas_root, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot clone: delta dirs {missing[:3]} no longer "
+                "exist (vacuumed)"
+            )
+        clone = MergeOnReadStore(
+            dst_root,
+            keys=self.keys,
+            version_cols=self.version_cols,
+            num_buckets=self.num_buckets,
+        )
+        if (
+            clone.current_version() is not None
+            or clone.base.current_version() is not None
+        ):
+            raise ValueError(f"clone target not empty: {dst_root}")
+        if bv is not None:
+            self.base.shallow_clone(
+                os.path.join(dst_root, "base"), version=int(bv)
+            )
+        for d in state["dirs"]:
+            shutil.copytree(
+                os.path.join(self._deltas_root, d),
+                os.path.join(clone._deltas_root, d),
+            )
+        rec_cols = state.get("columns")
+        rec_types = state.get("types")
+        if rec_cols is None:
+            rec = self._schema_record()
+            if rec is not None:
+                rec_cols, rec_types = rec
+        clone._commit_log(
+            lambda cur: {
+                "seq": max(int(state.get("seq", -1)), 0),
+                "dirs": list(state["dirs"]),
+                **({"base_version": 0} if bv is not None else {}),
+                **(
+                    {
+                        "columns": list(rec_cols),
+                        "types": dict(rec_types or {}),
+                    }
+                    if rec_cols is not None
+                    else {}
+                ),
+            }
+        )
+        return clone
+
     # --- CDC ---
 
     def changes_between(
@@ -887,55 +988,27 @@ class MergeOnReadStore:
         keys: list[str],
         include_preimages: bool,
     ) -> DataFrame:
-        """Shared CDC classifier: ``pre`` holds the candidate keys'
-        OLD rows, ``post_u`` their new upsert rows, ``post_d`` the
-        deletion-candidate keys. Emits Delta-CDF rows; an upsert whose
-        row equals its pre-image is dropped (not a change), a delete
-        of an absent key is dropped (a no-op tombstone)."""
-        old_tagged = pre.select(
-            F.lit(1).alias("__old_present"),
-            *[F.col(c).alias(f"__old_{c}") for c in cols],
-        )
-        cond = [
-            F.col(k).eqNullSafe(F.col(f"__old_{k}")) for k in keys
-        ]
-        joined = post_u.join(old_tagged, cond, "left")
-        differs = F.lit(False)
-        for c in cols:
-            if c not in keys:
-                differs = differs | ~F.col(c).eqNullSafe(
-                    F.col(f"__old_{c}")
-                )
-        is_insert = F.col("__old_present").isNull()
-        changed = joined.filter(is_insert | differs)
-        post = changed.withColumn(
-            "_change_type",
-            F.when(is_insert, F.lit("insert")).otherwise(
-                F.lit("update_postimage")
+        """CDC emission: ``pre`` holds the candidate keys' OLD rows,
+        ``post_u`` their new upsert rows, ``post_d`` the
+        deletion-candidate keys. This method owns only the MOR-side
+        no-op-tombstone resolution (a delete of an absent key has no
+        pre row → suppressed); the classification law itself is the
+        shared :func:`~parquet_demo_spark.sources.cdc.classify_changes`
+        (the round-13 review's extraction target — one copy of the
+        Delta-CDF law for both stores)."""
+        gone = pre.join(
+            post_d.select(
+                *[F.col(k).alias(f"__del_{k}") for k in keys]
             ),
-        ).select(*cols, "_change_type")
-        deletes = (
-            pre.join(
-                post_d.select(
-                    *[F.col(k).alias(f"__del_{k}") for k in keys]
-                ),
-                [
-                    F.col(k).eqNullSafe(F.col(f"__del_{k}"))
-                    for k in keys
-                ],
-                "left_semi",
-            )
-            .select(*cols)
-            .withColumn("_change_type", F.lit("delete"))
+            [
+                F.col(k).eqNullSafe(F.col(f"__del_{k}"))
+                for k in keys
+            ],
+            "left_semi",
         )
-        if not include_preimages:
-            return post.unionByName(deletes)
-        pres = (
-            changed.filter(~is_insert)
-            .select(*[F.col(f"__old_{c}").alias(c) for c in cols])
-            .withColumn("_change_type", F.lit("update_preimage"))
+        return classify_changes(
+            pre, post_u, gone, cols, keys, include_preimages
         )
-        return post.unionByName(pres).unionByName(deletes)
 
     # --- maintenance ---
 

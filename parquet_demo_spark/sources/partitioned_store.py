@@ -593,11 +593,12 @@ class PartitionedParquetMergeStore:
 
     def _require_cow(self, op: str) -> None:
         """Gate for the surfaces still composed from COW children's
-        per-bucket manifests (clones, WAP, stored feeds, footer
-        counts). NOT in this set anymore (round 13):
-        ``changes_between`` (MOR CDC derives from the children's
-        delta logs) and ``files_read`` (base pruning evidence + delta
-        dir listing)."""
+        per-bucket manifests (CHECK constraints, footer counts). NOT
+        in this set anymore: ``changes_between`` and ``files_read``
+        (round 13 — MOR CDC derives from the children's delta logs),
+        and ``shallow_clone``/``wap_branch``/``wap_publish`` (round 14
+        — MOR children clone as base-shallow-clone + copied live
+        deltas, so an MOR table sits behind the same audit gate)."""
         if self.child_store != "cow":
             raise ValueError(
                 f"{op} requires copy-on-write children "
@@ -1418,7 +1419,6 @@ class PartitionedParquetMergeStore:
         (Delta's caveat); vacuum on the clone never crosses into the
         source.
         """
-        self._require_cow("shallow_clone")
         cur = self.current_version()
         if cur is None:
             raise ValueError(
@@ -1437,6 +1437,11 @@ class PartitionedParquetMergeStore:
             num_buckets=self.num_buckets,
             bloom_cols=self.bloom_cols,
             write_concurrency=self.write_concurrency,
+            # the clone is the same table, child strategy included: an
+            # MOR table's clone gets MOR children (each child clone =
+            # base shallow clone + copied live deltas) — round-14
+            # VERDICT #2, the table-WAP-on-MOR enabler
+            child_store=self.child_store,
         )
         if clone.current_version() is not None:
             raise ValueError(f"clone target not empty: {dst_root}")
@@ -1487,7 +1492,6 @@ class PartitionedParquetMergeStore:
         """
         import re
 
-        self._require_cow("wap_branch")
         if (
             not re.fullmatch(r"[A-Za-z0-9._-]+", str(name))
             or ".." in str(name)
@@ -2358,19 +2362,41 @@ class PartitionedParquetMergeStore:
         # one child-manifest read per distinct (dir, pinned version).
         root_pfx = os.path.abspath(self.root) + os.sep
         seen: set[tuple[str, int]] = set()
-        # MOR children never hold cross-dir refs (clone/WAP are
-        # copy-on-write machinery and raise for MOR tables)
-        for v in sorted(keep) if self.child_store == "cow" else []:
+        # MOR children hold the same cross-dir ref kind since round 14:
+        # a published branch child's BASE is a clone whose v0 manifest
+        # references the pre-publish production child's base data dirs
+        # (its deltas are copied, never referenced) — resolve the
+        # pinned ENTRY to its base version and sweep that base manifest
+        for v in sorted(keep):
             for e in self._read_manifest(v)["partitions"].values():
                 pin = (e["dir"], int(e["version"]))
                 if pin in seen:
                     continue
                 seen.add(pin)
                 child = self._child(e["dir"])
-                try:
-                    cm = child._read_manifest(pin[1])
-                except (FileNotFoundError, ValueError):
-                    continue  # vacuumed inside the child: unreadable
+                if self.child_store == "mor":
+                    try:
+                        st = child._entry_state(pin[1])
+                    except ValueError:
+                        continue  # vacuumed inside the child
+                    bv = (
+                        st["base_version"]
+                        if "base_version" in st
+                        else child.base.current_version()
+                    )
+                    if bv is None:
+                        continue  # delta-only child: no base refs
+                    ref_store = child.base
+                    try:
+                        cm = ref_store._read_manifest(int(bv))
+                    except (FileNotFoundError, ValueError):
+                        continue
+                else:
+                    ref_store = child
+                    try:
+                        cm = ref_store._read_manifest(pin[1])
+                    except (FileNotFoundError, ValueError):
+                        continue  # vacuumed inside the child
                 croot = os.path.abspath(child.root) + os.sep
                 for p in list(
                     cm.get("bucket_paths", {}).values()
@@ -2378,7 +2404,7 @@ class PartitionedParquetMergeStore:
                     ap = os.path.abspath(
                         p
                         if os.path.isabs(p)
-                        else os.path.join(child.root, p)
+                        else os.path.join(ref_store.root, p)
                     )
                     if ap.startswith(root_pfx) and not ap.startswith(
                         croot

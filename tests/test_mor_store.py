@@ -1006,3 +1006,37 @@ def test_compact_after_restore_does_not_resurrect(spark, tmp_path):
     )
     assert (2, "insert", "aborted") not in changed
     assert {(3, "insert", "new"), (4, "insert", "later")} <= set(changed)
+
+
+def test_shallow_clone_pins_entry_and_diverges(spark, tmp_path):
+    """Child-level MOR shallow clone (round-14 VERDICT #2): the clone
+    pins a committed LOG ENTRY (base shallow-cloned at the entry's
+    stamped base version, live deltas copied), reads identically, and
+    diverges independently — including through its own compact."""
+    st = _store(tmp_path)
+    st.merge(spark.createDataFrame([Row(k=1, v=1, payload="a")]))
+    st.commit_delta(spark.createDataFrame([Row(k=2, v=1, payload="b")]))
+    e_mid = st.current_version()
+    st.commit_delta(spark.createDataFrame([Row(k=3, v=1, payload="c")]))
+    clone = st.shallow_clone(str(tmp_path / "cl"), version=e_mid)
+    assert _rows(clone.read(spark)) == [(1, 1, "a"), (2, 1, "b")]
+    # divergence both ways, and the clone's compact stays inside it
+    clone.commit_delta(
+        spark.createDataFrame([Row(k=9, v=1, payload="cl")])
+    )
+    clone.compact(spark)
+    assert _rows(clone.read(spark)) == [
+        (1, 1, "a"),
+        (2, 1, "b"),
+        (9, 1, "cl"),
+    ]
+    assert _rows(st.read(spark)) == [
+        (1, 1, "a"),
+        (2, 1, "b"),
+        (3, 1, "c"),
+    ]
+    # cloning a vacuumed entry raises the descriptive error
+    st.compact(spark)
+    st.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        st.shallow_clone(str(tmp_path / "cl2"), version=e_mid)

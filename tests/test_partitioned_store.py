@@ -1767,10 +1767,9 @@ def test_mor_children_cow_only_surfaces_raise(spark, tmp_path):
     # round 13 derives MOR CDC from the children's delta logs (see
     # test_mor_children_changes_between) and files_read from base
     # pruning evidence + delta dir listing (see
-    # test_mor_children_files_read)
+    # test_mor_children_files_read). Round 14 removed shallow_clone
+    # and wap_branch/wap_publish too (see test_mor_table_wap_*).
     for op in (
-        lambda: st.shallow_clone(str(tmp_path / "c")),
-        lambda: st.wap_branch("a"),
         lambda: st.count_rows(),
         lambda: st.add_constraint(spark, "c1", "k > 0"),
     ):
@@ -1894,3 +1893,127 @@ def test_mor_children_files_read(spark, tmp_path):
         st.files_read(partitions=("d1", "d1"))
         == st.files_read(version=1, partitions=("d1", "d1")) + 1
     )
+
+
+def test_mor_table_wap_publish_adopts_audited_snapshot(spark, tmp_path):
+    """Round-14 VERDICT #2: an MOR-backed table sits behind the same
+    table-level audit gate as a COW one. The branch is a global clone
+    whose MOR children are base-shallow-clones + copied live deltas;
+    branch merges append O(batch) deltas in the BRANCH's children;
+    publish adopts the audited snapshot atomically."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1), ("d3", 1)]))
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d2", k=1, v=2, payload="d2/1-fixed"),
+                Row(day="d4", k=9, v=1, payload="d4/9"),
+            ]
+        )
+    )
+    audited = _rows(br.read(spark))
+    # production never saw the branch writes
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+        ("d3", 1, 1, "d3/1"),
+    ]
+    v = st.wap_publish(br)
+    assert v == st.current_version()
+    assert _rows(st.read(spark)) == audited
+    assert not os.path.exists(br.root)
+    for e in st._parts(v).values():
+        assert "_branches" not in e["dir"]
+    # the pre-publish version stays time-travelable
+    assert _rows(st.read(spark, version=v - 1)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d2", 1, 1, "d2/1"),
+        ("d3", 1, 1, "d3/1"),
+    ]
+
+
+def test_mor_table_wap_abandon_and_branch_isolation(spark, tmp_path):
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1)]))
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="BAD")])
+    )
+    assert _rows(br.read(spark)) == [("d1", 1, 2, "BAD")]
+    st.wap_abandon(br)
+    assert not os.path.exists(br.root)
+    assert _rows(st.read(spark)) == [("d1", 1, 1, "d1/1")]
+    # name reusable; a fresh branch reads the production snapshot
+    br2 = st.wap_branch("audit1")
+    assert _rows(br2.read(spark)) == [("d1", 1, 1, "d1/1")]
+    st.wap_abandon(br2)
+
+
+def test_mor_table_wap_publish_then_vacuum_keeps_head_readable(
+    spark, tmp_path
+):
+    """Vacuum liveness for published MOR children (round-14 VERDICT
+    #2's store-law leg): a published child's BASE is a clone that
+    references the PRE-publish production child's base dirs; expiring
+    the old global versions must not rmtree those dirs while the head
+    reads through them."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    st.compact(spark)  # children get real bases (delta logs fold)
+    br = st.wap_branch("audit1")
+    br.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=1, v=2, payload="d1/1-fixed")]
+        )
+    )
+    st.wap_publish(br)
+    st.vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "d1/1-fixed"),
+        ("d1", 2, 1, "d1/2"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # lifecycle completes: later writes + compaction internalize the
+    # published child's state into its own base over normal cadence
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=2, v=3, payload="d1/2-next")]
+        )
+    )
+    st.compact(spark)
+    st.vacuum(keep_last=1)
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "d1/1-fixed"),
+        ("d1", 2, 3, "d1/2-next"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+
+
+def test_mor_table_shallow_clone_independent(spark, tmp_path):
+    """An MOR table clone pins the source's state (base clone + copied
+    deltas) and diverges independently in both directions."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d2", 1)]))
+    st.compact(spark)
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=5, v=1, payload="live")])
+    )  # a LIVE delta rides into the clone
+    clone = st.shallow_clone(str(tmp_path / "clone"))
+    assert _rows(clone.read(spark)) == _rows(st.read(spark))
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="src")])
+    )
+    clone.merge(
+        spark.createDataFrame([Row(day="d2", k=1, v=2, payload="cl")])
+    )
+    assert _rows(st.read(spark)) == [
+        ("d1", 1, 2, "src"),
+        ("d1", 5, 1, "live"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    assert _rows(clone.read(spark)) == [
+        ("d1", 1, 1, "d1/1"),
+        ("d1", 5, 1, "live"),
+        ("d2", 1, 2, "cl"),
+    ]
