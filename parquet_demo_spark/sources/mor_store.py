@@ -101,6 +101,7 @@ class MergeOnReadStore:
         )
         self._deltas_root = os.path.join(root, "deltas")
         self._entries_root = os.path.join(root, "_log")
+        self._changes_root = os.path.join(root, "changes")
         os.makedirs(self._deltas_root, exist_ok=True)
         os.makedirs(self._entries_root, exist_ok=True)
 
@@ -246,11 +247,16 @@ class MergeOnReadStore:
                 **{
                     k: v
                     for k, v in state.items()
-                    if k not in ("entry", "seq")
+                    # "feed" stays behind too: the target's stored
+                    # change rows describe ITS commit, not the
+                    # restore's net revert (changes_between shows
+                    # that); "op" is re-stamped below
+                    if k not in ("entry", "seq", "feed", "op")
                 },
                 # seq stays monotonic over the head (it only feeds
                 # provisional dir naming; LWW order is the dirs list)
                 "seq": cur["seq"],
+                "op": "restore",
             }
         )
         return new["entry"]
@@ -333,7 +339,15 @@ class MergeOnReadStore:
             rec = self._schema_record()  # empty log → base-derived
             self._commit_log(
                 lambda cur: {
-                    **{k: x for k, x in cur.items() if k != "entry"},
+                    # "feed" belongs to the head's own commit, not this
+                    # re-stamp
+                    **{
+                        k: x
+                        for k, x in cur.items()
+                        if k not in ("entry", "feed", "op")
+                    },
+                    # base DATA changed behind the log: never CDC-silent
+                    "op": "restamp",
                     "base_version": self.base.current_version(),
                     **(
                         {"columns": rec[0], "types": rec[1]}
@@ -344,9 +358,25 @@ class MergeOnReadStore:
             )
         return v
 
-    def commit_delta(self, batch: DataFrame, op_col: str | None = None) -> int:
+    def commit_delta(
+        self,
+        batch: DataFrame,
+        op_col: str | None = None,
+        write_change_feed: bool = False,
+    ) -> int:
         """Append one maintenance batch to the delta log: O(batch)
         cost, no bucket read or rewrite at ANY base size.
+
+        ``write_change_feed=True`` additionally materializes this
+        commit's Delta-CDF rows (insert / update_pre+post / delete,
+        pre-images included) under ``changes/`` and records the ref in
+        the log entry — the COW store's stored-feed trade mirrored
+        (round-14 VERDICT #3): the WRITER pays ONE bucket-pruned probe
+        of the pre-commit snapshot at commit time, and every CDC
+        consumer then reads O(Δ) feed rows flat in base size, instead
+        of each consumer paying the probe at diff time (which for
+        hash-scattered batches touches every bucket — the measured
+        ~2.2×-recompute bound in BASELINE's MOR CDC tiers).
 
         ``op_col`` names a column of 'u' (upsert) / 'd' (delete)
         actions; absent, every row is an upsert. A NULL op is
@@ -434,11 +464,25 @@ class MergeOnReadStore:
         # the numeric prefix is informational only — the committed
         # POSITION in the entry's dirs list is the LWW order, so a
         # CAS-losing append rebases without rewriting its parquet
-        provisional = self._log()["seq"] + 1
+        obs = self._log()
+        provisional = obs["seq"] + 1
         d = tempfile.mkdtemp(
             dir=self._deltas_root, prefix=f"d{provisional:05d}-"
         )
         batch.write.mode("overwrite").parquet(d)
+        feed_rel = None
+        if write_change_feed:
+            # pre-images resolve against the head the writer observed;
+            # written BEFORE the CAS so a committed entry always
+            # references an existing feed (the COW feed-then-manifest
+            # law). A CAS loser recomputes below against the entry it
+            # actually landed on.
+            feed_rel = self._materialize_feed(
+                batch.sparkSession,
+                d,
+                out_cols,
+                obs["entry"] if obs["entry"] >= 0 else None,
+            )
         new = self._commit_log(
             lambda cur: {
                 # carry a prior compact's base stamp forward: the
@@ -455,9 +499,103 @@ class MergeOnReadStore:
                 "dirs": cur["dirs"] + [os.path.basename(d)],
                 "columns": out_cols,
                 "types": out_types,
+                # self-describing entry kind (round 14): lets
+                # changes_between walk a span and treat compacts as
+                # CDC-silent without guessing from dirs/base deltas
+                "op": "append",
+                **({"feed": feed_rel} if feed_rel is not None else {}),
             }
         )
+        if feed_rel is not None and new["entry"] != obs["entry"] + 1:
+            # lost the CAS and rebased past a competitor: the
+            # pre-images were probed against a stale snapshot — the
+            # committed predecessor entry is immutable, so one
+            # recompute against it makes the stored feed exact
+            self._materialize_feed(
+                batch.sparkSession, d, out_cols, new["entry"] - 1
+            )
         return new["seq"]
+
+    def _materialize_feed(
+        self,
+        spark: SparkSession,
+        delta_dir: str,
+        cols: list[str],
+        version: int | None,
+    ) -> str:
+        """Write the Delta-CDF rows of the delta batch in ``delta_dir``
+        against the snapshot at log entry ``version`` (``None``: the
+        live pre-commit state) under ``changes/<delta dirname>``;
+        returns the root-relative ref the log entry records. ONE
+        bucket-pruned probe resolves the pre-images; the classification
+        is the shared classifier (sources/cdc.py)."""
+        delta = spark.read.parquet(delta_dir)
+        keys = list(self.keys)
+        has_state = self._log()["entry"] >= 0 or (
+            self.base.current_version() is not None
+        )
+        pre = (
+            self.probe(spark, delta.select(*keys), version=version)
+            if has_state
+            else None
+        )
+        post_u = delta.filter(F.col(_OP) == "u").select(*cols)
+        post_d = delta.filter(F.col(_OP) == "d").select(*keys)
+        gone = (
+            pre.join(
+                post_d.select(
+                    *[F.col(k).alias(f"__del_{k}") for k in keys]
+                ),
+                [
+                    F.col(k).eqNullSafe(F.col(f"__del_{k}"))
+                    for k in keys
+                ],
+                "left_semi",
+            )
+            if pre is not None
+            else None
+        )
+        feed = classify_changes(pre, post_u, gone, cols, keys, True)
+        os.makedirs(self._changes_root, exist_ok=True)
+        name = os.path.basename(delta_dir)
+        feed.write.mode("overwrite").parquet(
+            os.path.join(self._changes_root, name)
+        )
+        return os.path.join("changes", name)
+
+    def change_feed(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The stored change rows of one log entry — an O(Δ) read,
+        flat in base size (the consumer-side payoff the writer's
+        commit-time probe bought). Raises if that entry's commit was
+        written without ``write_change_feed=True`` — compaction and
+        restore entries never carry a feed (compaction is CDC-silent;
+        a restore's net revert is a snapshot property) — use
+        :meth:`changes_between` to diff snapshots instead."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(
+                f"empty merge-on-read store: {self.root}"
+            )
+        v = head if version is None else int(version)
+        state = self._entry_state(v)
+        rel = state.get("feed")
+        if rel is None:
+            raise ValueError(
+                f"log entry {v} has no stored change feed (commit "
+                "with write_change_feed=True; compaction/restore "
+                "entries are CDC-silent) — diff snapshots with "
+                "changes_between instead"
+            )
+        p = os.path.join(self.root, rel)
+        if not os.path.isdir(p):
+            raise ValueError(
+                f"log entry {v}'s stored change feed was removed by "
+                "vacuum(keep_last=...)"
+            )
+        cols = state.get("columns") or self._columns()
+        return spark.read.parquet(p).select(*cols, "_change_type")
 
     # --- read path ---
 
@@ -854,6 +992,7 @@ class MergeOnReadStore:
         clone._commit_log(
             lambda cur: {
                 "seq": max(int(state.get("seq", -1)), 0),
+                "op": "clone",
                 "dirs": list(state["dirs"]),
                 **({"base_version": 0} if bv is not None else {}),
                 **(
@@ -870,6 +1009,29 @@ class MergeOnReadStore:
 
     # --- CDC ---
 
+    def _null_fill_types(
+        self, state: dict, cols: list[str]
+    ) -> dict[str, str]:
+        """Type map for null-filling columns missing from a diff's old
+        side: the entry's recorded types, backfilled from the schema
+        record for a legacy (pre-round-11) entry with no map of its
+        own; a column neither covers raises the descriptive schema
+        error instead of an opaque KeyError (round-14 ADVICE)."""
+        types = dict(state.get("types") or {})
+        missing = [c for c in cols if c not in types]
+        if missing:
+            rec = self._schema_record()
+            if rec is not None:
+                types = {**(rec[1] or {}), **types}
+            missing = [c for c in cols if c not in types]
+        if missing:
+            raise ValueError(
+                f"store at {self.root} records no type for column(s) "
+                f"{missing}: the entry predates the types record and "
+                "no bucket footer or newer log entry carries them"
+            )
+        return types
+
     def changes_between(
         self,
         spark: SparkSession,
@@ -885,18 +1047,21 @@ class MergeOnReadStore:
         MOR-backed table feed incremental MV refresh and replication
         (VERDICT r12 #2: the delta log already IS a change feed).
 
-        When ``e_to``'s dirs EXTEND ``e_from``'s under the same base
-        stamp (the pure-append common case — every partitioned-table
-        merge/delete on an MOR child commits exactly such an entry),
-        the diff is O(Δ): the candidate keys are the appended dirs'
-        rows, their post-state is the appended dirs' per-PK winner
-        (higher log position wins, the read path's own LWW law), and
-        their pre-state is ONE bucket-pruned :meth:`probe` of the
-        ``e_from`` snapshot — never a scan of the base. A span
-        crossing a compact/restore boundary falls back to the full
-        snapshot diff (compaction is CDC-silent by construction — the
-        folded winners equal the base rows — so the fallback emits
-        exactly the logical changes, e.g. a restore's net revert).
+        When every entry in the span is an APPEND or a COMPACT (the
+        common maintenance cadence — every partitioned-table
+        merge/delete on an MOR child commits an append; compaction is
+        CDC-silent by construction, the folded winners equal the base
+        rows), the diff is O(Δ span): the candidate keys are the
+        span's appended dirs' rows, their post-state is those dirs'
+        per-PK winner (higher log position wins, the read path's own
+        LWW law — a compact between appends never introduces a newer
+        action), and their pre-state is ONE bucket-pruned
+        :meth:`probe` of the ``e_from`` snapshot — never a scan of
+        the base. Round 14 extended this across compact boundaries
+        (VERDICT #4); a span containing a restore (net revert), a
+        restamp (base-side bootstrap merge), or a vacuumed/legacy
+        ambiguous entry falls back to the full snapshot diff —
+        correct for every entry pair, at full snapshot cost.
         """
         head = self.current_version()
         if head is None:
@@ -910,14 +1075,54 @@ class MergeOnReadStore:
         s_to = self._entry_state(e_to)
         cols = list(s_to.get("columns") or self._columns())
         keys = list(self.keys)
-        appended = (
-            e_from <= e_to
-            and s_from.get("base_version") == s_to.get("base_version")
-            and list(s_to["dirs"])[: len(s_from["dirs"])]
-            == list(s_from["dirs"])
-        )
-        if appended:
-            new_dirs = list(s_to["dirs"])[len(s_from["dirs"]) :]
+        # walk the span (round 14, VERDICT #4): the O(Δ) path holds
+        # across COMPACT boundaries too, because compaction is
+        # CDC-silent by construction — the folded winners equal the
+        # base rows. Each entry is self-describing ("op" since round
+        # 14): appends contribute their new dirs as candidates in
+        # commit order, compacts contribute nothing; anything else
+        # (restore's net revert, a restamp's base-side bootstrap
+        # merge, a legacy entry without the op record whose shape
+        # isn't a plain same-base append) falls back to the full
+        # snapshot diff — correct for every entry pair.
+        fast = e_from <= e_to
+        new_dirs: list[str] = []
+        prev = s_from
+        if fast:
+            try:
+                for n in range(e_from + 1, e_to + 1):
+                    s_n = self._entry_state(n)
+                    op = s_n.get("op")
+                    extends = (
+                        list(s_n["dirs"])[: len(prev["dirs"])]
+                        == list(prev["dirs"])
+                    )
+                    if op == "append" and extends:
+                        new_dirs.extend(
+                            list(s_n["dirs"])[len(prev["dirs"]) :]
+                        )
+                    elif op == "compact" and set(s_n["dirs"]) <= set(
+                        prev["dirs"]
+                    ):
+                        pass  # CDC-silent truncation
+                    elif (
+                        op is None
+                        and extends
+                        and s_n.get("base_version")
+                        == prev.get("base_version")
+                    ):
+                        # pre-round-14 entry: only a plain same-base
+                        # append is provably silent-free
+                        new_dirs.extend(
+                            list(s_n["dirs"])[len(prev["dirs"]) :]
+                        )
+                    else:
+                        fast = False
+                        break
+                    prev = s_n
+            except ValueError:
+                fast = False  # an intermediate entry was vacuumed
+        if fast:
             if not new_dirs:
                 return (
                     self.read(spark, version=e_to)
@@ -938,7 +1143,7 @@ class MergeOnReadStore:
                 .localCheckpoint(eager=False)
             )
             pre = self.probe(spark, latest.select(*keys), version=e_from)
-            types = s_to.get("types") or {}
+            types = self._null_fill_types(s_to, cols)
             pre = pre.select(
                 *[
                     F.col(c)
@@ -959,7 +1164,7 @@ class MergeOnReadStore:
         # table between the entries).
         old = self.read(spark, version=e_from)
         new = self.read(spark, version=e_to)
-        types = s_to.get("types") or {}
+        types = self._null_fill_types(s_to, cols)
         old = old.select(
             *[
                 F.col(c)
@@ -1066,7 +1271,14 @@ class MergeOnReadStore:
         # reads as a typed EMPTY frame, not one that raises.
         self._commit_log(
             lambda cur: {
-                **{k: v for k, v in cur.items() if k != "entry"},
+                # compaction is CDC-silent: the truncation entry must
+                # not inherit the head commit's stored feed ref
+                **{
+                    k: v
+                    for k, v in cur.items()
+                    if k not in ("entry", "feed", "op")
+                },
+                "op": "compact",
                 "dirs": [d for d in cur["dirs"] if d not in folded],
                 # the truncation entry overlays the POST-fold base; the
                 # spread above would otherwise carry the pre-compact
@@ -1130,6 +1342,9 @@ class MergeOnReadStore:
         kl = int(keep_last)
         lo = head - kl + 1 if kl > 0 else -(1 << 62)
         live: set[str] = set(log["dirs"])
+        live_feeds: set[str] = set()
+        if log.get("feed"):
+            live_feeds.add(os.path.basename(log["feed"]))
         min_base: int | None = (
             log["base_version"]
             if isinstance(log.get("base_version"), int)
@@ -1145,6 +1360,8 @@ class MergeOnReadStore:
                 except (OSError, ValueError):
                     continue
                 live |= set(state.get("dirs", []))
+                if state.get("feed"):
+                    live_feeds.add(os.path.basename(state["feed"]))
                 bv = state.get("base_version")
                 if isinstance(bv, int) and (
                     min_base is None or bv < min_base
@@ -1159,6 +1376,15 @@ class MergeOnReadStore:
             if d not in live:
                 shutil.rmtree(os.path.join(self._deltas_root, d), True)
                 removed.append(os.path.join("deltas", d))
+        if os.path.isdir(self._changes_root):
+            # stored feeds expire with the entries that reference them
+            # (orphans from crashed feed-writing commits go too)
+            for d in sorted(os.listdir(self._changes_root)):
+                if d not in live_feeds:
+                    shutil.rmtree(
+                        os.path.join(self._changes_root, d), True
+                    )
+                    removed.append(os.path.join("changes", d))
         pointer = os.path.basename(self._pointer_path())
         for name in sorted(os.listdir(self.root)):
             if name.startswith("_DELTAS.") and name != pointer:

@@ -819,10 +819,12 @@ class PartitionedParquetMergeStore:
         if lacking:
             raise ValueError(f"batch lacks partition column(s) {lacking}")
         if self.child_store == "mor" and (
-            write_change_feed or conditional or allow_schema_evolution
+            conditional or allow_schema_evolution
         ):
+            # write_change_feed is NOT in this list anymore (round 14):
+            # MOR commits can materialize their feed at commit time
             raise ValueError(
-                "write_change_feed/conditional/allow_schema_evolution "
+                "conditional/allow_schema_evolution "
                 "require copy-on-write children (child_store='cow')"
             )
         # TABLE-level schema law (the child's strict-mode mirror, one
@@ -949,7 +951,9 @@ class PartitionedParquetMergeStore:
             if self.child_store == "mor":
                 # O(batch) delta append — no bucket read or rewrite at
                 # any child size (the scatter-write backfill trade)
-                child.commit_delta(upserts)
+                child.commit_delta(
+                    upserts, write_change_feed=write_change_feed
+                )
                 v = child.current_version()
                 rollup_stats, rollup_blooms = {}, {}
             else:
@@ -1061,7 +1065,8 @@ class PartitionedParquetMergeStore:
                 else self._child(dirnames[pval])
             )
             child.commit_delta(
-                spark.read.parquet(slices[pval]).select(*upserts.columns)
+                spark.read.parquet(slices[pval]).select(*upserts.columns),
+                write_change_feed=write_change_feed,
             )
             return {
                 "dir": dirnames[pval],
@@ -1157,13 +1162,13 @@ class PartitionedParquetMergeStore:
         delete applies. A delete scoped to one day of a 100 TB table
         opens one partition directory.
         """
-        if self.child_store == "mor" and (
-            write_change_feed or deletion_vectors
-        ):
+        if self.child_store == "mor" and deletion_vectors:
+            # write_change_feed is allowed since round 14 (the MOR
+            # commit materializes its feed); DVs stay COW machinery
             raise ValueError(
-                "write_change_feed/deletion_vectors require copy-on-"
-                "write children (a MOR delete IS already a soft "
-                "tombstone in the delta log)"
+                "deletion_vectors require copy-on-write children (a "
+                "MOR delete IS already a soft tombstone in the delta "
+                "log)"
             )
         cur = self.current_version()
         parts = self._parts(cur)
@@ -1189,6 +1194,7 @@ class PartitionedParquetMergeStore:
                     child.commit_delta(
                         matching.withColumn("__del_op", F.lit("d")),
                         op_col="__del_op",
+                        write_change_feed=write_change_feed,
                     )
                 finally:
                     matching.unpersist()

@@ -179,6 +179,34 @@ def main() -> None:
         f"MOR speedup vs recompute: log diff {t_mfull / t_mdiff:.1f}x"
     )
 
+    # --- MOR stored-feed tier (round 14): the writer pays ONE
+    # bucket-pruned probe at commit time (write_change_feed=True) and
+    # every consumer then reads O(Δ) feed rows — flat in base size,
+    # the COW stored-feed trade mirrored onto the delta log ---
+    delta2 = delta.withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    mmv1 = _mv_agg(mst.read(spark, version=e2)).localCheckpoint()
+    t0 = time.time()
+    mst.commit_delta(delta2, write_change_feed=True)
+    t_append_feed = time.time() - t0
+    e3 = mst.current_version()
+    print(
+        f"MOR delta append + feed write ({nd:,} rows, one probe): "
+        f"{t_append_feed:.2f}s (plain append was {t_append:.2f}s)"
+    )
+    mfull3, t_mfull3 = timed(
+        "MOR recompute@e3", lambda: _mv_agg(mst.read(spark, version=e3))
+    )
+    mfeed, t_mfeed = timed(
+        "MOR stored feed",
+        lambda: refresh_incremental(mmv1, mst.change_feed(spark, e3)),
+    )
+    assert mfull3 == mfeed, "MOR stored-feed refresh disagrees"
+    print(
+        f"MOR speedup vs recompute: stored feed {t_mfull3 / t_mfeed:.1f}x"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -1040,3 +1040,174 @@ def test_shallow_clone_pins_entry_and_diverges(spark, tmp_path):
     st.vacuum(keep_last=1)
     with pytest.raises(ValueError, match="vacuum"):
         st.shallow_clone(str(tmp_path / "cl2"), version=e_mid)
+
+
+def test_stored_feed_equals_log_diff(spark, tmp_path):
+    """Round-14 VERDICT #3 law: change_feed(e) ≡
+    changes_between(e-1, e, include_preimages=True) — the stored feed
+    is the same Delta-CDF rows, materialized once at commit time by
+    the writer's probe instead of per consumer at diff time."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"base{i}") for i in range(1, 5)]
+        )
+    )
+    e0 = st.current_version()
+    st.commit_delta(
+        _delta(
+            spark,
+            [
+                (1, 2, "edit", "u"),      # update
+                (2, 1, "base2", "u"),     # identical rewrite → no-op
+                (3, 2, None, "d"),        # delete
+                (77, 1, None, "d"),       # absent key → no-op tombstone
+                (9, 1, "new", "u"),       # insert
+            ],
+        ),
+        op_col="op",
+        write_change_feed=True,
+    )
+    e1 = st.current_version()
+    feed = _cdc_rows(st.change_feed(spark, e1))
+    diff = _cdc_rows(
+        st.changes_between(spark, e0, e1, include_preimages=True)
+    )
+    assert feed == diff
+    assert feed == [
+        (1, "update_postimage", "edit"),
+        (1, "update_preimage", "base1"),
+        (3, "delete", "base3"),
+        (9, "insert", "new"),
+    ]
+    # feed-less entries raise the descriptive error: the seed merge...
+    with pytest.raises(ValueError, match="no stored change feed"):
+        st.change_feed(spark, e0)
+    # ...a compact truncation (CDC-silent, must not inherit the ref)...
+    st.compact(spark)
+    with pytest.raises(ValueError, match="no stored change feed"):
+        st.change_feed(spark)
+    # ...and a restore (its net revert is a snapshot diff)
+    st.restore(e1)
+    with pytest.raises(ValueError, match="no stored change feed"):
+        st.change_feed(spark)
+    # the original entry still serves its feed (dirs retained)
+    assert _cdc_rows(st.change_feed(spark, e1)) == feed
+
+
+def test_stored_feed_vacuum_and_first_commit(spark, tmp_path):
+    """Feeds expire with the entries that reference them; a
+    first-ever commit's feed is all inserts (no pre-state probe)."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        _delta(spark, [(1, 1, "a", "u"), (2, 1, None, "d")]),
+        op_col="op",
+        write_change_feed=True,
+    )
+    assert _cdc_rows(st.change_feed(spark)) == [(1, "insert", "a")]
+    st.commit_delta(
+        _delta(spark, [(1, 2, "b", "u")]),
+        op_col="op",
+        write_change_feed=True,
+    )
+    assert _cdc_rows(st.change_feed(spark)) == [
+        (1, "update_postimage", "b"),
+        (1, "update_preimage", "a"),
+    ]
+    head_feed = st._log()["feed"]
+    st.vacuum(keep_last=1)
+    # the head entry's feed survives; the expired entry's is swept
+    assert os.path.isdir(os.path.join(st.root, head_feed))
+    assert sorted(os.listdir(st._changes_root)) == [
+        os.path.basename(head_feed)
+    ]
+    with pytest.raises(ValueError, match="vacuum"):
+        st.change_feed(spark, 0)
+
+
+def test_changes_between_across_compact_is_o_delta(spark, tmp_path):
+    """Round-14 VERDICT #4: an append…compact…append span composes
+    from the O(Δ) sub-spans — compaction is CDC-silent, so
+    changes_between(e0, e_head) must equal the same edits diffed with
+    no compact in between, WITHOUT reading any snapshot (the fast
+    path probes pre-images only)."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame(
+            [Row(k=i, v=1, payload=f"base{i}") for i in range(1, 5)]
+        )
+    )
+    e0 = st.current_version()
+    st.commit_delta(
+        _delta(spark, [(1, 2, "edit1", "u"), (9, 1, "new", "u")]),
+        op_col="op",
+    )
+    st.compact(spark)
+    st.commit_delta(
+        _delta(
+            spark,
+            [
+                (1, 3, "edit2", "u"),      # re-edit across the fold
+                (2, 2, None, "d"),         # delete a base key
+                (9, 2, "new2", "u"),       # update the span's insert
+                (3, 1, "base3", "u"),      # identical rewrite → no-op
+            ],
+        ),
+        op_col="op",
+    )
+    st.compact(spark)  # a second fold — the span ends ON a compact
+    e_head = st.current_version()
+
+    # fast-path assertion: the snapshot fallback goes through read();
+    # forbid it for the duration of the diff
+    real_read = st.read
+
+    def _no_read(*a, **kw):  # pragma: no cover - fails the test
+        raise AssertionError("compact-crossing diff read a snapshot")
+
+    st.read = _no_read
+    try:
+        got = _cdc_rows(
+            st.changes_between(
+                spark, e0, e_head, include_preimages=True
+            )
+        )
+    finally:
+        st.read = real_read
+    assert got == [
+        (1, "update_postimage", "edit2"),
+        (1, "update_preimage", "base1"),
+        (2, "delete", "base2"),
+        (9, "insert", "new2"),
+    ]
+    # equivalence law: the same net diff as the snapshot fallback
+    twin = _cdc_rows(
+        st.changes_between(spark, e_head, e0, include_preimages=True)
+    )  # backward span exercises the fallback machinery (net revert)
+    assert twin == [
+        (1, "update_postimage", "base1"),
+        (1, "update_preimage", "edit2"),
+        (2, "insert", "base2"),
+        (9, "delete", "new2"),
+    ]
+
+
+def test_changes_between_restore_span_falls_back(spark, tmp_path):
+    """A span containing a restore is NOT silent — the net revert
+    must surface through the snapshot fallback."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")])
+    )
+    e0 = st.current_version()
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=1, payload="b")])
+    )
+    st.restore(e0)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=3, v=1, payload="c")])
+    )
+    e_head = st.current_version()
+    assert _cdc_rows(st.changes_between(spark, e0, e_head)) == [
+        (3, "insert", "c")
+    ]  # k=2 reverted inside the span: no net change for it
