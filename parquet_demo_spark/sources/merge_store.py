@@ -1045,6 +1045,8 @@ class ParquetMergeStore:
         column) that is all-null, schema-absent, or carries an
         unhashable type (``_bloom_build`` returns None on either).
         """
+        import base64
+
         import pyarrow.parquet as pq
 
         out: dict[str, dict[int, dict[str, dict]]] = {}
@@ -1058,8 +1060,21 @@ class ParquetMergeStore:
                 if not os.path.isdir(bdir):
                     continue
                 b = int(entry.split("=", 1)[1])
-                vals: dict[str, list] = {c: [] for c in bloom_cols}
-                present: set[str] = set()
+                # fold positions per FILE straight into the bitmaps:
+                # peak driver heap is one file's column values, never
+                # the bucket's concatenation (string-heavy data could
+                # inflate the latter far past what the compressed-byte
+                # threshold suggests — round-14 ADVICE). Same result
+                # as _bloom_build over the concatenation: None when no
+                # value was hashable (all-null, schema-absent, or a
+                # TypeError'ing unhashable type), bit-identical bits
+                # otherwise.
+                m = _BLOOM_MAX_BITS
+                bits: dict[str, bytearray] = {
+                    c: bytearray((m + 7) // 8) for c in bloom_cols
+                }
+                n_vals = {c: 0 for c in bloom_cols}
+                bad: set[str] = set()
                 for fname in sorted(os.listdir(bdir)):
                     if not fname.endswith(".parquet"):
                         continue
@@ -1067,18 +1082,38 @@ class ParquetMergeStore:
                     names = set(
                         pq.ParquetFile(fp).schema_arrow.names
                     )
-                    cols = [c for c in bloom_cols if c in names]
+                    cols = [
+                        c
+                        for c in bloom_cols
+                        if c in names and c not in bad
+                    ]
                     if not cols:
                         continue
-                    present.update(cols)
                     tbl = pq.read_table(fp, columns=cols)
                     for c in cols:
-                        vals[c].extend(tbl.column(c).to_pylist())
+                        bm = bits[c]
+                        try:
+                            for v in tbl.column(c).to_pylist():
+                                if v is None:
+                                    continue
+                                n_vals[c] += 1
+                                for pos in _bloom_positions(
+                                    v, m, _BLOOM_K
+                                ):
+                                    bm[pos >> 3] |= 1 << (pos & 7)
+                        except TypeError:
+                            bad.add(c)
                 cm = {}
-                for c in sorted(present):
-                    bloom = _bloom_build(vals[c])
-                    if bloom is not None:
-                        cm[c] = bloom
+                for c in sorted(bloom_cols):
+                    if c in bad or not n_vals[c]:
+                        continue
+                    cm[c] = {
+                        "m": m,
+                        "k": _BLOOM_K,
+                        "bits": base64.b64encode(
+                            bytes(bits[c])
+                        ).decode(),
+                    }
                 if cm:
                     buckets[b] = cm
             if buckets:
@@ -3860,6 +3895,7 @@ def replay_change_feed(
     spark: SparkSession,
     v_from: int = 0,
     v_to: int | None = None,
+    allow_schema_evolution: bool = True,
 ) -> list[int]:
     """Replicate ``src`` into ``dst`` by replaying stored change feeds
     for versions ``v_from..v_to`` (inclusive), in version order.
@@ -3878,23 +3914,43 @@ def replay_change_feed(
     replicating a day of changes on a 100 TB store moves the day's
     delta. Returns the destination versions committed (one or two per
     source version; feed-less no-change versions commit nothing).
+
+    ``allow_schema_evolution`` (default True): the feed is the
+    source's committed history, so when it carries columns the replica
+    hasn't seen, the source evolved and the replica follows (strict
+    mode would strand replication at the evolution boundary). The
+    widening is gated on the SOURCE's committed manifest columns at
+    that version — a drifted or corrupt feed carrying columns the
+    source never committed raises instead of silently widening the
+    replica (round-14 ADVICE). Pass False to reject any widening.
     """
     v_to = src.current_version() if v_to is None else v_to
     if v_to is None:
         raise ValueError(f"empty source store: {src.root}")
     committed: list[int] = []
 
-    def _apply(feed: DataFrame) -> None:
+    def _apply(feed: DataFrame, v: int, src_cols: list[str]) -> None:
+        drifted = [
+            c
+            for c in feed.columns
+            if c not in ("_change_type", "_commit_version")
+            and c not in src_cols
+        ]
+        if drifted:
+            raise ValueError(
+                f"change feed for v{v} carries column(s) {drifted} "
+                "the source never committed at that version — "
+                "refusing to replay a drifted/corrupt feed"
+            )
         upserts = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type")
         if not upserts.isEmpty():
-            # the feed is the SOURCE's committed history — if it
-            # carries columns the replica hasn't seen, the source
-            # evolved and the replica must follow (strict mode would
-            # strand replication at the evolution boundary)
             committed.append(
-                dst.merge(upserts, allow_schema_evolution=True)
+                dst.merge(
+                    upserts,
+                    allow_schema_evolution=allow_schema_evolution,
+                )
             )
         dels = feed.filter(F.col("_change_type") == "delete").select(
             *src.keys
@@ -3904,6 +3960,7 @@ def replay_change_feed(
 
     for v in range(v_from, v_to + 1):
         feed = src.change_feed(spark, v)
+        src_cols = list(src._read_manifest(v).get("columns") or [])
         if "_commit_version" in feed.columns:
             # a multi-commit wap_publish feed: apply each source
             # commit's phase pair IN ORDER — within one commit a PK
@@ -3920,10 +3977,12 @@ def replay_change_feed(
                 _apply(
                     feed.filter(F.col("_commit_version") == o).drop(
                         "_commit_version"
-                    )
+                    ),
+                    v,
+                    src_cols,
                 )
         else:
-            _apply(feed)
+            _apply(feed, v, src_cols)
     return committed
 
 
