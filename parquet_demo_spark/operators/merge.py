@@ -3226,6 +3226,13 @@ def _q201_read(spark: SparkSession, sf: str, state) -> DataFrame:
             .count()
         )
 
+    # replay-aware isolation guard (the bench re-runs the read phase):
+    # only a FIRST pass still has error rows to protect — detected
+    # from the manifest history (metadata), not a table read
+    first_pass = all(
+        h["operation"] != "wap_publish"
+        for h in store.describe_history()
+    )
     bad_branch = store.wap_branch("audit")
     bad_branch.merge(corrupted)
     if bad_branch.read(spark).filter(F.col("value") < 0).count() == 0:
@@ -3239,9 +3246,9 @@ def _q201_read(spark: SparkSession, sf: str, state) -> DataFrame:
         raise AssertionError("clean batch failed the MOR table audit")
     # the gate holds: production still carries the error rows the
     # branch tombstoned (nothing published yet)
-    if store.read(spark).filter(F.col("event_type") == "error").limit(
-        1
-    ).count() == 0:
+    if first_pass and store.read(spark).filter(
+        F.col("event_type") == "error"
+    ).limit(1).count() == 0:
         raise AssertionError("branch tombstones leaked into production")
     v = store.wap_publish(good_branch)
     if any(
