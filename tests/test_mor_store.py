@@ -1211,3 +1211,54 @@ def test_changes_between_restore_span_falls_back(spark, tmp_path):
     assert _cdc_rows(st.changes_between(spark, e0, e_head)) == [
         (3, "insert", "c")
     ]  # k=2 reverted inside the span: no net change for it
+
+
+def test_stored_feed_cas_rebase_recomputes(spark, tmp_path):
+    """A feed-writing commit that loses the CAS and rebases past a
+    competitor must recompute its pre-images against the entry it
+    actually landed on — the feed ≡ log-diff law must hold even
+    though the probe originally ran against the pre-race head."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="a")])
+    )
+    rival = MergeOnReadStore(
+        st.root.replace(str(tmp_path), str(tmp_path)),
+        keys=("k",),
+        version_cols=("v",),
+        num_buckets=4,
+    )
+    orig = st._commit_log
+    fired: dict = {}
+
+    def racy(mutate):
+        if not fired:
+            fired["x"] = True
+            # the competitor lands AFTER our feed was materialized
+            # against the observed head, BEFORE our CAS
+            rival.commit_delta(
+                spark.createDataFrame(
+                    [Row(k=1, v=2, payload="rival")]
+                )
+            )
+        return orig(mutate)
+
+    st._commit_log = racy
+    try:
+        st.commit_delta(
+            spark.createDataFrame([Row(k=1, v=3, payload="mine")]),
+            write_change_feed=True,
+        )
+    finally:
+        st._commit_log = orig
+    e = st.current_version()
+    assert e == 2  # rebased past the rival's entry
+    feed = _cdc_rows(st.change_feed(spark, e))
+    diff = _cdc_rows(
+        st.changes_between(spark, e - 1, e, include_preimages=True)
+    )
+    # pre-image must be the RIVAL's committed row, not the stale 'a'
+    assert feed == diff == [
+        (1, "update_postimage", "mine"),
+        (1, "update_preimage", "rival"),
+    ]
