@@ -344,7 +344,7 @@ class MergeOnReadStore:
                     **{
                         k: x
                         for k, x in cur.items()
-                        if k not in ("entry", "feed", "op")
+                        if k not in ("entry", "feed", "feed_base", "op")
                     },
                     # base DATA changed behind the log: never CDC-silent
                     "op": "restamp",
@@ -475,8 +475,14 @@ class MergeOnReadStore:
             # pre-images resolve against the head the writer observed;
             # written BEFORE the CAS so a committed entry always
             # references an existing feed (the COW feed-then-manifest
-            # law). A CAS loser recomputes below against the entry it
-            # actually landed on.
+            # law). The entry also records WHICH predecessor the feed
+            # was computed against ("feed_base"): a CAS loser rebases
+            # past a competitor, and its stored pre-images are then
+            # stale — change_feed() detects the mismatch and serves
+            # the log diff instead (round-14 review finding: a
+            # post-commit recompute left a crash window that committed
+            # a wrong-not-missing feed, and its in-place overwrite
+            # raced concurrent readers).
             feed_rel = self._materialize_feed(
                 batch.sparkSession,
                 d,
@@ -503,17 +509,13 @@ class MergeOnReadStore:
                 # changes_between walk a span and treat compacts as
                 # CDC-silent without guessing from dirs/base deltas
                 "op": "append",
-                **({"feed": feed_rel} if feed_rel is not None else {}),
+                **(
+                    {"feed": feed_rel, "feed_base": obs["entry"]}
+                    if feed_rel is not None
+                    else {}
+                ),
             }
         )
-        if feed_rel is not None and new["entry"] != obs["entry"] + 1:
-            # lost the CAS and rebased past a competitor: the
-            # pre-images were probed against a stale snapshot — the
-            # committed predecessor entry is immutable, so one
-            # recompute against it makes the stored feed exact
-            self._materialize_feed(
-                batch.sparkSession, d, out_cols, new["entry"] - 1
-            )
         return new["seq"]
 
     def _materialize_feed(
@@ -540,22 +542,15 @@ class MergeOnReadStore:
             else None
         )
         post_u = delta.filter(F.col(_OP) == "u").select(*cols)
-        post_d = delta.filter(F.col(_OP) == "d").select(*keys)
-        gone = (
-            pre.join(
-                post_d.select(
-                    *[F.col(k).alias(f"__del_{k}") for k in keys]
-                ),
-                [
-                    F.col(k).eqNullSafe(F.col(f"__del_{k}"))
-                    for k in keys
-                ],
-                "left_semi",
+        if pre is None:
+            # first-ever commit: no pre-state, every upsert an insert,
+            # every tombstone a no-op
+            feed = classify_changes(None, post_u, None, cols, keys, True)
+        else:
+            post_d = delta.filter(F.col(_OP) == "d").select(*keys)
+            feed = self._cdc_emit(
+                pre, post_u, post_d, cols, keys, True
             )
-            if pre is not None
-            else None
-        )
-        feed = classify_changes(pre, post_u, gone, cols, keys, True)
         os.makedirs(self._changes_root, exist_ok=True)
         name = os.path.basename(delta_dir)
         feed.write.mode("overwrite").parquet(
@@ -587,6 +582,16 @@ class MergeOnReadStore:
                 "with write_change_feed=True; compaction/restore "
                 "entries are CDC-silent) — diff snapshots with "
                 "changes_between instead"
+            )
+        if state.get("feed_base", v - 1) != v - 1:
+            # the commit lost its CAS and rebased past a competitor:
+            # its stored pre-images were probed against the pre-race
+            # head and are stale. The committed predecessor is
+            # immutable, so the exact rows come from the log diff —
+            # same shape, correctness over the rare raced commit's
+            # O(Δ)-read economy.
+            return self.changes_between(
+                spark, v - 1, v, include_preimages=True
             )
         p = os.path.join(self.root, rel)
         if not os.path.isdir(p):
@@ -1238,10 +1243,12 @@ class MergeOnReadStore:
         latest = self._resolved(spark, folded_dirs)
         if latest is None:
             return
+        pinned_present = "base_version" in snap
         pinned = snap.get("base_version")
+        live_bv = self.base.current_version()
         if (
             isinstance(pinned, int)
-            and pinned != self.base.current_version()
+            and pinned != live_bv
         ):
             # the head entry pins a base BEHIND the live base head (a
             # restore fenced out an aborted compact's folds): folding
@@ -1251,6 +1258,28 @@ class MergeOnReadStore:
             # stamp both build on the pinned snapshot (round-14 ADVICE
             # HIGH; mirrors the merge() bootstrap-path fix above).
             self.base.restore(pinned)
+        ghost = None
+        if pinned_present and pinned is None and live_bv is not None:
+            # pinned to NO base (a restore to a pre-compact entry of a
+            # never-explicitly-compacted store): reads resolve the
+            # overlay alone, so every live-base key the overlay does
+            # not re-assert is FENCED OUT — there is no base version
+            # to restore to, so the fold must instead replace the
+            # base's visible state outright: merge the winners below,
+            # and delete every other base key (round-14 review
+            # finding: the int-only fence skipped this case and the
+            # fold resurrected the aborted keys).
+            keys = list(self.keys)
+            ghost = self.base.read(spark).select(*keys).join(
+                latest.select(
+                    *[F.col(k).alias(f"__l_{k}") for k in keys]
+                ),
+                [
+                    F.col(k).eqNullSafe(F.col(f"__l_{k}"))
+                    for k in keys
+                ],
+                "left_anti",
+            )
         # one materialization feeds the emptiness probes AND the base
         # merge/delete below — without it the per-PK window recomputes
         # up to three times per compact (the delta log is O(batch)
@@ -1260,6 +1289,10 @@ class MergeOnReadStore:
         cols = self._columns()
         ups = latest.filter(F.col(_OP) == "u").select(*cols)
         dels = latest.filter(F.col(_OP) == "d").select(*self.keys)
+        if ghost is not None:
+            # None-pin fence: the fenced-out base keys fold away with
+            # the tombstones (one DV-based delete commit covers both)
+            dels = dels.unionByName(ghost)
         if ups.limit(1).count():
             self.base.merge(ups)
         if self.base.current_version() is not None and dels.limit(1).count():
@@ -1276,7 +1309,7 @@ class MergeOnReadStore:
                 **{
                     k: v
                     for k, v in cur.items()
-                    if k not in ("entry", "feed", "op")
+                    if k not in ("entry", "feed", "feed_base", "op")
                 },
                 "op": "compact",
                 "dirs": [d for d in cur["dirs"] if d not in folded],

@@ -1222,11 +1222,9 @@ def test_stored_feed_cas_rebase_recomputes(spark, tmp_path):
     st.commit_delta(
         spark.createDataFrame([Row(k=1, v=1, payload="a")])
     )
+    # second writer handle on the SAME store
     rival = MergeOnReadStore(
-        st.root.replace(str(tmp_path), str(tmp_path)),
-        keys=("k",),
-        version_cols=("v",),
-        num_buckets=4,
+        st.root, keys=("k",), version_cols=("v",), num_buckets=4
     )
     orig = st._commit_log
     fired: dict = {}
@@ -1261,4 +1259,40 @@ def test_stored_feed_cas_rebase_recomputes(spark, tmp_path):
     assert feed == diff == [
         (1, "update_postimage", "mine"),
         (1, "update_preimage", "rival"),
+    ]
+
+
+def test_compact_after_restore_without_prior_pin(spark, tmp_path):
+    """Round-14 review finding: the compact fence only handled an
+    INT-pinned entry. A store restored to a pre-compact entry of a
+    never-explicitly-compacted history pins base_version=None — reads
+    resolve the overlay alone — and the next compact folded onto the
+    live base anyway, resurrecting the fenced-out fold. The None-pin
+    fence must delete every base key the overlay does not re-assert."""
+    st = _store(tmp_path)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=1, v=1, payload="keep")])
+    )  # e0: base_version None (no base yet)
+    st.commit_delta(
+        spark.createDataFrame([Row(k=2, v=1, payload="aborted")])
+    )  # e1
+    e0 = 0
+    st.compact(spark)  # e2: folds BOTH keys into base v0
+    st.restore(e0)  # e3: fence k=2 out (reads = overlay only)
+    assert _rows(st.read(spark)) == [(1, 1, "keep")]
+    st.merge(spark.createDataFrame([Row(k=3, v=1, payload="new")]))
+    assert _rows(st.read(spark)) == [(1, 1, "keep"), (3, 1, "new")]
+    # pre-fix: this compact folded onto the live base and resurrected
+    st.compact(spark)
+    rows = _rows(st.read(spark))
+    assert rows == [(1, 1, "keep"), (3, 1, "new")], rows
+    # stable under a further cycle
+    st.commit_delta(
+        spark.createDataFrame([Row(k=4, v=1, payload="later")])
+    )
+    st.compact(spark)
+    assert _rows(st.read(spark)) == [
+        (1, 1, "keep"),
+        (3, 1, "new"),
+        (4, 1, "later"),
     ]
