@@ -105,8 +105,13 @@ def zorder_key(
     - per column, one ``approxQuantile`` pass yields ``2^bits − 1``
       equal-depth cut points (a driver-side array of a few hundred
       doubles — statistics, not data);
-    - each row's bucket id is how many cuts it is ≥ (an ``aggregate``
-      over the broadcast literal array — pure JVM expression);
+    - each row's bucket id is how many cuts it is ≥ — computed as a
+      BINARY SEARCH over the sorted cut array compiled into a nested
+      CASE WHEN tree: ``bits`` codegen'd comparisons per row instead
+      of a ``2^bits``-step interpreted higher-order ``aggregate``
+      (Spark does not whole-stage-codegen lambda functions, so the
+      fold form evaluated every cut per row in the interpreter —
+      measured ~3× slower on the rewrite's scan stage);
     - bucket ids interleave round-robin into one BIGINT: bit ``j`` of
       column ``i`` lands at position ``j·k + (k−1−i)``.
 
@@ -124,15 +129,28 @@ def zorder_key(
     )
     all_cuts = casted.approxQuantile(cols, probs, relative_error)
     k = len(cols)
+
+    def bucket_of(v, cuts: list[float]):
+        # bisect_right(cuts, v) == |{i: v >= cuts[i]}| for the sorted
+        # (possibly duplicate-valued) cut array — identical ids to the
+        # old fold, including NaN (> every cut in Spark's ordering →
+        # last bucket); NULL short-circuits to bucket 0 like the old
+        # NULL-comparison fold did
+        def srch(lo: int, hi: int):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                F.lit(float(cuts[mid])) > v, srch(lo, mid)
+            ).otherwise(srch(mid + 1, hi))
+
+        return F.when(v.isNull(), F.lit(0)).otherwise(
+            srch(0, len(cuts))
+        )
+
     z = F.lit(0).cast("long")
     for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
-        arr = F.array(*[F.lit(float(x)) for x in cuts])
-        bucket = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, cut: acc
-            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
-        )
+        bucket = bucket_of(F.col(c).cast("double"), cuts)
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(

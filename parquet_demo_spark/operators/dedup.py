@@ -1127,6 +1127,15 @@ def dedup_index_batch_applier(spark: SparkSession, store):
     wm = admission_watermarks(store, keys=("doc_id",))
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_demo_spark.tuning import store_plan_scope
+
+        # one size decision for the whole batch: a sub-threshold
+        # (index + watermark + batch) runs the admission probe, the
+        # encode, and both commits under the minimal plan (tuning.py)
+        with store_plan_scope(spark, (store.root, wm.root), batch_df):
+            _apply_batch_scoped(batch_df)
+
+    def _apply_batch_scoped(batch_df: DataFrame) -> None:
         if batch_df.isEmpty():
             return
         if wm.current_version() is None and store.has_data():

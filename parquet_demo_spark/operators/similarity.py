@@ -24,7 +24,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
-from parquet_demo_spark.functions import cosine, mean6, mean6_sql, micro6_sql
+from parquet_demo_spark.functions import (
+    cosine,
+    dot,
+    l2_norm,
+    mean6,
+    mean6_sql,
+    micro6_sql,
+)
 from parquet_demo_spark.registry import register, register_phases
 
 # DuckDB twin of functions.dot/l2_norm/cosine: sequential list_reduce.
@@ -1023,23 +1030,41 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     cent1 = _km_update(a1.select("cid", "embedding"))
     # pinned once: cells feeds both sides of the pair join AND the
     # final per-cluster rollup — without the checkpoint the assignment
-    # (broadcast scan + argmin) would re-run three times
+    # (broadcast scan + argmin) would re-run three times. The L2 norm
+    # rides INTO the checkpoint: it is a per-ROW quantity, so paying it
+    # per PAIR inside cosine() tripled the quadratic step's interpreted
+    # higher-order folds (dot + two norms) — dot/(na*nb) is the exact
+    # same double arithmetic (sqrt per row, multiply per pair) with one
+    # fold per pair instead of three (guide §1.2: per-task work on the
+    # only quadratic term in the plan).
     cells = (
         _km_assign(emb, cent1)
-        .select("vec_id", "cid", "embedding")
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("__n"),
+        )
         .localCheckpoint()
     )
     lo = cells.select(
-        "cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"),
     )
     hi = cells.select(
-        "cid", "vec_id", F.col("embedding").alias("eb")
+        "cid", "vec_id", F.col("embedding").alias("eb"), F.col("__n").alias("nb")
     )
     dups = (
         lo.join(hi, "cid")  # equi-join on the cell: the blocking step
         .filter(F.col("va") < F.col("vec_id"))
         .filter(
-            F.round(cosine(F.col("ea"), F.col("eb")), 4)
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            )
             >= F.lit(_SEMDEDUP_TAU)
         )
         .select("cid", "vec_id")
@@ -2434,6 +2459,16 @@ def ann_index_batch_applier(
     wm = admission_watermarks(store, keys=("vec_id",))
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_demo_spark.tuning import store_plan_scope
+
+        # one size decision for the whole batch: a sub-threshold
+        # (index + watermark + batch) runs the admission probe, the
+        # frozen-codebook encode, and both commits under the minimal
+        # plan (tuning.py)
+        with store_plan_scope(spark, (store.root, wm.root), batch_df):
+            _apply_batch_scoped(batch_df)
+
+    def _apply_batch_scoped(batch_df: DataFrame) -> None:
         if batch_df.isEmpty():
             return
         if wm.current_version() is None and store.has_data():

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_demo_spark.sources.cdc import classify_changes
+from parquet_demo_spark.tuning import scoped_store_op
 
 _BUCKET = "__bucket"
 _FROM_UPSERT = "__from_upsert"
@@ -1508,6 +1509,11 @@ class ParquetMergeStore:
     def _bucket_expr(self):
         return self.bucket_expr(self.keys, self.num_buckets)
 
+    # a sub-threshold commit (store bytes + batch plan stats) runs its
+    # actions under the minimal single-partition non-adaptive plan; big
+    # or unknown inputs keep the session's AQE/scale posture. See
+    # tuning.py — the per-job fixed-cost floor profiled in BASELINE.md.
+    @scoped_store_op("upserts")
     def merge(
         self,
         upserts: DataFrame,
@@ -1806,6 +1812,7 @@ class ParquetMergeStore:
             dv=self._prior_dv(cur_version, touched),
         )
 
+    @scoped_store_op("source")
     def merge_into(
         self,
         source: DataFrame,
@@ -2199,6 +2206,7 @@ class ParquetMergeStore:
             dv=self._prior_dv(cur_version, touched),
         )
 
+    @scoped_store_op("keys_df")
     def delete_keys(
         self,
         keys_df: DataFrame,
@@ -2303,6 +2311,7 @@ class ParquetMergeStore:
             write_change_feed=write_change_feed,
         )
 
+    @scoped_store_op(None, "spark")
     def delete(
         self,
         spark: SparkSession,
@@ -2717,6 +2726,7 @@ class ParquetMergeStore:
         df = spark.read.parquet(os.path.join(self.root, rel))
         return df.select(*m["columns"], "_change_type")
 
+    @scoped_store_op(None, "spark")
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Bucket-count evolution: rewrite the snapshot under a new B.
 
@@ -2857,6 +2867,7 @@ class ParquetMergeStore:
             **report,
         }
 
+    @scoped_store_op(None, "spark")
     def compact(
         self,
         spark: SparkSession,
@@ -3890,6 +3901,25 @@ def stream_change_feed(
 
 
 def replay_change_feed(
+    src: ParquetMergeStore,
+    dst: ParquetMergeStore,
+    spark: SparkSession,
+    v_from: int = 0,
+    v_to: int | None = None,
+    allow_schema_evolution: bool = True,
+) -> list[int]:
+    """Scope wrapper: replication's whole input is (src feeds + the
+    replica), so one size decision covers every per-version isEmpty
+    probe and replica commit below — see tuning.py."""
+    from parquet_demo_spark.tuning import store_plan_scope
+
+    with store_plan_scope(spark, (src.root, dst.root)):
+        return _replay_change_feed_impl(
+            src, dst, spark, v_from, v_to, allow_schema_evolution
+        )
+
+
+def _replay_change_feed_impl(
     src: ParquetMergeStore,
     dst: ParquetMergeStore,
     spark: SparkSession,

@@ -73,6 +73,7 @@ from parquet_demo_spark.sources.merge_store import (
     apply_where_ranges,
 )
 from parquet_demo_spark.sources.mongo import collapse_for_upsert
+from parquet_demo_spark.tuning import scoped_store_op
 
 _OP = "__op"
 _SEQ = "__seq"
@@ -358,6 +359,7 @@ class MergeOnReadStore:
             )
         return v
 
+    @scoped_store_op("batch")
     def commit_delta(
         self,
         batch: DataFrame,
@@ -1222,6 +1224,7 @@ class MergeOnReadStore:
 
     # --- maintenance ---
 
+    @scoped_store_op(None, "spark")
     def compact(self, spark: SparkSession) -> None:
         """Fold the delta log into the base: ONE bucket-pruned COW
         merge for the winning upserts + a DV-based key delete for the

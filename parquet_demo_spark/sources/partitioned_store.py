@@ -79,6 +79,7 @@ from parquet_demo_spark.sources.merge_store import (
     ConcurrentWriteConflict,
     ParquetMergeStore,
 )
+from parquet_demo_spark.tuning import scoped_store_op
 
 
 # separator between the components of a composite (multi-column)
@@ -783,6 +784,10 @@ class PartitionedParquetMergeStore:
 
     # -- write side -------------------------------------------------------
 
+    # the parent-level scope: one size decision for the whole multi-
+    # child operation (children's nested scopes just ride along) — see
+    # tuning.py
+    @scoped_store_op("upserts")
     def merge(
         self,
         upserts: DataFrame,
@@ -1146,6 +1151,7 @@ class PartitionedParquetMergeStore:
             column_types=g_types,
         )
 
+    @scoped_store_op(None, "spark")
     def delete_where(
         self,
         spark: SparkSession,
@@ -2196,6 +2202,7 @@ class PartitionedParquetMergeStore:
 
     # -- maintenance --------------------------------------------------------
 
+    @scoped_store_op(None, "spark")
     def compact(
         self,
         spark: SparkSession,

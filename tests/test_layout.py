@@ -238,3 +238,54 @@ def test_zorder_skips_more_files_than_linear_sort(
     lin_box, zo_box = _box_hits(lin, box), _box_hits(zo, box)
     assert zo_box <= lin_box + 1, (lin_box, zo_box)
     assert zo_box < n
+
+
+def test_zorder_binary_search_matches_fold_semantics(spark, sf_smoke):
+    """The round-15 codegen'd binary-search bucket id must equal the
+    original interpreted fold — |{i: v >= cuts[i]}| over the sorted
+    (possibly duplicate-valued) approxQuantile cuts — on every row,
+    including NULL (bucket 0) and values beyond both ends."""
+    from parquet_demo_spark.layout import zorder_key
+
+    li = (
+        load(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .limit(5000)
+        # exercise the NULL leg too
+        .withColumn(
+            "l_partkey",
+            F.when(F.col("l_orderkey") % 97 == 0, F.lit(None)).otherwise(
+                F.col("l_partkey")
+            ),
+        )
+    )
+    cols, bits = ["l_orderkey", "l_partkey"], 6
+    key = zorder_key(li, cols, bits=bits)
+
+    # reference: the pre-round-15 interpreted fold, inlined verbatim
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    casted = li.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    all_cuts = casted.approxQuantile(cols, probs, 1e-3)
+    k = len(cols)
+    z_ref = F.lit(0).cast("long")
+    for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+        )
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            z_ref = z_ref.bitwiseOR(
+                F.shiftleft(bit.cast("long"), j * k + (k - 1 - i))
+            )
+
+    mismatches = (
+        li.select(key.alias("z_new"), z_ref.alias("z_old"))
+        .filter(F.col("z_new") != F.col("z_old"))
+        .count()
+    )
+    assert mismatches == 0
