@@ -17,6 +17,7 @@ n-gram profiles do the work.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1557,6 +1558,79 @@ def _q197_seg_spark(merges: list[tuple[str, str]] = None) -> str:
     return seg
 
 
+# (merge chain tuple) -> {token -> piece count}: module-level so a
+# reused Python worker keeps it across tasks (guide §4.5 — text.py is
+# an importable module shipped by reference, so executors see THIS
+# global, not a pickled copy). Bounded: a vocabulary past the cap
+# computes without caching instead of growing the worker heap.
+_BPE_PIECES_MEMO: dict = {}
+_BPE_MEMO_MAX = 1 << 20
+
+
+def _bpe_pieces_py(token: str, merges: tuple) -> int:
+    """Python twin of :func:`_q197_seg_spark`'s fold chain, returning
+    the piece COUNT: start from the character split, apply each merge
+    left-to-right greedily (a just-merged symbol never cascade-merges
+    with the next element — the SQL fold's endswith('|a') law, pinned
+    in tests/test_plans.py::test_q196_per_step_work_is_vocab_sized).
+    Equivalence with the SQL fold is pinned per-token in
+    tests/test_text_ops.py."""
+    seg: list[str] = list(token)
+    for a, b in merges:
+        acc: list[str] = []
+        for s in seg:
+            if s == b and acc and acc[-1] == a:
+                acc[-1] = a + b
+            else:
+                acc.append(s)
+        seg = acc
+    return len(seg)
+
+
+def _bpe_pieces_udf(merges: list[tuple[str, str]] | None = None):
+    """Vectorized, per-task-memoized piece counter for the apply leg
+    (q197/q200): a pandas_udf over each document's token array that
+    computes the merge-chain fold ONCE per distinct token and serves
+    repeats from the memo.
+
+    Why not the pure-JVM fold it replaces: Spark does not codegen
+    higher-order lambdas, so the 6-stage fold ran interpreted per
+    TOKEN OCCURRENCE — 270k evaluations over a 31-token vocabulary at
+    sf0.1 (measured: the fold was ~3.7 s of q197's 4.2 s; the
+    tokenize+agg floor is 0.5 s). Natural-language corpora are
+    Zipfian, so occurrences/vocabulary stays large at ANY scale — the
+    memo converts per-occurrence work to per-distinct-token work,
+    which no JVM expression can (guide §4.2/§4.5). The plan keeps the
+    map-side shape: one ArrowEvalPython projection, still zero
+    segmentation exchanges (plan-pinned)."""
+    mk = tuple(
+        (str(a), str(b))
+        for a, b in (_Q197_MERGES if merges is None else merges)
+    )
+
+    @F.pandas_udf("bigint")
+    def n_pieces(tokens: pd.Series) -> pd.Series:
+        memo = _BPE_PIECES_MEMO.setdefault(mk, {})
+
+        def pieces(t: str) -> int:
+            p = memo.get(t)
+            if p is None:
+                p = _bpe_pieces_py(t, mk)
+                if len(memo) < _BPE_MEMO_MAX:
+                    memo[t] = p
+            return p
+
+        return tokens.map(
+            lambda arr: (
+                None
+                if arr is None
+                else sum(pieces(t) for t in arr)
+            )
+        )
+
+    return n_pieces
+
+
 def _q197_seg_duck() -> str:
     seg = "regexp_replace(t, '(.)', '|\\1', 'g')"
     for a, b in _Q197_MERGES:
@@ -1593,29 +1667,28 @@ def _q197_seg_duck() -> str:
     "q190/q196 mining -> apply arc): greedy BPE segmentation of the "
     "corpus under a FIXED ordered merge list (later merges consume "
     "earlier merges' symbols: t+h, th+e, ...), computed ENTIRELY "
-    "map-side — each document's piece count folds inside its own row "
-    "(transform over the token array, merge-chain fold per token, "
-    "sum), so the segmentation needs NO shuffle at any corpus size; "
-    "the only exchange in the plan is the final per-language partial "
-    "agg (plan-asserted in tests/test_plans.py). The driver hash "
-    "checks per-language word and piece totals against DuckDB's "
-    "list_reduce replay of the identical fold chain.",
+    "map-side — each document's piece count is a vectorized "
+    "per-distinct-token fold (_bpe_pieces_udf: Arrow batches, merge "
+    "chain evaluated once per distinct token and memoized per task — "
+    "Zipfian corpora repeat tokens, so per-occurrence evaluation was "
+    "the apply leg's dominant cost), so the segmentation needs NO "
+    "shuffle at any corpus size; the only exchange in the plan is "
+    "the final per-language partial agg (plan-asserted in "
+    "tests/test_plans.py). The driver hash checks per-language word "
+    "and piece totals against DuckDB's list_reduce replay of the "
+    "identical fold chain.",
 )
 def q197(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
-    pieces_per_token = (
-        f"size(split(substring({_q197_seg_spark()}, 2), '\\\\|'))"
-    )
     per_doc = docs.select(
         "lang",
         F.expr(
-            "aggregate(filter(split(lower(text), '[^a-z]+'), "
-            "t -> t <> ''), 0L, (acc, t) -> acc + 1L)"
-        ).alias("n_words"),
-        F.expr(
-            "aggregate(filter(split(lower(text), '[^a-z]+'), "
-            f"t -> t <> ''), 0L, (acc, t) -> acc + {pieces_per_token})"
-        ).alias("n_pieces"),
+            "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+        ).alias("__toks"),
+    ).select(
+        "lang",
+        F.size("__toks").cast("bigint").alias("n_words"),
+        _bpe_pieces_udf()(F.col("__toks")).alias("n_pieces"),
     )
     return (
         # match the oracle's universe exactly: a document whose text
@@ -1688,10 +1761,11 @@ def _q200_oracle() -> str:
     "segmenter in the same query: train-then-apply, the production "
     "shape. Training is one corpus-sized token rollup + 4 vocab-sized "
     "iterations (each a small agg + 1-row scalar collect); the apply "
-    "leg embeds the learned merges as literals in a per-row fold "
-    "(transform + aggregate builtins), so segmentation is entirely "
-    "map-side — no shuffle at any corpus size; the only exchange is "
-    "the final per-language agg. The driver hash checks per-language "
+    "leg runs the learned merge chain once per DISTINCT token "
+    "(_bpe_pieces_udf — vectorized, per-task memo), so segmentation "
+    "is entirely map-side — no shuffle at any corpus size; the only "
+    "exchange is the final per-language agg. The driver hash checks "
+    "per-language "
     "doc/word/piece totals against a DuckDB oracle that replays the "
     "SAME training chain (b1..b4 CTEs) and applies the mined scalars "
     "through list_reduce — any divergence in mining OR application "
@@ -1711,22 +1785,17 @@ def _q200_build(spark: SparkSession, sf: str):
 
 def _q200_read(spark: SparkSession, sf: str, merges) -> DataFrame:
     """Read phase: APPLY — q197's map-side segmenter under the
-    learned merges."""
+    learned merges (the memoized vectorized form, _bpe_pieces_udf)."""
     docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
-    pieces_per_token = (
-        f"size(split(substring({_q197_seg_spark(merges)}, 2),"
-        " '\\\\|'))"
-    )
     per_doc = docs.select(
         "lang",
         F.expr(
-            "aggregate(filter(split(lower(text), '[^a-z]+'), "
-            "t -> t <> ''), 0L, (acc, t) -> acc + 1L)"
-        ).alias("n_words"),
-        F.expr(
-            "aggregate(filter(split(lower(text), '[^a-z]+'), "
-            f"t -> t <> ''), 0L, (acc, t) -> acc + {pieces_per_token})"
-        ).alias("n_pieces"),
+            "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+        ).alias("__toks"),
+    ).select(
+        "lang",
+        F.size("__toks").cast("bigint").alias("n_words"),
+        _bpe_pieces_udf(merges)(F.col("__toks")).alias("n_pieces"),
     )
     return (
         per_doc.filter(F.col("n_words") > 0)
