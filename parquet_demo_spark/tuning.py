@@ -61,6 +61,10 @@ _SMALL_CONF = {
 _lock = threading.RLock()
 _depth = 0
 _saved: dict[str, str | None] = {}
+# the session the pinned conf was SET on: nested scopes may enter from
+# a different session object (a streaming micro-batch clone), and the
+# last exit must restore where the first entry wrote
+_saved_spark: SparkSession | None = None
 
 
 def small_plan_threshold() -> int:
@@ -197,9 +201,10 @@ def plan_scope(spark: SparkSession, est_bytes: int | None):
     ):
         yield False
         return
-    global _depth
+    global _depth, _saved_spark
     with _lock:
         if _depth == 0:
+            _saved_spark = spark
             for k, v in _SMALL_CONF.items():
                 try:
                     _saved[k] = spark.conf.get(k)
@@ -213,9 +218,11 @@ def plan_scope(spark: SparkSession, est_bytes: int | None):
         with _lock:
             _depth -= 1
             if _depth == 0:
+                target = _saved_spark if _saved_spark is not None else spark
                 for k, v in _saved.items():
                     if v is None:
-                        spark.conf.unset(k)
+                        target.conf.unset(k)
                     else:
-                        spark.conf.set(k, v)
+                        target.conf.set(k, v)
                 _saved.clear()
+                _saved_spark = None
