@@ -17,11 +17,18 @@ n-gram profiles do the work.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_demo_spark.catalog import load
+from parquet_demo_spark.tuning import (
+    dir_bytes,
+    plan_scope,
+    small_plan_threshold,
+)
 from parquet_demo_spark.functions import (
     df_cut,
     df_cut_sql,
@@ -1469,59 +1476,79 @@ def _q196_mine(
             "merges per round before raising the cap"
         )
     docs = load(spark, sf, "documents").select("text")
-    vocab = (
-        docs.select(F.explode(tokens("text")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .select(
-            F.regexp_replace("token", "(.)", r"|$1").alias("seg"),
-            "freq",
-        )
-        .persist()
+    # Training-boundary plan scope (guide §2 — size the plan from the
+    # MEASURED input, not the session's core count): a sub-threshold
+    # corpus bounds everything downstream — the rollup, the cached
+    # vocabulary, and every per-iteration agg — so the whole loop runs
+    # AQE-off at 4 shuffle partitions instead of materializing per-stage
+    # jobs and a core-count-sized vocab cache (the cache pins its
+    # partitioning: AQE cannot re-coalesce a cached plan, so at
+    # local[32] every vocab-sized iteration was re-scanning 32
+    # near-empty cached partitions across ~3 stages). A big corpus
+    # measures past the threshold in a few directory entries and keeps
+    # the session's scale posture throughout.
+    thr = small_plan_threshold()
+    corpus_bytes = (
+        dir_bytes(os.path.join(sf, "documents.parquet"), stop_at=thr)
+        if thr > 0
+        else 0
     )
-    try:
-        cur = vocab
-        rows = []
-        for step in range(1, steps + 1):
-            pairs = (
-                cur.select(
-                    "freq",
-                    F.expr(
-                        "split(substring(seg, 2), '\\\\|')"
-                    ).alias("l"),
-                )
-                .select(
-                    "freq",
-                    F.explode(
-                        F.arrays_zip(
-                            F.expr("slice(l, 1, size(l) - 1)").alias("a"),
-                            F.expr("slice(l, 2, size(l) - 1)").alias("b"),
-                        )
-                    ).alias("p"),
-                )
-                .select(
-                    F.col("p.a").alias("a"),
-                    F.col("p.b").alias("b"),
-                    "freq",
-                )
+    with plan_scope(spark, corpus_bytes if corpus_bytes > 0 else None):
+        vocab = (
+            docs.select(F.explode(tokens("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+            .select(
+                F.regexp_replace("token", "(.)", r"|$1").alias("seg"),
+                "freq",
             )
-            best = (
-                pairs.groupBy("a", "b")
-                .agg(F.sum("freq").cast("bigint").alias("score"))
-                .orderBy(F.col("score").desc(), "a", "b")
-                .limit(1)
-                .collect()[0]
-            )
-            rows.append((step, best.a, best.b, int(best.score)))
-            if step < steps:
-                cur = cur.select(
-                    F.expr(_q196_fold_spark(best.a, best.b)).alias("seg"),
-                    "freq",
+            .persist()
+        )
+        try:
+            cur = vocab
+            rows = []
+            for step in range(1, steps + 1):
+                pairs = (
+                    cur.select(
+                        "freq",
+                        F.expr(
+                            "split(substring(seg, 2), '\\\\|')"
+                        ).alias("l"),
+                    )
+                    .select(
+                        "freq",
+                        F.explode(
+                            F.arrays_zip(
+                                F.expr("slice(l, 1, size(l) - 1)").alias("a"),
+                                F.expr("slice(l, 2, size(l) - 1)").alias("b"),
+                            )
+                        ).alias("p"),
+                    )
+                    .select(
+                        F.col("p.a").alias("a"),
+                        F.col("p.b").alias("b"),
+                        "freq",
+                    )
                 )
-        return rows
-    finally:
-        vocab.unpersist()
+                best = (
+                    pairs.groupBy("a", "b")
+                    .agg(F.sum("freq").cast("bigint").alias("score"))
+                    .orderBy(F.col("score").desc(), "a", "b")
+                    .limit(1)
+                    .collect()[0]
+                )
+                rows.append((step, best.a, best.b, int(best.score)))
+                if step < steps:
+                    cur = cur.select(
+                        F.expr(
+                            _q196_fold_spark(best.a, best.b)
+                        ).alias("seg"),
+                        "freq",
+                    )
+            return rows
+        finally:
+            vocab.unpersist()
 
 
 # ---------------------------------------------------------------------------

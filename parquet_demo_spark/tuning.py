@@ -82,8 +82,14 @@ def dir_bytes(
     session's scale posture, never mis-apply the small plan.
     ``stop_at`` short-circuits the walk once the running total passes
     it, so a commit against a huge table pays a few directory entries,
-    never a full-tree listing.
+    never a full-tree listing. A plain-file ``path`` (a single-file
+    parquet table) is its own size.
     """
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path) if path.endswith(suffix) else 0
+        except OSError:
+            return 0
     total = 0
     for dirpath, _dirs, files in os.walk(path):
         for fname in files:
