@@ -1136,8 +1136,9 @@ def dedup_index_batch_applier(spark: SparkSession, store):
             _apply_batch_scoped(batch_df)
 
     def _apply_batch_scoped(batch_df: DataFrame) -> None:
-        if batch_df.isEmpty():
-            return
+        # no standalone batch-emptiness probe: ``winners.isEmpty()``
+        # below subsumes it (empty batch ⇒ empty winners), so the
+        # common non-empty batch pays one admission action, not two
         if wm.current_version() is None and store.has_data():
             # one-time migration: a pre-watermark (batch-built) band
             # table seeds the side store from its own rows — the last
@@ -1152,6 +1153,9 @@ def dedup_index_batch_applier(spark: SparkSession, store):
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            # computed ONCE: the probe's bucket collect and the winners
+            # materialization below both consume the window dedup
+            .localCheckpoint(eager=False)
         )
         if wm.current_version() is not None:
             cur_ts = wm.probe(spark, latest.select("doc_id")).select(

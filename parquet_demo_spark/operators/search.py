@@ -599,8 +599,10 @@ def index_batch_applier(spark: SparkSession, store):
             _apply_batch_scoped(batch_df)
 
     def _apply_batch_scoped(batch_df: DataFrame) -> None:
-        if batch_df.isEmpty():
-            return
+        # no standalone batch-emptiness probe: ``winners.isEmpty()``
+        # below subsumes it (empty batch ⇒ empty winners), so the
+        # common non-empty batch pays one admission action, not two
+        # (r16 job census: the extra isEmpty was one of 13 jobs/batch)
         if wm.current_version() is None and store.has_data():
             # one-time migration: a pre-watermark (batch-built) index
             # seeds the side store from its own rows — the last full
@@ -618,6 +620,10 @@ def index_batch_applier(spark: SparkSession, store):
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            # computed ONCE: the probe's bucket collect and the winners
+            # materialization below both consume the window dedup —
+            # without this checkpoint each re-ran it over the raw batch
+            .localCheckpoint(eager=False)
         )
         prior_terms = None
         if wm.current_version() is not None:

@@ -1588,10 +1588,14 @@ def _q197_seg_spark(merges: list[tuple[str, str]] = None) -> str:
 # (merge chain tuple) -> {token -> piece count}: module-level so a
 # reused Python worker keeps it across tasks (guide §4.5 — text.py is
 # an importable module shipped by reference, so executors see THIS
-# global, not a pickled copy). Bounded: a vocabulary past the cap
-# computes without caching instead of growing the worker heap.
+# global, not a pickled copy). Bounded on BOTH axes: a vocabulary past
+# the per-chain cap computes without caching instead of growing the
+# worker heap, and a long-lived worker serving many DISTINCT mined
+# chains evicts the oldest chain's memo past the chain cap (dict
+# preserves insertion order).
 _BPE_PIECES_MEMO: dict = {}
 _BPE_MEMO_MAX = 1 << 20
+_BPE_MEMO_MAX_CHAINS = 8
 
 
 def _bpe_pieces_py(token: str, merges: tuple) -> int:
@@ -1637,7 +1641,11 @@ def _bpe_pieces_udf(merges: list[tuple[str, str]] | None = None):
 
     @F.pandas_udf("bigint")
     def n_pieces(tokens: pd.Series) -> pd.Series:
-        memo = _BPE_PIECES_MEMO.setdefault(mk, {})
+        memo = _BPE_PIECES_MEMO.get(mk)
+        if memo is None:
+            while len(_BPE_PIECES_MEMO) >= _BPE_MEMO_MAX_CHAINS:
+                _BPE_PIECES_MEMO.pop(next(iter(_BPE_PIECES_MEMO)))
+            memo = _BPE_PIECES_MEMO[mk] = {}
 
         def pieces(t: str) -> int:
             p = memo.get(t)

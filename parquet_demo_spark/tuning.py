@@ -47,9 +47,11 @@ _DEFAULT_BYTES = 64 * 1024 * 1024
 # - AQE off: no per-query-stage job materialization for plans whose
 #   every exchange is KBs — the job-count floor, not a re-planning
 #   opportunity, is what dominates them;
-# - one shuffle partition: a sub-threshold sort/window/join fits one
-#   task by construction (the threshold bounds it), and 32 near-empty
-#   reducers cost scheduling without buying parallelism;
+# - 4 shuffle partitions (not 1): a sub-threshold sort/window/join
+#   fits a handful of tasks by construction (the threshold bounds it),
+#   and 32 near-empty reducers cost scheduling without buying
+#   parallelism — 4 keeps a sliver of overlap for multi-stage commits
+#   while staying at the single-digit job floor;
 # - driver-side file listing: a sub-threshold table's partition dirs
 #   never justify a distributed listing job.
 _SMALL_CONF = {
@@ -119,6 +121,25 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
+def _minimal_posture(spark: SparkSession) -> bool:
+    """True when ``spark`` already plans with the small-scope conf
+    (AQE off, shuffle partitions <= the scope's 4). A Structured
+    Streaming micro-batch session is the canonical case: it clones
+    with AQE force-disabled, and the stream wiring pins its few state
+    partitions — entering the scope there buys nothing, while its
+    size estimate costs a store-root walk plus an extra
+    analyze/optimize of the batch plan EVERY batch (measured in r15:
+    both stream A/B rows regressed ~5% with job counts unchanged)."""
+    try:
+        if spark.conf.get("spark.sql.adaptive.enabled") != "false":
+            return False
+        return int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ) <= int(_SMALL_CONF["spark.sql.shuffle.partitions"])
+    except Exception:
+        return False
+
+
 def store_plan_scope(
     spark: SparkSession,
     root: str | tuple[str, ...] | list[str],
@@ -129,7 +150,17 @@ def store_plan_scope(
     several — an applier touches its index store AND its watermark
     side store) + (the batch's plan statistics, when a batch is
     involved). A batch whose size Catalyst cannot estimate keeps the
-    session's scale posture — unknown is never treated as small."""
+    session's scale posture — unknown is never treated as small.
+
+    Skipped outright (no walk, no plan-stats probe) when the session
+    the operation will PLAN on — the batch's own session when there is
+    a batch; micro-batch clones differ from the outer handle — already
+    runs the minimal posture: the scope could only re-pin what is
+    already pinned, so the estimate would be pure per-batch overhead.
+    """
+    plan_session = batch.sparkSession if batch is not None else spark
+    if _minimal_posture(plan_session):
+        return plan_scope(spark, None)
     threshold = small_plan_threshold()
     if threshold <= 0:
         return plan_scope(spark, None)
@@ -180,7 +211,11 @@ def scoped_store_op(batch_arg: str | None, spark_arg: str | None = None):
 
 
 def scope_active() -> bool:
-    """True while some thread holds an entered small-plan scope."""
+    """True while some thread holds an entered small-plan scope.
+
+    Reads ``_depth`` without the lock: a boolean probe tolerates a
+    stale read (callers use it for diagnostics, never to decide
+    conf restoration, which stays under ``_lock``)."""
     return _depth > 0
 
 
@@ -197,7 +232,12 @@ def plan_scope(spark: SparkSession, est_bytes: int | None):
     out-of-scope action in another thread would plan with the small
     conf, which is a (bounded: the threshold caps what chose the
     scope, and store writers already serialize per store) performance
-    trade, never a correctness one.
+    trade, never a correctness one. That bound covers store ops; an
+    UNRELATED query submitted on the same session from another thread
+    while a scope is held also plans small — callers running such
+    mixed concurrent workloads should give store maintenance its own
+    session (``spark.newSession()``) or disable the scope via the env
+    dial.
     """
     threshold = small_plan_threshold()
     if (
