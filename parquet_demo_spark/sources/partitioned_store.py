@@ -1755,12 +1755,11 @@ class PartitionedParquetMergeStore:
             return self._aligned_union(spark, [df], version).limit(0)
         if where is None and self.child_store == "cow":
             era_frames, slow = self._era_scan_frames(spark, parts, selected)
+        elif where is None and self.child_store == "mor":
+            era_frames, slow = self._mor_era_frames(spark, parts, selected)
         else:
             # value-pruned reads go through each child's own min/max/
-            # bloom bucket pruning (and usually touch few children);
-            # MOR children always take per-child reads — each must
-            # resolve its own delta overlay, which a bare multi-dir
-            # scan cannot reproduce
+            # bloom bucket pruning (and usually touch few children)
             era_frames, slow = [], list(selected)
         dfs = era_frames + [
             self._child(parts[pval]["dir"]).read(
@@ -1827,6 +1826,183 @@ class PartitionedParquetMergeStore:
             spark.read.parquet(*sorted(dirs)).select(*cols)
             for cols, dirs in sorted(eras.items())
         ]
+        return frames, slow
+
+    def _mor_era_frames(
+        self, spark: SparkSession, parts: dict, selected: list
+    ) -> tuple[list[DataFrame], list]:
+        """ONE fused base-scan + delta-fold per common SCHEMA ERA for
+        MOR children (round 16, guide §2.4): the per-child ``read()``
+        plans one delta window + one anti-join PER CHILD, so a table
+        read over P partitions carries ~2P exchanges and AQE
+        materializes each as its own job (q201 census: 22-32 jobs per
+        table read at 13 children). When every selected child's pinned
+        state can be reproduced from bare scans, the whole table
+        resolves with ONE window + ONE anti-join instead.
+
+        Correctness rests on two store invariants: (a) every partition
+        column is a PK column (module docstring), so windowing /
+        anti-joining on the FULL PK never mixes rows across children —
+        in particular each child's delta ``__seq`` only ever orders
+        rows within that child's own key space; (b) commit_delta
+        validates every appended batch against the child's recorded
+        column/type map, so all live delta dirs of a child share the
+        entry's column set.
+
+        A child is fused-eligible when its entry state records a
+        column set, all its delta dirs are on disk, and its base (if
+        any) is reproducible by a bare multi-dir scan: manifest not
+        evolved, manifest columns equal to the entry's, bucket dirs on
+        disk. Live deletion vectors FUSE rather than disqualify (they
+        are the post-publish steady state here — a table compact folds
+        branch tombstones into base DVs on every child): DV dirs hold
+        deleted PKs, and because partition columns are PK columns, one
+        era-wide multi-dir DV scan anti-joined (null-safe, broadcast —
+        the per-child ``_apply_dv`` contract) against the era's base
+        scan is exactly the per-child filter. Anything else — including
+        a fully emptied child, whose slow read supplies the typed
+        empty frame — takes the ordinary per-child read via ``slow``.
+        Eligible children group by their column tuple; each era plans
+        one fused frame."""
+        from parquet_demo_spark.sources.merge_store import _load_manifest
+        from parquet_demo_spark.sources.mor_store import _OP, _SEQ
+
+        eras: dict[tuple, dict] = {}
+        slow: list = []
+        for pval in selected:
+            e = parts[pval]
+            croot = os.path.join(self.root, e["dir"])
+            try:
+                child = self._child(e["dir"])
+                state = child._entry_state(int(e["version"]))
+            except (ValueError, KeyError, FileNotFoundError):
+                slow.append(pval)
+                continue
+            cols = state.get("columns")
+            delta_dirs = list(state.get("dirs") or [])
+            if not cols:
+                slow.append(pval)
+                continue
+            delta_paths = [
+                os.path.join(croot, "deltas", d) for d in delta_dirs
+            ]
+            if not all(os.path.isdir(p) for p in delta_paths):
+                slow.append(pval)
+                continue
+            bv = state.get("base_version")
+            base_dirs: list[str] = []
+            if bv is not None:
+                try:
+                    m = _load_manifest(
+                        os.path.join(
+                            croot,
+                            "base",
+                            f"v{int(bv):05d}",
+                            "manifest.json",
+                        )
+                    )
+                except (FileNotFoundError, ValueError):
+                    slow.append(pval)
+                    continue
+                if (
+                    m.get("evolved", True)
+                    or list(m.get("columns") or []) != list(cols)
+                ):
+                    slow.append(pval)
+                    continue
+                base_dirs = sorted(
+                    {
+                        os.path.join(croot, "base", p)
+                        for p in m["bucket_paths"].values()
+                    }
+                )
+                dv_dirs = sorted(
+                    {
+                        os.path.join(croot, "base", rel)
+                        for rel in m.get("dv", {}).values()
+                        if rel
+                    }
+                )
+                if not all(
+                    os.path.isdir(d) for d in (*base_dirs, *dv_dirs)
+                ):
+                    slow.append(pval)
+                    continue
+            else:
+                dv_dirs = []
+            if not base_dirs and not delta_paths:
+                # emptied child: its slow read returns the typed empty
+                # frame (or raises for an unborn store) — preserve that
+                slow.append(pval)
+                continue
+            era = eras.setdefault(
+                tuple(cols), {"base": [], "delta": [], "dv": []}
+            )
+            era["base"].extend(base_dirs)
+            era["dv"].extend(dv_dirs)
+            era["delta"].extend(enumerate(delta_paths))
+        frames: list[DataFrame] = []
+        for cols_t, grp in sorted(eras.items(), key=lambda kv: kv[0]):
+            cols = list(cols_t)
+            base = (
+                spark.read.parquet(*sorted(grp["base"])).select(*cols)
+                if grp["base"]
+                else None
+            )
+            if base is not None and grp["dv"]:
+                dv = (
+                    spark.read.parquet(*sorted(set(grp["dv"])))
+                    .select(
+                        *[
+                            F.col(k).alias(f"__dv_{k}")
+                            for k in self.keys
+                        ]
+                    )
+                    .dropDuplicates()
+                )
+                cond = [
+                    F.col(k).eqNullSafe(F.col(f"__dv_{k}"))
+                    for k in self.keys
+                ]
+                base = base.join(F.broadcast(dv), cond, "left_anti")
+            if not grp["delta"]:
+                if base is not None:
+                    frames.append(base)
+                continue
+            # balanced union of per-dir frames, each tagged with its
+            # position in ITS OWN child's log (the LWW order within a
+            # key space — cross-child positions never compare because
+            # the window keys contain the partition columns)
+            fr = []
+            for i, p in grp["delta"]:
+                df = spark.read.parquet(p)
+                if _SEQ in df.columns:  # legacy log: embedded seq
+                    df = df.drop(_SEQ)
+                fr.append(df.withColumn(_SEQ, F.lit(i).cast("bigint")))
+            while len(fr) > 1:
+                fr = [
+                    fr[i].unionByName(fr[i + 1])
+                    if i + 1 < len(fr)
+                    else fr[i]
+                    for i in range(0, len(fr), 2)
+                ]
+            dl = fr[0]
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(*self.keys).orderBy(F.col(_SEQ).desc())
+            latest = (
+                dl.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", _SEQ)
+            )
+            ups = latest.filter(F.col(_OP) == "u").select(*cols)
+            if base is None:
+                frames.append(ups)
+            else:
+                keep = base.join(
+                    latest.select(*self.keys), list(self.keys), "left_anti"
+                )
+                frames.append(keep.select(*cols).unionByName(ups))
         return frames, slow
 
     def _select(

@@ -2062,3 +2062,58 @@ def test_mor_table_write_change_feed(spark, tmp_path):
         .change_feed(spark, int(parts["d1"]["version"]))
         .collect()
     ) == [(1, "delete", "d1/1b")]
+
+
+def test_mor_fused_read_matches_per_child(spark, tmp_path):
+    """The fused MOR table read (one base scan + one delta fold + one
+    DV anti-join per schema era — _mor_era_frames, r16) returns
+    exactly the per-child slow read's rows in every store state:
+    live upsert/delete deltas, post-compact deletion vectors, and a
+    later delta layer on top of the DV'd base."""
+    st = _mor_store(tmp_path)
+
+    def slow_rows():
+        # force every child down the per-child path
+        orig = type(st)._mor_era_frames
+        type(st)._mor_era_frames = (
+            lambda self, sp, parts, selected: ([], list(selected))
+        )
+        try:
+            return _rows(st.read(spark))
+        finally:
+            type(st)._mor_era_frames = orig
+
+    def check(state_label):
+        fused = _rows(st.read(spark))
+        assert fused == slow_rows(), state_label
+        return fused
+
+    # live deltas: upserts across partitions + LWW re-edit + delete
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1)]))
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d1", k=1, v=2, payload="d1/1b")]
+        )
+    )
+    st.delete_where(spark, F.col("k") == 2)
+    rows = check("live deltas")
+    assert rows == [("d1", 1, 2, "d1/1b"), ("d2", 1, 1, "d2/1")]
+    # the fused path actually engages here (no child on the slow list)
+    parts = st._parts(st.current_version())
+    frames, slow = st._mor_era_frames(spark, parts, sorted(parts))
+    assert slow == [] and len(frames) == 1
+
+    # post-compact: deltas fold into the base, deletes become DVs
+    st.compact(spark)
+    assert check("post-compact (DV state)") == rows
+
+    # fresh deltas layered over the DV'd base
+    st.merge(
+        spark.createDataFrame(
+            [Row(day="d2", k=7, v=1, payload="d2/7")]
+        )
+    )
+    st.delete_where(spark, F.col("k") == 1)
+    assert check("deltas over DV base") == [
+        ("d2", 7, 1, "d2/7"),
+    ]
