@@ -103,6 +103,37 @@ def main() -> None:
             _q196_iteration_plan(spark, SF),
         )
 
+    # --- partitioned MOR fused table read (q195/q198/q201/q182) ---------
+    # before = every child forced down the per-child read (the r15
+    # shape: one delta window + one anti-join per child); after = the
+    # live fused era read (one base scan + one fold + one DV anti-join)
+    from parquet_demo_spark.registry import all_queries
+    from parquet_demo_spark.sources.partitioned_store import (
+        PartitionedParquetMergeStore,
+    )
+
+    q = all_queries()["q201_mor_table_wap"]
+    store, ev = q.build(spark, SF)
+    # drive the store into the representative post-publish state —
+    # live delta dirs layered over DV-carrying compacted bases — so the
+    # captured plans show the delta fold and the DV anti-join, not just
+    # the base union
+    q.read(spark, SF, (store, ev)).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    from pyspark.sql import functions as FF
+
+    store.merge(ev.filter(FF.col("event_id") % 11 == 0))
+    fused = PartitionedParquetMergeStore._mor_era_frames
+    PartitionedParquetMergeStore._mor_era_frames = (
+        lambda self, sp, parts, selected: ([], list(selected))
+    )
+    try:
+        write("q201_mor_table_read_before.txt", store.read(spark))
+    finally:
+        PartitionedParquetMergeStore._mor_era_frames = fused
+    write("q201_mor_table_read_after.txt", store.read(spark))
+
 
 if __name__ == "__main__":
     main()
