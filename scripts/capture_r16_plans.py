@@ -134,6 +134,39 @@ def main() -> None:
         PartitionedParquetMergeStore._mor_era_frames = fused
     write("q201_mor_table_read_after.txt", store.read(spark))
 
+    # --- q126/q127 ANN: vectorized hyperplane bucket + norm-precomputed
+    # cosine. before = interpreted fold bucket + full cosine (3 folds
+    # per pair); after = ArrowEvalPython bucket + dot/(nrm*qn) (1 fold)
+    from pyspark.sql import functions as F2
+
+    from parquet_demo_spark.functions import l2_norm
+    from parquet_demo_spark.operators import similarity as sim
+
+    base, probes0, _planted = sim._planted_sets(spark, SF)
+    write(
+        "q126_bucket_build_before.txt",
+        base.withColumn(
+            "bkt", sim._hyperplane_bucket_expr(F2.col("e"))
+        ),
+    )
+    write(
+        "q126_bucket_build_after.txt",
+        base.withColumn("bkt", sim._hyperplane_bucket(F2.col("e"))),
+    )
+    probes_b = probes0.select("qid", "qe")
+    corpus_b = base.select("vec_id", "e")
+    write(
+        "q126_top3_truth_before.txt",
+        sim._top3(corpus_b, probes_b, F2.lit(True)),
+    )
+    # after = the real read shape: norms ride in MATERIALIZED from the
+    # build checkpoints, so the pair step plans exactly one fold
+    probes_c, fc_c, _pc_c = sim._q126_build(spark, SF)
+    write(
+        "q126_top3_truth_after.txt",
+        sim._top3(fc_c, probes_c, F2.lit(True)),
+    )
+
 
 if __name__ == "__main__":
     main()

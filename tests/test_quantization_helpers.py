@@ -89,3 +89,53 @@ def test_mean6_sql_twin_on_same_data(spark, tmp_path):
         f"SELECT {mean6_sql('v')} AS m FROM read_parquet('{p}/*.parquet')"
     ).fetchone()[0]
     assert spark_m == duck_m
+
+
+def test_hyperplane_bucket_udf_matches_fold_expr(spark):
+    """The vectorized NumPy hyperplane bucket (r16) is row-for-row
+    identical to the interpreted fold expression it replaced — on
+    clean 64-dim vectors AND the degenerate rows whose fold goes NULL
+    (wrong length, NULL array, NaN element), which both forms must
+    assign to bucket 0. Integer dot products make this exact, never a
+    tolerance comparison."""
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from parquet_demo_spark.operators.similarity import (
+        _N_TABLES,
+        _hyperplane_bucket,
+        _hyperplane_bucket_expr,
+    )
+
+    def vec(seed: int) -> list:
+        # deterministic values spanning signs and magnitudes incl.
+        # exact-zero dots' neighborhood
+        return [
+            math.sin(seed * 97 + i * 13) * (0.002 * ((i + seed) % 7))
+            for i in range(64)
+        ]
+
+    rows = [Row(vec_id=i, e=vec(i)) for i in range(50)]
+    rows += [
+        Row(vec_id=100, e=None),
+        Row(vec_id=101, e=[0.1] * 63),          # short: fold NULL
+        Row(vec_id=102, e=[0.1] * 65),          # long: fold NULL
+        Row(vec_id=103, e=[0.0] * 64),          # all-zero dots: bits 0
+        Row(vec_id=104, e=[float("nan")] + [0.1] * 63),  # NaN poisons
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, e array<double>")
+    for t in range(_N_TABLES):
+        got = (
+            df.select(
+                "vec_id",
+                _hyperplane_bucket(F.col("e"), t).alias("udf"),
+                _hyperplane_bucket_expr(F.col("e"), t).alias("expr"),
+            )
+            .collect()
+        )
+        diverged = [
+            (r.vec_id, r.udf, r.expr) for r in got if r.udf != r.expr
+        ]
+        assert diverged == [], f"table {t}: {diverged}"
