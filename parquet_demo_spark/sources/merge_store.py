@@ -4179,10 +4179,30 @@ def changes_between(
     # an aggregate). Deletes qualify a `where` range by their only
     # image — the old row.
     n_to = store._read_manifest(v_to).get("num_buckets", store.num_buckets)
-    to_bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_to))
-    target_ids = sorted(
-        r[0] for r in old.select(to_bucket.alias("__b")).distinct().collect()
+    n_from = store._read_manifest(v_from).get(
+        "num_buckets", store.num_buckets
     )
+    if n_from == n_to:
+        # no rebucket inside the span: bucket_expr depends only on the
+        # PK values and the bucket count, so every old row's key hashes
+        # to the SAME id under v_to as the changed_old dir it was read
+        # from — changed_old is a covering superset of the old keys'
+        # v_to buckets and the presence read needs no collect job.
+        # (Extra ids only widen pres_keys with keys no old row matches;
+        # the anti-join result is unchanged. A MISSED bucket would
+        # mis-tag a live key as deleted — supersets are safe, subsets
+        # are not.)
+        target_ids = list(changed_old)
+    else:
+        to_bucket = F.pmod(
+            F.hash(*[F.col(k) for k in keys]), F.lit(n_to)
+        )
+        target_ids = sorted(
+            r[0]
+            for r in old.select(to_bucket.alias("__b"))
+            .distinct()
+            .collect()
+        )
     presence = _read(new_paths, target_ids, v_to)
     if presence is None:
         gone = old

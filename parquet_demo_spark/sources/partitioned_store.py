@@ -2259,16 +2259,225 @@ class PartitionedParquetMergeStore:
         pcol = F.concat_ws(
             _SEP, *[F.col(c).cast("string") for c in self.partition_cols]
         )
-        dfs = [
+        if self.child_store == "mor":
+            # fused overlay probe (round 16): one base scan + one
+            # delta fold + one semi-join for ALL era-eligible hit
+            # children instead of a per-child overlay plan each
+            frames, slow = self._mor_probe_frames(
+                spark, parts, pv_buckets, hit, keys
+            )
+        else:
+            frames, slow = [], hit
+        dfs = frames + [
             self._child(parts[pv]["dir"]).probe(
                 spark,
                 keys.filter(pcol == pv),
                 version=parts[pv]["version"],
                 buckets=sorted(pv_buckets[pv]),
             )
-            for pv in hit
+            for pv in slow
         ]
         return self._aligned_union(spark, dfs, v)
+
+    def _mor_probe_frames(
+        self,
+        spark: SparkSession,
+        parts: dict,
+        pv_buckets: dict,
+        hit: list,
+        keys: DataFrame,
+    ) -> tuple[list[DataFrame], list]:
+        """ONE fused overlay probe per schema era for MOR children
+        (round 16 — the probe twin of :meth:`_mor_era_frames`): the
+        per-child :meth:`MergeOnReadStore.probe` plans a delta fold +
+        base probe + anti-join PER CHILD, so a table probe whose key
+        batch touches P partitions carries ~2P exchanges (q198's CDC
+        pre-state: 13 children ⇒ ~27 AQE stage jobs). Fused, the hit
+        children's pinned delta dirs fold in one window and their hit
+        BUCKET dirs scan once, with the probe's semi-join keyed on the
+        full PK — partition columns are PK columns, so keys route to
+        their own child's rows by construction and no per-child key
+        slicing is needed.
+
+        Per-child bucket pruning is preserved exactly: only the
+        (partition, bucket) pairs the table-level routing computed are
+        scanned, and only those buckets' deletion vectors anti-join
+        (extra DV keys would be harmless — a PK's bucket is a function
+        of the PK — but cost I/O). Every scan passes an explicit
+        schema built from the entry's recorded column/type map, so the
+        fused probe also skips the per-directory footer-inference
+        driver jobs the per-child plans paid. A child is fuse-eligible
+        when its entry records columns AND types, its delta dirs are
+        on disk, and its base (if any) is un-evolved with the entry's
+        columns and its hit bucket/DV dirs on disk; anything else —
+        including an emptied child, whose per-child probe supplies the
+        typed empty frame / descriptive error — returns in ``slow``.
+        """
+        from parquet_demo_spark.sources.merge_store import _load_manifest
+        from parquet_demo_spark.sources.mor_store import _OP, _SEQ
+
+        eras: dict[tuple, dict] = {}
+        slow: list = []
+        for pv in hit:
+            e = parts[pv]
+            croot = os.path.join(self.root, e["dir"])
+            child = self._child(e["dir"])
+            try:
+                state = child._entry_state(int(e["version"]))
+            except (ValueError, KeyError, FileNotFoundError):
+                slow.append(pv)
+                continue
+            cols = state.get("columns")
+            types = state.get("types")
+            if (
+                not cols
+                or not types
+                or any(c not in types for c in cols)
+                or any(k not in types for k in self.keys)
+            ):
+                slow.append(pv)
+                continue
+            delta_paths = [
+                os.path.join(croot, "deltas", d)
+                for d in (state.get("dirs") or [])
+            ]
+            if not all(os.path.isdir(p) for p in delta_paths):
+                slow.append(pv)
+                continue
+            bv = state.get("base_version")
+            base_dirs: list[str] = []
+            dv_dirs: list[str] = []
+            if bv is not None:
+                try:
+                    m = _load_manifest(
+                        os.path.join(
+                            croot,
+                            "base",
+                            f"v{int(bv):05d}",
+                            "manifest.json",
+                        )
+                    )
+                except (FileNotFoundError, ValueError):
+                    slow.append(pv)
+                    continue
+                if (
+                    m.get("evolved", True)
+                    or list(m.get("columns") or []) != list(cols)
+                ):
+                    slow.append(pv)
+                    continue
+                bpaths = {
+                    int(k): p for k, p in m["bucket_paths"].items()
+                }
+                wanted = set(pv_buckets[pv])
+                base_dirs = sorted(
+                    {
+                        os.path.join(croot, "base", bpaths[b])
+                        for b in wanted
+                        if b in bpaths
+                    }
+                )
+                dv_dirs = sorted(
+                    {
+                        os.path.join(croot, "base", p)
+                        for k, p in m.get("dv", {}).items()
+                        if p and int(k) in wanted
+                    }
+                )
+                if not all(
+                    os.path.isdir(d) for d in (*base_dirs, *dv_dirs)
+                ):
+                    slow.append(pv)
+                    continue
+            if not base_dirs and not delta_paths:
+                # emptied child (or no hit bucket written): the
+                # per-child probe supplies the typed empty frame
+                slow.append(pv)
+                continue
+            era = eras.setdefault(
+                (
+                    tuple(cols),
+                    tuple(sorted((c, types[c]) for c in cols)),
+                ),
+                {"base": [], "dv": [], "delta": [], "types": types},
+            )
+            era["base"].extend(base_dirs)
+            era["dv"].extend(dv_dirs)
+            era["delta"].extend(enumerate(delta_paths))
+        frames: list[DataFrame] = []
+        key_list = list(self.keys)
+        for (cols_t, _), grp in sorted(
+            eras.items(), key=lambda kv: kv[0]
+        ):
+            cols = list(cols_t)
+            types = grp["types"]
+            ddl = ", ".join(f"`{c}` {types[c]}" for c in cols)
+            base = (
+                spark.read.schema(ddl)
+                .parquet(*sorted(set(grp["base"])))
+                .select(*cols)
+                if grp["base"]
+                else None
+            )
+            if base is not None and grp["dv"]:
+                key_ddl = ", ".join(
+                    f"`{k}` {types[k]}" for k in key_list
+                )
+                dv = (
+                    spark.read.schema(key_ddl)
+                    .parquet(*sorted(set(grp["dv"])))
+                    .select(
+                        *[
+                            F.col(k).alias(f"__dv_{k}")
+                            for k in key_list
+                        ]
+                    )
+                    .dropDuplicates()
+                )
+                cond = [
+                    F.col(k).eqNullSafe(F.col(f"__dv_{k}"))
+                    for k in key_list
+                ]
+                base = base.join(F.broadcast(dv), cond, "left_anti")
+            if base is not None:
+                base = base.join(keys, key_list, "left_semi")
+            if not grp["delta"]:
+                if base is not None:
+                    frames.append(base)
+                continue
+            delta_ddl = f"{ddl}, `{_OP}` string"
+            fr = [
+                spark.read.schema(delta_ddl)
+                .parquet(p)
+                .withColumn(_SEQ, F.lit(i).cast("bigint"))
+                for i, p in grp["delta"]
+            ]
+            while len(fr) > 1:
+                fr = [
+                    fr[i].unionByName(fr[i + 1])
+                    if i + 1 < len(fr)
+                    else fr[i]
+                    for i in range(0, len(fr), 2)
+                ]
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(*key_list).orderBy(F.col(_SEQ).desc())
+            latest = (
+                fr[0]
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", _SEQ)
+                .join(keys, key_list, "left_semi")
+            )
+            ups = latest.filter(F.col(_OP) == "u").select(*cols)
+            if base is None:
+                frames.append(ups)
+            else:
+                keep = base.join(
+                    latest.select(*key_list), key_list, "left_anti"
+                )
+                frames.append(keep.select(*cols).unionByName(ups))
+        return frames, slow
 
     def count_rows(
         self,
@@ -2322,6 +2531,7 @@ class PartitionedParquetMergeStore:
             )
 
         outs = []
+        mor_candidates: list = []
         for pval in sorted(set(p_from) | set(p_to)):
             a, b = p_from.get(pval), p_to.get(pval)
             if a and b and a["dir"] == b["dir"]:
@@ -2330,15 +2540,14 @@ class PartitionedParquetMergeStore:
                     if self.child_store == "mor":
                         # the MOR child's own log-entry diff — O(Δ)
                         # on the append-only spans every table
-                        # merge/delete commits (VERDICT r12 #2)
-                        outs.append(
-                            child.changes_between(
-                                spark,
-                                int(a["version"]),
-                                int(b["version"]),
-                                include_preimages=include_preimages,
-                            )
-                        )
+                        # merge/delete commits (VERDICT r12 #2).
+                        # Candidates collect first: when every changed
+                        # child's span is fast-diffable in the same
+                        # schema era, ONE fused plan replaces the
+                        # per-child diffs (round 16 — see
+                        # _mor_fused_cdc); stragglers fall back to the
+                        # per-child diff below.
+                        mor_candidates.append((pval, child, a, b))
                     else:
                         outs.append(
                             changes_between(
@@ -2356,6 +2565,12 @@ class PartitionedParquetMergeStore:
                 outs.append(_snap(b, "insert"))
             else:
                 outs.append(_snap(a, "delete"))
+        if mor_candidates:
+            outs.extend(
+                self._mor_fused_cdc(
+                    spark, mor_candidates, v_from, v_to, include_preimages
+                )
+            )
         if not outs:
             any_p = sorted(p_from or p_to)[0]
             entry = (p_from or p_to)[any_p]
@@ -2375,6 +2590,138 @@ class PartitionedParquetMergeStore:
         return self._aligned_union(
             spark, outs, wide, extra_cols=("_change_type",)
         )
+
+    def _mor_fused_cdc(
+        self,
+        spark: SparkSession,
+        candidates: list,
+        v_from: int,
+        v_to: int,
+        include_preimages: bool,
+    ) -> list[DataFrame]:
+        """Fuse the changed MOR children's O(Δ) log diffs into ONE
+        global plan (round 16, guide §2.4 — the CDC twin of
+        :meth:`_mor_era_frames`): the per-child diff plans one delta
+        fold + one bucket-probe + one classification join PER CHILD,
+        and the child-level probe additionally pays a bucket-id
+        collect job per child, so a table CDC read over P changed
+        partitions costs ~4-5P jobs (q198 census: 60 jobs at 13
+        children). Fused, the appended delta dirs of ALL eligible
+        children fold in one window, the pre-state resolves through
+        ONE table-level :meth:`probe` (single pair-collect for the
+        whole batch), and one shared-law classification emits the
+        feed.
+
+        Correctness rests on the same two invariants as the fused
+        read: partition columns are PK columns, so the global delta
+        fold's window and the classification join — both keyed on the
+        FULL PK — never mix rows across children (each child's
+        ``__seq`` only orders rows within its own key space), and
+        ``commit_delta`` validates every appended batch against the
+        child's recorded column/type map. A child is fuse-eligible
+        when its span is fast-diffable (:meth:`MergeOnReadStore.
+        _span_append_dirs` — appends/compacts only), its entry records
+        the SAME column set as the table schema at both endpoints (no
+        evolution inside the span — the pre-state then needs no
+        per-child null backfill), and its appended dirs are on disk.
+        Ineligible children keep the per-child diff via the returned
+        fallback frames; children whose span appended nothing
+        contribute no rows either way and are skipped outright.
+        """
+        from parquet_demo_spark.sources.mor_store import (
+            _OP,
+            _SEQ,
+            MergeOnReadStore,
+        )
+
+        cols = list(self._columns_at(v_to))
+        keys = list(self.keys)
+        uniform = cols == list(self._columns_at(v_from))
+
+        fused_paths: list[list[str]] = []
+        fallback: list[DataFrame] = []
+        for pval, child, a, b in candidates:
+            e_from, e_to = int(a["version"]), int(b["version"])
+            eligible = uniform
+            paths: list[str] = []
+            if eligible:
+                try:
+                    s_from = child._entry_state(e_from)
+                    s_to = child._entry_state(e_to)
+                except (ValueError, KeyError, FileNotFoundError):
+                    eligible = False
+                else:
+                    nd = child._span_append_dirs(e_from, e_to, s_from)
+                    c_cols = s_to.get("columns")
+                    if nd is None or list(c_cols or []) != cols:
+                        eligible = False
+                    else:
+                        paths = [
+                            os.path.join(child._deltas_root, d)
+                            for d in nd
+                        ]
+                        if not all(os.path.isdir(p) for p in paths):
+                            eligible = False
+            if not eligible:
+                fallback.append(
+                    child.changes_between(
+                        spark,
+                        e_from,
+                        e_to,
+                        include_preimages=include_preimages,
+                    )
+                )
+            elif paths:
+                fused_paths.append(paths)
+        if not fused_paths:
+            return fallback
+        # one balanced union over every child's appended dirs, each
+        # tagged with its position in ITS OWN child's log (the same
+        # per-dir seq law as _mor_era_frames — cross-child positions
+        # never compare because the window keys contain the partition
+        # columns)
+        fr: list[DataFrame] = []
+        for paths in fused_paths:
+            for i, p in enumerate(paths):
+                df = spark.read.parquet(p)
+                if _SEQ in df.columns:  # legacy log: embedded seq
+                    df = df.drop(_SEQ)
+                fr.append(df.withColumn(_SEQ, F.lit(i).cast("bigint")))
+        while len(fr) > 1:
+            fr = [
+                fr[i].unionByName(fr[i + 1])
+                if i + 1 < len(fr)
+                else fr[i]
+                for i in range(0, len(fr), 2)
+            ]
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*keys).orderBy(F.col(_SEQ).desc())
+        latest = (
+            fr[0]
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", _SEQ)
+            # the table probe's pair collect materializes the fold
+            # once; classification reuses it (the child-level
+            # fast path's own lazy-checkpoint law)
+            .localCheckpoint(eager=False)
+        )
+        # pre-state: ONE bucket-pruned table probe of the v_from
+        # snapshot for every candidate key across all fused children —
+        # the per-child probes' bucket collects collapse into the
+        # table probe's single pair job
+        pre = self.probe(
+            spark, latest.select(*keys), version=v_from
+        ).select(*cols)
+        post_u = latest.filter(F.col(_OP) == "u").select(*cols)
+        post_d = latest.filter(F.col(_OP) == "d").select(*keys)
+        fallback.append(
+            MergeOnReadStore._cdc_emit(
+                pre, post_u, post_d, cols, keys, include_preimages
+            )
+        )
+        return fallback
 
     # -- maintenance --------------------------------------------------------
 

@@ -2117,3 +2117,155 @@ def test_mor_fused_read_matches_per_child(spark, tmp_path):
     assert check("deltas over DV base") == [
         ("d2", 7, 1, "d2/7"),
     ]
+
+
+def test_mor_fused_cdc_matches_per_child(spark, tmp_path):
+    """The fused table-level MOR CDC (one delta fold + one table probe
+    + one classification — _mor_fused_cdc, r16) emits exactly the
+    per-child diffs' rows for every span shape: multi-commit spans,
+    spans crossing a compact, preimages on and off, and a span that
+    includes a partition drop (handled outside the fusion)."""
+    st = _mor_store(tmp_path)
+
+    def cdc_rows(v_from, v_to, pre):
+        return sorted(
+            map(
+                tuple,
+                st.changes_between(
+                    spark, v_from, v_to, include_preimages=pre
+                ).collect(),
+            )
+        )
+
+    def per_child_rows(v_from, v_to, pre):
+        # force every candidate down the per-child diff
+        orig = type(st)._mor_fused_cdc
+        type(st)._mor_fused_cdc = lambda self, sp, cands, vf, vt, p: [
+            c.changes_between(
+                sp, int(a["version"]), int(b["version"]),
+                include_preimages=p,
+            )
+            for _, c, a, b in cands
+        ]
+        try:
+            return cdc_rows(v_from, v_to, pre)
+        finally:
+            type(st)._mor_fused_cdc = orig
+
+    def check(v_from, v_to, label):
+        for pre in (False, True):
+            fused = cdc_rows(v_from, v_to, pre)
+            assert fused == per_child_rows(v_from, v_to, pre), (
+                label,
+                pre,
+            )
+
+    # v0: seed three partitions
+    st.merge(
+        _batch(spark, [("d1", 1), ("d1", 2), ("d2", 1), ("d3", 5)])
+    )
+    # v1: LWW re-edit + new key (two children change, one does not)
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d1", k=1, v=2, payload="d1/1b"),
+                Row(day="d2", k=9, v=1, payload="d2/9"),
+            ]
+        )
+    )
+    # v2: delete one key
+    st.delete_where(spark, (F.col("day") == "d1") & (F.col("k") == 2))
+    check(0, 2, "multi-commit append+delete span")
+    check(1, 2, "single-commit delete span")
+
+    # v3: compact folds deltas into bases (CDC-silent boundary)
+    st.compact(spark)
+    check(0, 3, "span across compact")
+    assert cdc_rows(2, 3, False) == []  # compaction emits nothing
+
+    # v4: fresh deltas over the compacted base
+    st.merge(
+        spark.createDataFrame([Row(day="d3", k=6, v=1, payload="d3/6")])
+    )
+    check(0, 4, "deltas over compacted base")
+    check(3, 4, "post-compact-only span")
+
+    # v5: drop a partition — its snapshot-delete rows ride OUTSIDE the
+    # fusion; the remaining children still fuse
+    st.drop_partition("d2")
+    check(0, 5, "span including a partition drop")
+    check(4, 5, "drop-only span")
+
+
+def test_mor_fused_probe_matches_per_child(spark, tmp_path):
+    """The fused MOR table probe (_mor_probe_frames, r16) returns
+    exactly the per-child overlay probes' rows in every store state:
+    live deltas, post-compact deletion vectors, deltas layered over
+    the DV'd base, and key batches that miss partitions/keys."""
+    st = _mor_store(tmp_path)
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1), ("d3", 5)]))
+    st.merge(
+        spark.createDataFrame([Row(day="d1", k=1, v=2, payload="d1/1b")])
+    )
+    st.delete_where(spark, (F.col("day") == "d1") & (F.col("k") == 2))
+
+    keys = spark.createDataFrame(
+        [
+            Row(day="d1", k=1),
+            Row(day="d1", k=2),   # tombstoned
+            Row(day="d2", k=1),
+            Row(day="d3", k=99),  # absent key
+            Row(day="zz", k=1),   # absent partition
+        ]
+    )
+
+    def slow_rows():
+        orig = type(st)._mor_probe_frames
+        type(st)._mor_probe_frames = (
+            lambda self, sp, parts, pvb, hit, k: ([], list(hit))
+        )
+        try:
+            return _rows(st.probe(spark, keys))
+        finally:
+            type(st)._mor_probe_frames = orig
+
+    def check(label):
+        fused = _rows(st.probe(spark, keys))
+        assert fused == slow_rows(), label
+        return fused
+
+    assert check("live deltas") == [
+        ("d1", 1, 2, "d1/1b"),
+        ("d2", 1, 1, "d2/1"),
+    ]
+    # fused path actually engages (no child on the slow list)
+    v = st.current_version()
+    parts = {p: e for p, e in st._parts(v).items()}
+    tmap = dict(st._column_types_at(v))
+    cast_keys = keys.select(
+        *[F.col(c).cast(tmap[c]).alias(c) for c in st.keys]
+    ).distinct()
+    frames, slow = st._mor_probe_frames(
+        spark, parts, {p: {0, 1} for p in parts}, sorted(parts), cast_keys
+    )
+    assert slow == [] and len(frames) == 1
+
+    st.compact(spark)
+    check("post-compact (DV state)")
+
+    st.merge(
+        spark.createDataFrame([Row(day="d2", k=7, v=1, payload="d2/7")])
+    )
+    keys2 = keys.unionByName(
+        spark.createDataFrame([Row(day="d2", k=7)])
+    )
+    fused = _rows(st.probe(spark, keys2))
+    orig = type(st)._mor_probe_frames
+    type(st)._mor_probe_frames = (
+        lambda self, sp, parts, pvb, hit, k: ([], list(hit))
+    )
+    try:
+        assert fused == _rows(st.probe(spark, keys2))
+    finally:
+        type(st)._mor_probe_frames = orig
+    assert ("d2", 7, 1, "d2/7") in fused
