@@ -1935,23 +1935,58 @@ class PartitionedParquetMergeStore:
                 # frame (or raises for an unborn store) — preserve that
                 slow.append(pval)
                 continue
+            # the entry's recorded column/type map lets every scan of
+            # this era pass an explicit schema — skipping a
+            # footer-inference driver job PER read.parquet call (a
+            # multi-commit backfill pays dozens of them). A child
+            # without a usable type record downgrades the whole era to
+            # inferred reads (None), never to a wrong schema.
+            types = state.get("types")
+            if types is not None and (
+                any(c not in types for c in cols)
+                or any(k not in types for k in self.keys)
+            ):
+                types = None
             era = eras.setdefault(
-                tuple(cols), {"base": [], "delta": [], "dv": []}
+                tuple(cols),
+                {"base": [], "delta": [], "dv": [], "types": types},
             )
             era["base"].extend(base_dirs)
             era["dv"].extend(dv_dirs)
             era["delta"].extend(enumerate(delta_paths))
+            if types is None:
+                era["types"] = None
         frames: list[DataFrame] = []
         for cols_t, grp in sorted(eras.items(), key=lambda kv: kv[0]):
             cols = list(cols_t)
+            types = grp["types"]
+
+            def _reader(ddl: str | None):
+                return spark.read.schema(ddl) if ddl else spark.read
+
+            row_ddl = (
+                ", ".join(f"`{c}` {types[c]}" for c in cols)
+                if types
+                else None
+            )
             base = (
-                spark.read.parquet(*sorted(grp["base"])).select(*cols)
+                _reader(row_ddl)
+                .parquet(*sorted(grp["base"]))
+                .select(*cols)
                 if grp["base"]
                 else None
             )
             if base is not None and grp["dv"]:
+                key_ddl = (
+                    ", ".join(
+                        f"`{k}` {types[k]}" for k in self.keys
+                    )
+                    if types
+                    else None
+                )
                 dv = (
-                    spark.read.parquet(*sorted(set(grp["dv"])))
+                    _reader(key_ddl)
+                    .parquet(*sorted(set(grp["dv"])))
                     .select(
                         *[
                             F.col(k).alias(f"__dv_{k}")
@@ -1972,10 +2007,16 @@ class PartitionedParquetMergeStore:
             # balanced union of per-dir frames, each tagged with its
             # position in ITS OWN child's log (the LWW order within a
             # key space — cross-child positions never compare because
-            # the window keys contain the partition columns)
+            # the window keys contain the partition columns). With a
+            # recorded type map the per-dir reads carry the explicit
+            # delta schema (cols + op), so a legacy embedded __seq is
+            # simply not read — same effect as the drop below.
+            delta_ddl = (
+                f"{row_ddl}, `{_OP}` string" if row_ddl else None
+            )
             fr = []
             for i, p in grp["delta"]:
-                df = spark.read.parquet(p)
+                df = _reader(delta_ddl).parquet(p)
                 if _SEQ in df.columns:  # legacy log: embedded seq
                     df = df.drop(_SEQ)
                 fr.append(df.withColumn(_SEQ, F.lit(i).cast("bigint")))
@@ -2267,7 +2308,9 @@ class PartitionedParquetMergeStore:
                 spark, parts, pv_buckets, hit, keys
             )
         else:
-            frames, slow = [], hit
+            frames, slow = self._cow_probe_frames(
+                spark, parts, pv_buckets, hit, keys
+            )
         dfs = frames + [
             self._child(parts[pv]["dir"]).probe(
                 spark,
@@ -2278,6 +2321,98 @@ class PartitionedParquetMergeStore:
             for pv in slow
         ]
         return self._aligned_union(spark, dfs, v)
+
+    def _cow_probe_frames(
+        self,
+        spark: SparkSession,
+        parts: dict,
+        pv_buckets: dict,
+        hit: list,
+        keys: DataFrame,
+    ) -> tuple[list[DataFrame], list]:
+        """ONE fused bucket scan + semi-join per schema era for COW
+        children (round 16 — the probe twin of :meth:`_era_scan_frames`
+        and :meth:`_mor_probe_frames`): the per-child probe plans a
+        scan + DV filter + semi-join PER HIT CHILD, so a key batch
+        touching P partitions carries ~P-2P exchanges (q174 census:
+        43 jobs per probe at 13 children). Fused, the hit children's
+        hit BUCKET dirs scan once per era, their hit buckets' deletion
+        vectors anti-join once, and one semi-join on the FULL PK —
+        which contains the partition columns, so keys route to their
+        own child's rows by construction — replaces the per-child
+        joins. Per-child bucket pruning is preserved exactly (only the
+        routed (partition, bucket) dirs are read). A child is
+        fuse-eligible when its pinned manifest is un-evolved with the
+        era's columns and its hit bucket/DV dirs are on disk; anything
+        else — including a child none of whose hit buckets was ever
+        written, whose per-child probe supplies the schema-only empty
+        frame — returns in ``slow`` for the ordinary per-child probe.
+        """
+        eras: dict[tuple, dict] = {}
+        slow: list = []
+        for pv in hit:
+            e = parts[pv]
+            croot = os.path.join(self.root, e["dir"])
+            child = self._child(e["dir"])
+            v_c = int(e["version"])
+            try:
+                m = child._read_manifest(v_c)
+            except (FileNotFoundError, ValueError):
+                slow.append(pv)
+                continue
+            cols = list(m.get("columns") or [])
+            if not cols or m.get("evolved", True):
+                slow.append(pv)
+                continue
+            bpaths = {int(k): p for k, p in m["bucket_paths"].items()}
+            wanted = set(pv_buckets[pv])
+            hit_b = sorted(b for b in wanted if b in bpaths)
+            if not hit_b:
+                # no hit bucket written in this child: the per-child
+                # probe supplies the schema-only empty frame
+                slow.append(pv)
+                continue
+            dirs = sorted(
+                {os.path.join(croot, bpaths[b]) for b in hit_b}
+            )
+            dv_dirs = sorted(
+                {
+                    os.path.join(croot, p)
+                    for k, p in m.get("dv", {}).items()
+                    if p and int(k) in wanted
+                }
+            )
+            if not all(os.path.isdir(d) for d in (*dirs, *dv_dirs)):
+                slow.append(pv)
+                continue
+            era = eras.setdefault(tuple(cols), {"dirs": [], "dv": []})
+            era["dirs"].extend(dirs)
+            era["dv"].extend(dv_dirs)
+        frames: list[DataFrame] = []
+        key_list = list(self.keys)
+        for cols_t, grp in sorted(eras.items(), key=lambda kv: kv[0]):
+            cols = list(cols_t)
+            df = spark.read.parquet(*sorted(set(grp["dirs"]))).select(
+                *cols
+            )
+            if grp["dv"]:
+                dv = (
+                    spark.read.parquet(*sorted(set(grp["dv"])))
+                    .select(
+                        *[
+                            F.col(k).alias(f"__dv_{k}")
+                            for k in key_list
+                        ]
+                    )
+                    .dropDuplicates()
+                )
+                cond = [
+                    F.col(k).eqNullSafe(F.col(f"__dv_{k}"))
+                    for k in key_list
+                ]
+                df = df.join(F.broadcast(dv), cond, "left_anti")
+            frames.append(df.join(keys, key_list, "left_semi"))
+        return frames, slow
 
     def _mor_probe_frames(
         self,
@@ -2532,6 +2667,7 @@ class PartitionedParquetMergeStore:
 
         outs = []
         mor_candidates: list = []
+        cow_candidates: list = []
         for pval in sorted(set(p_from) | set(p_to)):
             a, b = p_from.get(pval), p_to.get(pval)
             if a and b and a["dir"] == b["dir"]:
@@ -2549,15 +2685,7 @@ class PartitionedParquetMergeStore:
                         # per-child diff below.
                         mor_candidates.append((pval, child, a, b))
                     else:
-                        outs.append(
-                            changes_between(
-                                child,
-                                spark,
-                                a["version"],
-                                b["version"],
-                                include_preimages=include_preimages,
-                            )
-                        )
+                        cow_candidates.append((pval, child, a, b))
             elif a and b:  # drop + re-create: different epoch dirs
                 outs.append(_snap(a, "delete"))
                 outs.append(_snap(b, "insert"))
@@ -2569,6 +2697,12 @@ class PartitionedParquetMergeStore:
             outs.extend(
                 self._mor_fused_cdc(
                     spark, mor_candidates, v_from, v_to, include_preimages
+                )
+            )
+        if cow_candidates:
+            outs.extend(
+                self._cow_fused_cdc(
+                    spark, cow_candidates, v_from, v_to, include_preimages
                 )
             )
         if not outs:
@@ -2590,6 +2724,214 @@ class PartitionedParquetMergeStore:
         return self._aligned_union(
             spark, outs, wide, extra_cols=("_change_type",)
         )
+
+    def _cow_fused_cdc(
+        self,
+        spark: SparkSession,
+        candidates: list,
+        v_from: int,
+        v_to: int,
+        include_preimages: bool,
+    ) -> list[DataFrame]:
+        """Fuse the changed COW children's manifest-pruned snapshot
+        diffs into ONE global plan (round 16, guide §2.4 — the COW
+        twin of :meth:`_mor_fused_cdc`): the per-child
+        :func:`~parquet_demo_spark.sources.merge_store.changes_between`
+        plans two changed-bucket scans, a presence read and a
+        classification join PER CHILD, so a table CDC over P changed
+        partitions carries ~2-3P exchanges (q159 census: 30 jobs at
+        13 children). Fused, the OLD sides, NEW sides and presence
+        reads of all eligible children each scan once, and one
+        shared-law classification emits the feed.
+
+        Sound for the same reason as every fusion here: partition
+        columns are PK columns, so the classification and
+        delete-presence joins — keyed on the full PK, null-safe —
+        never match rows across children. The per-child bucket
+        pruning is preserved exactly (only manifest-changed bucket
+        dirs are read, per side, per child). A child is fuse-eligible
+        when both endpoint manifests are un-evolved with the TABLE's
+        (uniform) columns, its bucket count is unchanged inside the
+        span (no rebucket — old keys then hash to their own
+        changed_old ids under v_to, so the presence read needs no
+        per-child collect), and the referenced dirs are on disk;
+        anything else falls back to the per-child diff. Deletion
+        vectors fuse: each side anti-joins the union of its
+        children's relevant DV dirs, the per-child ``_apply_dv``
+        contract era-wide.
+        """
+        from parquet_demo_spark.sources.cdc import classify_changes
+        from parquet_demo_spark.sources.merge_store import (
+            changes_between,
+        )
+
+        cols = list(self._columns_at(v_to))
+        keys = list(self.keys)
+        uniform = cols == list(self._columns_at(v_from))
+
+        grp = {
+            "new": [],
+            "old": [],
+            "pres": [],
+            "dv_new": [],
+            "dv_old": [],
+            "dv_pres": [],
+        }
+        fallback: list[DataFrame] = []
+        any_fused = False
+        for pval, child, a, b in candidates:
+            vf, vt = int(a["version"]), int(b["version"])
+            eligible = uniform
+            if eligible:
+                try:
+                    mf = child._read_manifest(vf)
+                    mt = child._read_manifest(vt)
+                except (FileNotFoundError, ValueError):
+                    eligible = False
+                else:
+                    eligible = (
+                        not mf.get("evolved", True)
+                        and not mt.get("evolved", True)
+                        and list(mf.get("columns") or []) == cols
+                        and list(mt.get("columns") or []) == cols
+                        and mf.get("num_buckets", child.num_buckets)
+                        == mt.get("num_buckets", child.num_buckets)
+                    )
+            if eligible:
+                old_paths = child._bucket_paths(vf)
+                new_paths = child._bucket_paths(vt)
+                dv_f = child._dv_entries(vf)
+                dv_t = child._dv_entries(vt)
+                changed = sorted(
+                    bid
+                    for bid, p in new_paths.items()
+                    if old_paths.get(bid) != p
+                    or dv_f.get(bid) != dv_t.get(bid)
+                )
+                changed_old = sorted(
+                    bid
+                    for bid, p in old_paths.items()
+                    if new_paths.get(bid) != p
+                    or dv_f.get(bid) != dv_t.get(bid)
+                )
+                croot = os.path.join(self.root, a["dir"])
+
+                def _dirs(paths, bids):
+                    return [
+                        os.path.join(croot, paths[bid])
+                        for bid in bids
+                        if bid in paths
+                    ]
+
+                add = {
+                    "new": _dirs(new_paths, changed),
+                    "old": _dirs(old_paths, changed_old),
+                    "pres": _dirs(new_paths, changed_old),
+                    "dv_new": [
+                        os.path.join(croot, p)
+                        for bid, p in dv_t.items()
+                        if p and bid in set(changed)
+                    ],
+                    "dv_old": [
+                        os.path.join(croot, p)
+                        for bid, p in dv_f.items()
+                        if p and bid in set(changed_old)
+                    ],
+                    "dv_pres": [
+                        os.path.join(croot, p)
+                        for bid, p in dv_t.items()
+                        if p and bid in set(changed_old)
+                    ],
+                }
+                if all(
+                    os.path.isdir(d) for ds in add.values() for d in ds
+                ):
+                    if changed or changed_old:
+                        for k2, ds in add.items():
+                            grp[k2].extend(ds)
+                        any_fused = True
+                    # a version bump with no bucket/DV change emits
+                    # nothing — same rows as the per-child limit(0)
+                    continue
+                eligible = False
+            fallback.append(
+                changes_between(
+                    child,
+                    spark,
+                    vf,
+                    vt,
+                    include_preimages=include_preimages,
+                )
+            )
+        if not any_fused:
+            return fallback
+
+        key_list = keys
+
+        def _dv_filter(df: DataFrame, dv_dirs: list[str]) -> DataFrame:
+            if df is None or not dv_dirs:
+                return df
+            dv = (
+                spark.read.parquet(*sorted(set(dv_dirs)))
+                .select(
+                    *[F.col(k).alias(f"__dv_{k}") for k in key_list]
+                )
+                .dropDuplicates()
+            )
+            cond = [
+                F.col(k).eqNullSafe(F.col(f"__dv_{k}"))
+                for k in key_list
+            ]
+            return df.join(F.broadcast(dv), cond, "left_anti")
+
+        def _scan(dirs: list[str], dv_key: str) -> DataFrame | None:
+            if not dirs:
+                return None
+            df = spark.read.parquet(*sorted(set(dirs))).select(*cols)
+            return _dv_filter(df, grp[dv_key])
+
+        new = _scan(grp["new"], "dv_new")
+        old = _scan(grp["old"], "dv_old")
+        if old is None:
+            fallback.append(
+                classify_changes(
+                    None, new, None, cols, key_list, include_preimages
+                )
+            )
+            return fallback
+        presence = _scan(grp["pres"], "dv_pres")
+        if presence is None:
+            gone = old
+        else:
+            pres_keys = presence.select(
+                *[F.col(k).alias(f"__new_{k}") for k in key_list]
+            )
+            gone = old.join(
+                pres_keys,
+                [
+                    F.col(k).eqNullSafe(F.col(f"__new_{k}"))
+                    for k in key_list
+                ],
+                "left_anti",
+            )
+        if new is None:
+            fallback.append(
+                classify_changes(
+                    None,
+                    old.limit(0),
+                    gone,
+                    cols,
+                    key_list,
+                    include_preimages,
+                )
+            )
+        else:
+            fallback.append(
+                classify_changes(
+                    old, new, gone, cols, key_list, include_preimages
+                )
+            )
+        return fallback
 
     def _mor_fused_cdc(
         self,

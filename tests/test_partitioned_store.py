@@ -1182,25 +1182,35 @@ def test_partitioned_probe_opens_only_the_keys_partitions(
     st.merge(_batch(spark, [("d1", 1), ("d2", 1), ("d3", 1)]))
     calls = []
     orig = ParquetMergeStore.probe
+    routed = []
+    orig_frames = type(st)._cow_probe_frames
 
     def counting(self, *a, **kw):
         calls.append(self.root)
         return orig(self, *a, **kw)
 
+    def recording(self, sp, parts, pvb, hit, k):
+        routed.append(list(hit))
+        return orig_frames(self, sp, parts, pvb, hit, k)
+
     monkeypatch.setattr(ParquetMergeStore, "probe", counting)
+    monkeypatch.setattr(type(st), "_cow_probe_frames", recording)
     keys = spark.createDataFrame(
         [Row(day="d2", k=1), Row(day="d2", k=999), Row(day="zz", k=1)]
     )
     got = _rows(st.probe(spark, keys))
     assert got == [("d2", 1, 1, "d2/1")]
-    assert len(calls) == 1 and calls[0].endswith("p=d2")
+    # exactly one partition routed (fused scan over its dirs only;
+    # the r16 fusion replaced the per-child probe call, so the pruning
+    # evidence is the routed hit list, not a child-probe count)
+    assert routed == [["d2"]] and calls == []
     # zero matching partitions: schema-only empty frame, no child probe
-    calls.clear()
+    routed.clear()
     empty = st.probe(spark, spark.createDataFrame([Row(day="zz", k=1)]))
     assert empty.count() == 0 and empty.columns == [
         "day", "k", "v", "payload",
     ]
-    assert calls == []
+    assert routed == [] and calls == []
 
 
 def test_partitioned_probe_aligns_across_evolution(spark, tmp_path):
@@ -2269,3 +2279,67 @@ def test_mor_fused_probe_matches_per_child(spark, tmp_path):
     finally:
         type(st)._mor_probe_frames = orig
     assert ("d2", 7, 1, "d2/7") in fused
+
+
+def test_cow_fused_cdc_matches_per_child(spark, tmp_path):
+    """The fused COW table-level CDC (_cow_fused_cdc, r16) emits
+    exactly the per-child snapshot diffs' rows for every span shape:
+    merges, DV deletes, preimages on/off, and spans including a
+    partition drop (handled outside the fusion)."""
+    st = _store(tmp_path)
+
+    def cdc_rows(v_from, v_to, pre):
+        return sorted(
+            map(
+                tuple,
+                st.changes_between(
+                    spark, v_from, v_to, include_preimages=pre
+                ).collect(),
+            )
+        )
+
+    def per_child_rows(v_from, v_to, pre):
+        from parquet_demo_spark.sources.merge_store import (
+            changes_between,
+        )
+
+        orig = type(st)._cow_fused_cdc
+        type(st)._cow_fused_cdc = lambda self, sp, cands, vf, vt, p: [
+            changes_between(
+                c, sp, int(a["version"]), int(b["version"]),
+                include_preimages=p,
+            )
+            for _, c, a, b in cands
+        ]
+        try:
+            return cdc_rows(v_from, v_to, pre)
+        finally:
+            type(st)._cow_fused_cdc = orig
+
+    def check(v_from, v_to, label):
+        for pre in (False, True):
+            fused = cdc_rows(v_from, v_to, pre)
+            assert fused == per_child_rows(v_from, v_to, pre), (
+                label,
+                pre,
+            )
+
+    st.merge(_batch(spark, [("d1", 1), ("d1", 2), ("d2", 1), ("d3", 5)]))
+    st.merge(
+        spark.createDataFrame(
+            [
+                Row(day="d1", k=1, v=2, payload="d1/1b"),
+                Row(day="d2", k=9, v=1, payload="d2/9"),
+            ]
+        )
+    )
+    check(0, 1, "merge span")
+    st.delete_where(
+        spark,
+        (F.col("day") == "d1") & (F.col("k") == 2),
+        deletion_vectors=True,
+    )
+    check(0, 2, "span ending in a DV delete")
+    check(1, 2, "DV-delete-only span")
+    st.drop_partition("d2")
+    check(0, 3, "span including a partition drop")
