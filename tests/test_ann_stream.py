@@ -8,9 +8,12 @@ carries the encoding the frozen codebooks would assign it in batch.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_stream_maintained_store_state(spark, sf_smoke):
     from parquet_demo_spark.operators.similarity import (
         _planted_sets,
@@ -70,6 +73,7 @@ def test_stream_maintained_store_state(spark, sf_smoke):
     assert snap.filter(F.size("codes") != 4).count() == 0
 
 
+@pytest.mark.slow
 def test_stale_upsert_after_delete_is_rejected(spark, tmp_path):
     """ADVICE r8 (medium): a deleted vector's LWW watermark must survive
     the deletion. Previously the watermark came from the vector's

@@ -3,6 +3,8 @@ per-stage operators the registry verifies in isolation."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -44,6 +46,7 @@ def test_curate_stages_monotonic_and_deterministic(spark, sf_smoke, tmp_path):
     assert counts2 == counts
 
 
+@pytest.mark.slow
 def test_curate_cli_dry_run(sf_smoke):
     proc = subprocess.run(
         [

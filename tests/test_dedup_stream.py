@@ -70,6 +70,7 @@ def _run_stream(spark, tmp_path, src, tag):
     return store
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_rebuild_on_winning_edits(spark, tmp_path):
     """Final band rows ≡ minhash_band_signatures over the LWW corpus."""
     src = _write_batches(
@@ -106,6 +107,7 @@ def test_stream_equals_batch_rebuild_on_winning_edits(spark, tmp_path):
     assert pairs == [(1, 2), (1, 3), (2, 3)]
 
 
+@pytest.mark.slow
 def test_emptied_doc_tombstones_out(spark, tmp_path):
     src = _write_batches(
         spark,
@@ -212,6 +214,7 @@ def test_incremental_candidates_equal_cross_subset_of_batch(spark):
     assert got == sorted(set(want))
 
 
+@pytest.mark.slow
 def test_stale_edit_after_emptying_is_rejected(spark, tmp_path):
     """ADVICE r8 (medium): the LWW watermark must SURVIVE an emptying.
     Previously the watermark was derived from the doc's surviving band
@@ -380,6 +383,7 @@ def test_admission_layout_append_keeps_bucketing(spark, tmp_path):
     assert (500 in {r.corpus_doc for r in cand.collect()})
 
 
+@pytest.mark.slow
 def test_stream_with_string_doc_ids_tombstones_correctly(spark, tmp_path):
     """Review r9: tombstone rows must derive column types from the
     encoded frame, not hardcode bigint — a stream whose doc_id is a

@@ -271,6 +271,7 @@ def test_merge_model_equivalence(spark, tmp_path_factory, batches):
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_schema_evolution_model_equivalence(
     spark, tmp_path_factory, batches
 ):
@@ -625,6 +626,7 @@ def test_incremental_scoring_pipeline(spark, tmp_path):
     assert incremental == full and len(full) == 44
 
 
+@pytest.mark.slow
 def test_stream_restart_replays_uncommitted_batch_idempotently(
     spark, tmp_path
 ):

@@ -223,6 +223,7 @@ def test_delta_first_store_bootstraps_without_base(spark, tmp_path):
     assert _rows(st.base.read(spark)) == [(1, 1, "only")]
 
 
+@pytest.mark.slow
 def test_index_applier_mor_equals_cow(spark, tmp_path):
     """The q155/q182 maintenance applier must converge to the SAME
     postings through a MergeOnReadStore as through the COW store —
@@ -275,6 +276,7 @@ def test_index_applier_mor_equals_cow(spark, tmp_path):
     assert _postings(mor.base.read(spark)) == expect
 
 
+@pytest.mark.slow
 def test_dedup_applier_mor_equals_cow(spark, tmp_path):
     """The q166 dedup-maintenance applier through a MergeOnReadStore
     must converge to the same band table as through the COW store —
@@ -322,6 +324,7 @@ def test_dedup_applier_mor_equals_cow(spark, tmp_path):
     assert _sigs(mor.base.read(spark)) == expect
 
 
+@pytest.mark.slow
 def test_ann_applier_mor_equals_cow(spark, tmp_path):
     """The q160 ANN-maintenance applier through a MergeOnReadStore
     must converge to the same codes table as through the COW store —

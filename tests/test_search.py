@@ -193,6 +193,7 @@ def test_bm25_matches_reference_formula(spark):
     assert 2 not in got
 
 
+@pytest.mark.slow
 def test_stream_maintained_index_equals_fresh_after_out_of_order_edits(
     spark, tmp_path
 ):
@@ -286,6 +287,7 @@ def test_stream_maintained_index_equals_fresh_after_out_of_order_edits(
     assert got_search == {3: 3}
 
 
+@pytest.mark.slow
 def test_stale_edit_after_emptying_is_rejected_text_index(spark, tmp_path):
     """ADVICE r8 (medium), text leg: a doc edited-to-empty loses every
     posting row but must KEEP its LWW watermark, so a later out-of-order
